@@ -1,0 +1,91 @@
+"""SparkSession builder and table loaders.
+
+The reference hand-schedules everything (semaphores of 10/6 workers,
+32-thread tool invocations, 20 GB sort caps — BASELINE.md). Here the
+equivalent knobs are Spark configs: AQE re-plans shuffles at runtime,
+``spark.sql.shuffle.partitions`` bounds reducer fan-out, and broadcast
+thresholds replace the reference's shared-memory genome index
+(reference tools.py:412 ``--genomeLoad LoadAndRemove``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "seqdatapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Scale notes: on a real cluster drop ``master`` (spark-submit sets
+    it) and size ``shuffle_partitions`` to ~2-3x total cores. AQE
+    coalesces small post-shuffle partitions and splits skewed ones at
+    runtime, so a generous static number is safe.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # broadcast-join demotion/promotion by observed sizes.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas_udf / applyInPandas / toPandas round-trips.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scan: pushdown + pruning (on by default; pinned for clarity).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Dim tables (features/contacts analogs) comfortably broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all synthetic tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
