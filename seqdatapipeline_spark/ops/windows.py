@@ -1,0 +1,147 @@
+"""Window-shaped computations (SURVEY.md §2.5/2.6) and the peak-call
+composite operator (§2.4 `peak_call`, reference tools.py:555-622).
+
+Scale notes: every window here is partitioned by a real key (chrom /
+user) — never ``Window.partitionBy()`` over the whole table, which
+serializes through one task. Grand totals are computed as 1-row
+aggregates and broadcast back instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def density_over_total(df: DataFrame, freq_col: str, out_col: str = "density") -> DataFrame:
+    """Grand-total ratio per row (reference tools.py:301-303,
+    density = freq/Σfreq). Implemented as a broadcast scalar join —
+    the unpartitioned-window formulation would single-task at scale."""
+    total = df.agg(F.sum(freq_col).alias("__total"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn(out_col, F.col(freq_col) / F.col("__total"))
+        .drop("__total")
+    )
+
+
+def chunk_batches(df: DataFrame, order_col: str, chunk_size: int = 101) -> DataFrame:
+    """Ordinal chunking: batch number by position, ≤`chunk_size` per
+    chunk (reference parserTools.py:183-190 — >100-file jobs split into
+    ≤101-file commands). A global row_number is inherently serial; the
+    reference's semantics are global, so this is kept faithful — at
+    100 TB chunk per partition key instead."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) / F.lit(chunk_size)).cast("long")
+    )
+
+
+def sort_by_coordinate(df: DataFrame, chrom_col: str = "rname", pos_col: str = "pos") -> DataFrame:
+    """Coordinate sort (reference tools.py:247-248, samtools sort).
+    Range-partition + in-partition sort: downstream interval ops get
+    co-located, ordered data — the engine's physical layout convention
+    for alignment tables (SURVEY.md §4 item 2)."""
+    return df.repartitionByRange(F.col(chrom_col), F.col(pos_col)).sortWithinPartitions(
+        chrom_col, pos_col
+    )
+
+
+def sliding_sum(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    val_col: str,
+    range_back: int = 3600,
+    out_col: str = "window_sum",
+) -> DataFrame:
+    """Sliding range-window sum — the pileup scan shape of macs2
+    (reference tools.py:587-590). Partitioned by `part_col` so each
+    chrom/user sorts independently. Timestamps are truncated to whole
+    seconds so window membership is engine-portable."""
+    sec = F.unix_timestamp(F.date_trunc("second", F.col(ts_col)))
+    w = Window.partitionBy(part_col).orderBy(sec).rangeBetween(-range_back, 0)
+    return df.withColumn(out_col, F.sum(val_col).over(w))
+
+
+def gaps_and_islands(
+    df: DataFrame,
+    part_col: str,
+    order_col,
+    gap: int | float,
+) -> DataFrame:
+    """Merge rows into islands when consecutive `order_col` values are
+    within `gap` — the peak-merge step of macs2 callpeak (reference
+    tools.py:587-590). Classic lag + running-sum pattern; one shuffle
+    on the partition key. Adds an `island` ordinal column."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(part_col).orderBy(oc)
+    is_new = F.when((oc - F.lag(oc).over(w)) > gap, 1).otherwise(0)
+    run = Window.partitionBy(part_col).orderBy(oc).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("__new", is_new)
+        .withColumn("island", F.sum("__new").over(run))
+        .drop("__new")
+    )
+
+
+def log_factorial(k: Column) -> Column:
+    """ln(k!) as a Catalyst expression. Exact via `factorial` for
+    k ≤ 20 (Spark's builtin bound), Stirling series above — relative
+    error < 1e-8 at k=21, shrinking with k. Keeps the peak-call hot
+    path JVM-side (no pandas UDF round-trip per row)."""
+    kd = k.cast("double")
+    stirling = (
+        (kd + 0.5) * F.log(kd) - kd + 0.5 * math.log(2.0 * math.pi) + 1.0 / (12.0 * kd)
+    )
+    return F.when(k <= 20, F.log(F.factorial(k.cast("int")).cast("double"))).otherwise(stirling)
+
+
+def poisson_tail(k: Column, lam: Column) -> Column:
+    """P(X ≥ k) for X ~ Poisson(λ): 1 − Σ_{i<k} e^(−λ+i·lnλ−ln i!).
+    Pure expression over `sequence` + `aggregate`; k is a pileup count
+    so the series is short. Clamped to [0, 1] against float cancel."""
+    idx = F.sequence(F.lit(0), (k - 1).cast("int"))
+    cdf = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.exp(-lam + i.cast("double") * F.log(lam) - log_factorial(i)),
+    )
+    return F.when(k <= 0, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(1.0) - cdf))
+    )
+
+
+def peak_call(
+    cov: DataFrame,
+    chrom_col: str = "chrom",
+    bin_col: str = "bin",
+    count_col: str = "count",
+    qval: float = 0.01,
+    merge_gap_bins: int = 2,
+) -> DataFrame:
+    """Peak calling over a coverage table — macs2 callpeak semantics
+    (reference tools.py:555-622: windowed pileup vs local Poisson
+    background, q-value cutoff 0.01 ChIP / 0.05 ATAC tools.py:894-897,
+    enriched windows merged into peaks).
+
+    Pipeline: per-chrom expected rate λ (background) → Poisson tail p
+    per bin → threshold (p < qval; documented simplification of the
+    full BH correction) → gaps-and-islands merge of significant bins.
+    All native expressions + one keyed window; scales as a pair of
+    shuffles on `chrom`.
+    """
+    lam = cov.groupBy(chrom_col).agg(F.avg(count_col).alias("__lam"))
+    scored = cov.join(F.broadcast(lam), chrom_col).withColumn(
+        "pval", poisson_tail(F.col(count_col), F.col("__lam"))
+    )
+    sig = scored.filter(F.col("pval") < qval)
+    islands = gaps_and_islands(sig, chrom_col, bin_col, gap=merge_gap_bins)
+    return islands.groupBy(chrom_col, "island").agg(
+        F.min(bin_col).alias("start_bin"),
+        F.max(bin_col).alias("end_bin"),
+        F.sum(count_col).alias("pileup"),
+        F.min("pval").alias("min_pval"),
+    )

@@ -1,0 +1,937 @@
+"""Graded operator registry: every SURVEY.md §2 operator ID bound to
+the driver's synthetic star schema, with a DuckDB oracle where the
+semantics are SQL-expressible.
+
+Parity rules applied throughout (Spark ↔ DuckDB):
+- counts/lengths/sizes are BIGINT on both sides (Spark `size`/`length`
+  return int → cast; DuckDB `sum(int)` returns HUGEINT → cast);
+- `floor` is cast to BIGINT on the DuckDB side (Spark floor is long);
+- any double produced by multi-row accumulation is rounded to a fixed
+  number of decimals on BOTH sides;
+- arrays are serialized to deterministic sorted CSV strings;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import readers, sinks
+from .ops import aggregates as agg
+from .ops import filters as flt
+from .ops import joins as jn
+from .ops import setops
+from .ops import strings as st
+from .ops import windows as win
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch") \
+    if "__file__" in globals() else "/root/repo/.scratch"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (legacy conf) and truncate to
+    microseconds — exactly what DuckDB's reader does — so both engines
+    see identical timestamp values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql.types import LongType
+
+    if isinstance(e.schema["ts"].dataType, LongType):
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _scratch(tag: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, f"{tag}-{uuid.uuid4().hex[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+_FORM_RE = r"(?s)<FastQFile>(.*?)</FastQFile>"
+
+
+@q(
+    "form_scan",
+    """
+    WITH forms AS (
+      SELECT c_custkey,
+             c_name || chr(10) || c_mktsegment ||
+             chr(10) || '<FastQFile>f' || c_custkey || '_R1.fq.gz' || chr(10) ||
+             'f' || c_custkey || '_R2.fq.gz</FastQFile>' AS form
+      FROM customer
+    )
+    SELECT c_custkey,
+           string_split(form, chr(10))[1] AS contact,
+           string_split(form, chr(10))[2] AS segment,
+           replace(regexp_extract(form, '(?s)<FastQFile>(.*?)</FastQFile>', 1), chr(10), ',') AS fq_csv
+    FROM forms
+    """,
+)
+def q_form_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-form parsing: positional header rows + <FastQFile> block
+    (reference parserTools.py:9-91). The form text is synthesized from
+    customer fields, then parsed back with the same regex + positional
+    split the real reader (io.readers.form_scan) uses."""
+    c = _t(spark, sf_dir, "customer")
+    form = F.concat(
+        F.col("c_name"), F.lit("\n"), F.col("c_mktsegment"), F.lit("\n<FastQFile>f"),
+        F.col("c_custkey"), F.lit("_R1.fq.gz\nf"), F.col("c_custkey"), F.lit("_R2.fq.gz</FastQFile>"),
+    )
+    lines = F.split(form, "\n")
+    return c.select(
+        "c_custkey",
+        F.element_at(lines, 1).alias("contact"),
+        F.element_at(lines, 2).alias("segment"),
+        F.regexp_replace(F.regexp_extract(form, _FORM_RE, 1), "\n", ",").alias("fq_csv"),
+    )
+
+
+@q(
+    "batch_list_scan",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_files,
+           string_split(text, ' ')[1] AS first_file
+    FROM documents
+    """,
+)
+def q_batch_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-list scan: one whitespace-separated entry list per line
+    (reference mainScript.py:217-225) → ArrayType, not comma-strings."""
+    d = _t(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(parts).cast("long").alias("n_files"),
+        F.element_at(parts, 1).alias("first_file"),
+    )
+
+
+@q(
+    "fastq_probe_limit1",
+    """
+    SELECT doc_id, string_split(text, ' ')[1] AS first_token
+    FROM documents ORDER BY doc_id LIMIT 1
+    """,
+)
+def q_fastq_probe_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-record probe (reference tools.py:739-744: read only the
+    head of a gzipped FASTQ to sniff the mate encoding)."""
+    d = _t(spark, sf_dir, "documents")
+    probe = readers.fastq_probe_limit1(d, "doc_id")
+    return probe.select(
+        "doc_id", F.element_at(F.split("text", " "), 1).alias("first_token")
+    )
+
+
+@q(
+    "sra_source",
+    "SELECT 'local' AS ingest_run, count(*) AS n FROM events",
+)
+def q_sra_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-archive ingest connector shape (reference
+    parserTools.py:247-374): staged landing zone → tagged DataFrame.
+    The network fetch is environment-specific; the connector reads the
+    staged run and stamps provenance."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = readers.external_ingest(spark, os.path.join(sf_dir, "events.parquet"), "")
+    return df.groupBy("ingest_run").agg(F.count("*").alias("n"))
+
+
+@q(
+    "dir_poll_stream",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_dir_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watch-folder micro-batch ingest (reference scanner.sh:3-11),
+    run for real through Structured Streaming: file source with
+    pathGlobFilter → windowless aggregate → memory sink, drained with
+    availableNow (the reference's 12 h poll becomes a trigger)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"dirpoll_{uuid.uuid4().hex[:8]}"
+    qh = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    return spark.table(name)
+
+
+@q(
+    "archive_file_scan",
+    "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_archive_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-then-archive fallback scan (reference tools.py:636-640):
+    the primary path is empty here, so the read falls back."""
+    df = readers.archive_fallback_scan(
+        spark,
+        primary=os.path.join(sf_dir, "__no_such_dir__"),
+        archive=os.path.join(sf_dir, "lineitem.parquet"),
+    )
+    return df.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@q(
+    "software_version_scan",
+    "SELECT r_regionkey, r_name FROM region WHERE r_regionkey % 2 = 0",
+)
+def q_software_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog snapshot filter (reference tools.py:859-871:
+    ``WHERE status=='current'`` over the software_version catalog) —
+    a dim-table predicate scan."""
+    r = _t(spark, sf_dir, "region")
+    return r.filter(F.col("r_regionkey") % 2 == 0).select("r_regionkey", "r_name")
+
+
+@q(
+    "sqlite_log_sink",
+    """
+    SELECT user_id, event_id AS first_event, event_type AS first_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def q_sqlite_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OR IGNORE semantics (reference mainScript.py:336-341):
+    first write per key wins; later submissions of the same sample ID
+    are ignored. Deterministic arrival order = (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event"),
+            F.col("event_type").alias("first_type"),
+        )
+    )
+
+
+@q(
+    "counts_tsv_sink",
+    "SELECT l_partkey AS gene_id, count(*) AS n FROM lineitem GROUP BY l_partkey",
+)
+def q_counts_tsv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-TSV sink round-trip (reference tools.py:649-665): grouped
+    counts written as TSV, read back, returned — proves the sink."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("gene_id")).agg(F.count("*").alias("n"))
+    path = _scratch("counts_tsv")
+    sinks.counts_tsv_sink(counts, path)
+    return (
+        spark.read.option("sep", "\t").option("header", True)
+        .schema("gene_id bigint, n bigint")
+        .csv(path)
+    )
+
+
+@q(
+    "hist_tsv_sink",
+    """
+    SELECT CAST(floor(abs(value)) AS BIGINT) AS fLength,
+           count(*) AS freq,
+           printf('%.6f', count(*) / (SELECT count(*) FROM events) * 1.0) AS density
+    FROM events GROUP BY 1
+    """,
+)
+def q_hist_tsv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-TSV sink round-trip with 6-decimal density formatting
+    (reference tools.py:304-311, header `fLength freq density`)."""
+    e = _t(spark, sf_dir, "events")
+    hist = agg.fragment_length_histogram(
+        e.select(F.floor(F.abs("value")).alias("tlen")), "tlen"
+    )
+    path = _scratch("hist_tsv")
+    sinks.hist_tsv_sink(hist, path)
+    return (
+        spark.read.option("sep", "\t").option("header", True)
+        .schema("fLength bigint, freq bigint, density string")
+        .csv(path)
+    )
+
+
+@q(
+    "archive_move_sink",
+    "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_archive_move_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-move lifecycle (reference tools.py:677-734 rsync
+    --remove-source-files): stage → move to archive with read-back
+    verification → source removed. Verified by aggregating the
+    archived copy."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = _scratch("archive_src")
+    dst = _scratch("archive_dst")
+    li.write.mode("overwrite").parquet(src)
+    archived = sinks.archive_move_sink(spark, src, dst)
+    return archived.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@q(
+    "email_sink",
+    """
+    WITH done AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN d.o_custkey IS NOT NULL THEN 'completed' ELSE 'not_completed' END AS status,
+           concat_ws(' ', c.c_name, 'sample', CAST(c.c_custkey AS VARCHAR),
+                     CASE WHEN d.o_custkey IS NOT NULL THEN 'completed' ELSE 'not_completed' END) AS alert
+    FROM customer c LEFT JOIN done d ON c.c_custkey = d.o_custkey
+    """,
+)
+def q_email_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion-notice rows — the email sink reshaped as an alerts
+    DataFrame (reference parserTools.py:94-176 constructEmail listing
+    completed / not-completed IDs)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    done = o.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn("__done", F.lit(True))
+    joined = c.join(F.broadcast(done), "c_custkey", "left")
+    status = F.when(F.col("__done"), "completed").otherwise("not_completed")
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        status.alias("status"),
+        F.concat_ws(" ", F.col("c_name"), F.lit("sample"), F.col("c_custkey").cast("string"), status).alias("alert"),
+    )
+
+
+@q(
+    "trim_report_sink",
+    """
+    SELECT 'flag ' || l_returnflag || ': ' || CAST(count(*) AS VARCHAR) || ' rows' AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_trim_report_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-report text sink round-trip (reference tools.py:183-186
+    trimming_report.txt): report lines written with the text sink and
+    read back."""
+    li = _t(spark, sf_dir, "lineitem")
+    report = li.groupBy("l_returnflag").agg(F.count("*").alias("n")).select(
+        F.concat(F.lit("flag "), F.col("l_returnflag"), F.lit(": "), F.col("n").cast("string"), F.lit(" rows")).alias("value")
+    )
+    path = _scratch("trim_report")
+    sinks.log_report_sink(report, path)
+    return spark.read.text(path)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@q("filter_not_chrm", "SELECT * FROM lineitem WHERE l_returnflag <> 'R'")
+def q_filter_not_chrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrM exclusion (reference tools.py:243 grep -v chrM) — a
+    not-equals predicate pushed to the parquet scan."""
+    return flt.filter_not_chrm(_t(spark, sf_dir, "lineitem"), "l_returnflag", "R")
+
+
+@q("filter_tlen_range", "SELECT * FROM events WHERE value > -100 AND value < 100")
+def q_filter_tlen_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATAC TLEN band filter (reference tools.py:244-245 awk
+    ``($9>-100) && ($9<100)``)."""
+    return flt.filter_tlen_range(_t(spark, sf_dir, "events"), "value", -100, 100)
+
+
+@q("filter_mapped_flag", "SELECT * FROM part WHERE (p_size & 4) = 0")
+def q_filter_mapped_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAG bit-4 exclusion (reference tools.py:246, samtools view -F4)."""
+    return flt.filter_mapped_flag(_t(spark, sf_dir, "part"), "p_size", 4)
+
+
+@q("filter_paired_flag_count", "SELECT count(*) AS n_set FROM part WHERE (p_size & 1) <> 0")
+def q_filter_paired_flag_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAG bit-1 count feeding the BAM/BAMPE auto-detect conditional
+    (reference tools.py:580-586, samtools view -c -f 1)."""
+    return flt.count_flag_set(_t(spark, sf_dir, "part"), "p_size", 1)
+
+
+@q("project_tlen", "SELECT event_id, value FROM events")
+def q_project_tlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-column projection (reference tools.py:249-250 awk $9) —
+    column pruning reaches the parquet ReadSchema."""
+    return flt.project_tlen(_t(spark, sf_dir, "events"), ("event_id", "value"))
+
+
+@q("filter_jobfile_regex", "SELECT * FROM documents WHERE regexp_matches(source, '^src1[0-9]$')")
+def q_filter_jobfile_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-file name regex (reference scanner.sh:5 grep -E
+    '^[0-9].*.txt$')."""
+    return flt.filter_name_regex(_t(spark, sf_dir, "documents"), "source", "^src1[0-9]$")
+
+
+@q("filter_nonzero_size", "SELECT count(*) > 0 AS nonempty FROM lineitem")
+def q_filter_nonzero_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty input guard (reference tools.py:116 etc. os.stat size
+    asserts) as a composable 1-row check."""
+    return flt.nonempty_check(_t(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "filter_application_whitelist",
+    "SELECT * FROM orders WHERE lower(o_orderpriority) IN ('1-urgent', '2-high')",
+)
+def q_filter_application_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Application whitelist (reference pipelineParser.py:90-92)."""
+    return flt.filter_whitelist(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", ["1-URGENT", "2-HIGH"]
+    )
+
+
+@q(
+    "filter_arity",
+    "SELECT doc_id, n_chars FROM documents WHERE len(string_split(text, ' ')) <= 40",
+)
+def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arity guard on multi-part inputs (reference mainScript.py:234-253:
+    ≥3 comma-parts is a malformed PE spec)."""
+    d = _t(spark, sf_dir, "documents").withColumn("fq", F.split("text", " "))
+    return flt.filter_arity(d, "fq", 40).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pe_mate_join",
+    """
+    SELECT a.l_orderkey AS read_id, a.l_quantity AS qty_1, b.l_quantity AS qty_2,
+           a.l_partkey AS part_1, b.l_partkey AS part_2
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber = 2
+    """,
+)
+def q_pe_mate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mate pairing as an equi-join on read id (reference
+    tools.py:737-786 PE_check: id match + mate-1-first ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    r1 = li.filter(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("read_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_partkey").alias("part"),
+    )
+    r2 = li.filter(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("read_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_partkey").alias("part"),
+    )
+    return jn.pe_mate_join(r1, r2, key="read_id")
+
+
+@q(
+    "feature_interval_join",
+    """
+    SELECT p.p_brand, count(*) AS n
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice >= p.p_retailprice * 0.5
+     AND l.l_extendedprice <= p.p_retailprice * 1.5
+    GROUP BY p.p_brand
+    """,
+)
+def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """htseq-count semantics (reference tools.py:625-674): overlap-join
+    points against intervals, then count per group key. Executed with
+    the bin-and-explode equi-join rewrite (SURVEY.md §4 item 1), so the
+    physical plan is a hash join on the bin key — not a
+    BroadcastNestedLoopJoin — and survives fact-sized interval tables."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("all").alias("rname"), F.col("l_extendedprice").alias("pos")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.lit("all").alias("chrom"),
+        F.col("p_brand"),
+        (F.col("p_retailprice") * 0.5).alias("start"),
+        (F.col("p_retailprice") * 1.5).alias("end"),
+    )
+    joined = jn.interval_join_binned(li, part, bin_size=1000)
+    return joined.groupBy("p_brand").agg(F.count("*").alias("n"))
+
+
+@q(
+    "metrics_interval_join",
+    """
+    WITH bands(category, lo, hi) AS (
+      VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 5000.0), ('high', 5000.0, 1e12)
+    )
+    SELECT b.category, count(*) AS n,
+           round(count(*) / (SELECT count(*) FROM orders) * 1.0, 6) AS pct
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.category
+    """,
+)
+def q_metrics_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Picard CollectRnaSeqMetrics semantics (reference
+    tools.py:447-496): classify records into categories by interval
+    membership, then per-category counts + fractions. Broadcast range
+    join against the tiny band dim."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 5000.0), ("high", 5000.0, 1e12)],
+        "category string, lo double, hi double",
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    counts = joined.groupBy("category").agg(F.count("*").alias("n"))
+    total = o.agg(F.count("*").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("n") / F.col("__total") * 1.0, 6))
+        .drop("__total")
+    )
+
+
+@q(
+    "completion_semi_join",
+    "SELECT * FROM customer c WHERE c.c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def q_completion_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion membership as a semi-join (reference
+    parserTools.py:211-215)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return jn.semi_join(c, o, "c_custkey")
+
+
+@q(
+    "contact_lookup_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name AS contact
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_contact_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """userName → contact enrichment (reference pipelineParser.py:86-88)
+    as an explicit broadcast hash join — the fact side never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_name").alias("contact")
+    )
+    return jn.broadcast_lookup_join(o, c, "o_custkey").select(
+        "o_orderkey", "o_custkey", "contact"
+    )
+
+
+@q(
+    "anti_join_missing_forms",
+    "SELECT * FROM customer c WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q_anti_join_missing_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-form rejection as an anti-join (reference
+    pipelineParser.py:45-55 → notProcessed.txt)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return jn.anti_join(c, o, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fragment_length_histogram",
+    """
+    SELECT CAST(floor(abs(value)) AS BIGINT) AS fLength,
+           count(*) AS freq,
+           count(*) / (SELECT count(*) FROM events) * 1.0 AS density
+    FROM events GROUP BY 1
+    """,
+)
+def q_fragment_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs(TLEN) histogram + density (reference tools.py:294-311
+    np.bincount → density=freq/Σfreq). Grand total via broadcast scalar
+    join, not an unpartitioned window."""
+    e = _t(spark, sf_dir, "events").select(F.floor(F.abs("value")).alias("tlen"))
+    return agg.fragment_length_histogram(e, "tlen")
+
+
+@q(
+    "coverage_bin_count",
+    """
+    SELECT event_type AS rname, CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS count
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_coverage_bin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage per fixed window — igvtools count -w 25 semantics
+    (reference tools.py:499-552): tumbling coordinate window =
+    map-side-combinable groupBy."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("rname"), F.col("value").alias("pos")
+    )
+    return agg.coverage_bin_count(e, "rname", "pos", 25)
+
+
+@q(
+    "gene_read_count",
+    "SELECT l_partkey AS gene_id, count(*) AS n FROM lineitem GROUP BY l_partkey",
+)
+def q_gene_read_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gene grouped count — the aggregation half of htseq-count
+    (reference tools.py:651-665)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("gene_id"))
+    return agg.gene_read_count(li, "gene_id")
+
+
+@q("distinct_sorted", "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2")
+def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted(set(x)) (reference mainScript.py:228 + 8 more sites)."""
+    return agg.distinct_sorted(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+@q(
+    "dedup_alignments",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCR-duplicate removal: collapse same-coordinate records keeping
+    the best/first (reference tools.py:314-317 samtools rmdup)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return agg.dedup_keep_first(li, ["l_orderkey", "l_partkey"], ["l_linenumber"])
+
+
+@q(
+    "group_route_jobs",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_jobs,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS job_ids
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_group_route_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch routing dictionary D9 (reference pipelineParser.py:89-136):
+    group by composite key, collect sorted job lists."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_jobs"),
+        F.array_join(F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))), ",").alias("job_ids"),
+    )
+
+
+@q(
+    "ids_per_user",
+    """
+    SELECT o_custkey AS user_id, count(*) AS n_ids,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS ids
+    FROM orders GROUP BY 1
+    """,
+)
+def q_ids_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sample-ID accumulation (reference
+    pipelineParser.py:137-140)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderkey").alias("sample_id")
+    )
+    return agg.ids_per_user(o, "user_id", "sample_id")
+
+
+@q(
+    "peak_call",
+    """
+    SELECT event_id, user_id,
+           round(CAST(sum(value) OVER (
+             PARTITION BY user_id ORDER BY date_trunc('second', ts)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS window_sum
+    FROM events
+    """,
+)
+def q_peak_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-pileup scan at the heart of macs2 callpeak
+    (reference tools.py:587-590): per-key ordered range window.
+    (Poisson scoring + island merge are exercised by
+    `peak_call_islands` and the ops.windows.peak_call composite.)"""
+    e = _t(spark, sf_dir, "events")
+    out = win.sliding_sum(e, "user_id", "ts", "value", range_back=3600)
+    return out.select("event_id", "user_id", F.round("window_sum", 4).alias("window_sum"))
+
+
+@q(
+    "peak_call_islands",
+    """
+    WITH cov AS (
+      SELECT event_type AS chrom, CAST(floor(value / 5) AS BIGINT) AS bin, count(*) AS count
+      FROM events GROUP BY 1, 2
+    ), sig AS (
+      SELECT * FROM cov WHERE count >= 4
+    ), flagged AS (
+      SELECT *, CASE WHEN bin - lag(bin) OVER (PARTITION BY chrom ORDER BY bin) > 2
+                     THEN 1 ELSE 0 END AS f
+      FROM sig
+    ), isl AS (
+      SELECT *, CAST(sum(f) OVER (PARTITION BY chrom ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged
+    )
+    SELECT chrom, island, min(bin) AS start_bin, max(bin) AS end_bin, CAST(sum(count) AS BIGINT) AS pileup
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def q_peak_call_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enriched-window merge — the island phase of macs2 callpeak
+    (reference tools.py:555-622): threshold significant bins, merge
+    bins within a gap into peaks (gaps-and-islands)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("chrom"), F.col("value").alias("pos")
+    )
+    cov = agg.coverage_bin_count(e, "chrom", "pos", 5)
+    sig = cov.filter(F.col("count") >= 4)
+    isl = win.gaps_and_islands(sig, "chrom", "bin", gap=2)
+    return isl.groupBy("chrom", "island").agg(
+        F.min("bin").alias("start_bin"),
+        F.max("bin").alias("end_bin"),
+        F.sum("count").alias("pileup"),
+    )
+
+
+@q(
+    "qc_read_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS mean_len,
+           min(n_chars) AS min_len, max(n_chars) AS max_len
+    FROM documents GROUP BY lang
+    """,
+)
+def q_qc_read_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group read-quality statistics — fastqc core semantics
+    (reference tools.py:101-142); per-position quality distributions
+    run in ops.aggregates.qc_read_stats over READ fixtures."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_len"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+    )
+
+
+@q(
+    "status_upsert",
+    """
+    SELECT user_id AS id, event_type AS last_status, value AS last_value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_status_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-table upsert semantics: last write per key wins
+    (reference tools.py:28-56 UPDATE-by-ID; storage merge in
+    io.sinks.status_upsert). Deterministic tie-break (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    out = agg.status_last_write_wins(
+        e, ["user_id"], ["ts", "event_id"], ["event_type", "value"]
+    )
+    return out.select(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("last_status"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 / §2.6 Windows, sorts, limits
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "density_over_total",
+    """
+    SELECT event_type, count(*) AS freq,
+           count(*) / (SELECT count(*) FROM events) * 1.0 AS density
+    FROM events GROUP BY event_type
+    """,
+)
+def q_density_over_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total ratio (reference tools.py:301-303 density column)."""
+    e = _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("freq"))
+    return win.density_over_total(e, "freq")
+
+
+@q(
+    "chunk_batches",
+    """
+    SELECT chunk, count(*) AS n FROM (
+      SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 101) AS BIGINT) AS chunk
+      FROM documents
+    ) GROUP BY chunk
+    """,
+)
+def q_chunk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤101-item command chunking (reference parserTools.py:183-190)."""
+    d = _t(spark, sf_dir, "documents")
+    chunked = win.chunk_batches(d, "doc_id", 101)
+    return chunked.groupBy("chunk").agg(F.count("*").alias("n"))
+
+
+@q(
+    "sort_by_coordinate",
+    "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem ORDER BY 1, 2",
+)
+def q_sort_by_coordinate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate sort (reference tools.py:247-248 samtools sort):
+    range partition + in-partition sort — the engine's physical layout
+    for alignment tables."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    return win.sort_by_coordinate(li, "l_orderkey", "l_linenumber")
+
+
+@q("sort_names", "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1")
+def q_sort_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted(set(names)) (reference mainScript.py:228)."""
+    return agg.distinct_sorted(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+@q("limit_first_record", "SELECT * FROM events ORDER BY event_id LIMIT 1")
+def q_limit_first_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-record probe (reference tools.py:741-744)."""
+    return _t(spark, sf_dir, "events").orderBy("event_id").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "union_inputs",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    UNION
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    """,
+)
+def q_union_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-list union with dedup (reference mainScript.py:205-228)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    return setops.union_inputs(a, b)
+
+
+@q(
+    "param_set_union",
+    """
+    SELECT DISTINCT o_orderpriority AS param FROM orders
+    UNION
+    SELECT DISTINCT o_orderstatus FROM orders
+    """,
+)
+def q_param_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAM list(set()) accumulation (reference pipelineParser.py:106-166)."""
+    o = _t(spark, sf_dir, "orders")
+    return setops.param_set_union(
+        o.select(F.col("o_orderpriority").alias("param")),
+        o.select(F.col("o_orderstatus").alias("param")),
+    )
+
+
+@q(
+    "reject_except",
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+)
+def q_reject_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """submitted EXCEPT rejected (reference pipelineParser.py:45-55)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return setops.reject_except(c, o)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Streaming-only surface (batch-equivalent checks; true streaming
+# runs in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "completion_poll",
+    """
+    SELECT l_orderkey AS job_id, count(*) AS n_outputs,
+           bool_and(l_quantity > 0) AS complete
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_completion_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-batch completion check (reference parserTools.py:221-241:
+    every archived output non-empty → complete)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("job_id")).agg(
+        F.count("*").alias("n_outputs"),
+        F.expr("bool_and(l_quantity > 0)").alias("complete"),
+    )
+
+
+@q(
+    "stream_windowed_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows — the designed streaming extension
+    (SURVEY.md §2.9; watermark + window). Checked here via the batch
+    equivalence of F.window; the watermarked streaming run is in
+    tests/test_streaming.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

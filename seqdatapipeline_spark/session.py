@@ -38,20 +38,19 @@ def get_spark(
 ) -> SparkSession:
     """Build a SparkSession tuned for this engine.
 
-    Scale notes: on a real cluster drop ``master`` (spark-submit sets
-    it) and size ``shuffle_partitions`` to ~2-3x total cores. AQE
-    coalesces small post-shuffle partitions and splits skewed ones at
-    runtime, so a generous static number is safe.
+    Scale notes: ``master`` is only set when explicitly requested or
+    when no cluster manager is configured (so ``spark-submit --master``
+    always wins on a real cluster). Size ``shuffle_partitions`` to
+    ~2-3x total cores there; AQE coalesces small post-shuffle
+    partitions and splits skewed ones at runtime, so a generous static
+    number is safe.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if master is None:
-        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # broadcast-join demotion/promotion by observed sizes.
         .config("spark.sql.adaptive.enabled", "true")
@@ -62,11 +61,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scan: pushdown + pruning (on by default; pinned for clarity).
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Dim tables (features/contacts analogs) comfortably broadcast.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Conservative auto-broadcast; known dim tables get explicit
+        # broadcast() hints instead (a 64 MB global limit risks driver
+        # OOM when a "small" side grows at 100x scale).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+        # Local/dev default only; never override an externally-set master.
+        builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -74,18 +80,25 @@ def get_spark(
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table (TESTDATA.md) as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_table(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, name: str = "lineitem") -> DataFrame:
+    """Load one synthetic table (TESTDATA.md) as a DataFrame.
+
+    No driver-side existence check: ``spark.read.parquet`` raises a
+    clear AnalysisException for missing paths and works on any Hadoop
+    filesystem (local/S3/HDFS), unlike ``os.path.exists``.
+    """
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load all synthetic tables and register them as temp views."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
-            df.createOrReplaceTempView(name)
-            out[name] = df
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df.createOrReplaceTempView(name)
+        out[name] = df
     return out

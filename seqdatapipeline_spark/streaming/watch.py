@@ -1,0 +1,90 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's only stream is a 12-hour shell poll of a job folder
+(scanner.sh:3-11) with a rename-on-pickup reprocessing guard
+(pipelineParser.py:82-84). Spark's file source subsumes both: the
+checkpoint tracks processed files (exactly-once), and the trigger
+replaces the sleep loop. Watermarked event-time windows are the
+designed extension the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+
+def dir_poll_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    fmt: str = "text",
+    glob: str = "[0-9]*.txt",
+) -> DataFrame:
+    """Watch-folder source (reference scanner.sh:3-11: ls + grep
+    ``^[0-9].*.txt$`` every 12 h). pathGlobFilter = the grep; the
+    file-source checkpoint = the ``@``-rename pickup guard."""
+    reader = spark.readStream.format(fmt).option("pathGlobFilter", glob)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path).withColumn("src_file", F.input_file_name())
+
+
+def with_poll_trigger(writer: DataStreamWriter, interval: str = "12 hours") -> DataStreamWriter:
+    """Processing-time trigger replacing ``sleep 12h`` (scanner.sh:10)."""
+    return writer.trigger(processingTime=interval)
+
+
+def run_batches(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    once: bool = True,
+):
+    """foreachBatch runner: each micro-batch of job files flows into
+    the batch pipeline (reference pipelineParser.py main loop). With
+    ``once`` the stream drains available input and stops — the testing
+    and backfill mode; otherwise caller sets a trigger."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer
+
+
+def completion_poll(outputs: DataFrame, group_col: str, ok_pred) -> DataFrame:
+    """Post-batch completion check (reference parserTools.py:221-241:
+    every archived output non-empty → notify + move). bool_and per
+    group; downstream alert/move hooks consume `complete`."""
+    return outputs.groupBy(group_col).agg(
+        F.count("*").alias("n_outputs"),
+        F.min(ok_pred.cast("boolean")).cast("boolean").alias("complete"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window_len: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Designed extension (absent in the reference — SURVEY.md §2.9):
+    watermarked tumbling/sliding event-time windows over the events
+    stream; late rows beyond the watermark are dropped with bounded
+    state."""
+    win = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide
+        else F.window(F.col(ts_col), window_len)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
