@@ -628,18 +628,21 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
-             row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_quantity) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def q_dedup_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCR-duplicate removal: collapse same-coordinate records keeping
-    the best/first (reference tools.py:314-317 samtools rmdup)."""
+    the best/first (reference tools.py:314-317 samtools rmdup).
+    l_quantity is a second sort key: the synthetic data has full
+    (orderkey, partkey, linenumber) duplicates, and a deterministic
+    total order is what makes oracle hashes stable (SURVEY.md §7 risk 5)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
-    return agg.dedup_keep_first(li, ["l_orderkey", "l_partkey"], ["l_linenumber"])
+    return agg.dedup_keep_first(li, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
 
 
 @q(
