@@ -1,0 +1,174 @@
+"""Domain-semantics unit tests over FIXTURES.md fixtures: FLAG
+bitflags, interval ±1 edges, chrM, mate swap, abs(TLEN)=0, suffix
+regex — the genomic edge cases the star-schema oracle can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import fixtures as fx
+from seqdatapipeline_spark.ops import aggregates as agg
+from seqdatapipeline_spark.ops import filters as flt
+from seqdatapipeline_spark.ops import joins as jn
+from seqdatapipeline_spark.ops import strings as st
+from seqdatapipeline_spark.ops import windows as win
+
+
+def test_filter_not_chrm(spark):
+    out = flt.filter_not_chrm(fx.alignments(spark))
+    names = {r.qname for r in out.collect()}
+    assert "r5" not in names and "r1" in names
+
+
+def test_filter_tlen_range_strict_bounds(spark):
+    out = flt.filter_tlen_range(fx.alignments(spark))
+    tlens = {r.tlen for r in out.collect()}
+    assert 99 in tlens and -99 in tlens and 0 in tlens
+    assert 100 not in tlens and -100 not in tlens and 150 not in tlens
+
+
+def test_filter_mapped_flag_bit4(spark):
+    out = flt.filter_mapped_flag(fx.alignments(spark))
+    assert {r.qname for r in out.collect()} & {"r3", "r4"} == set()
+
+
+def test_count_paired_flag_bit1(spark):
+    n = flt.count_flag_set(fx.alignments(spark), bit=1).collect()[0].n_set
+    assert n == 4  # r2, r4, r5, r9
+
+
+def test_interval_join_edges(spark):
+    """pos==start and pos==end included; start-1 / end+1 excluded;
+    touching intervals both match the boundary point."""
+    al = fx.alignments(spark).filter(F.col("qname").isin("r10", "r11", "r12", "r13"))
+    ft = fx.features(spark).filter(F.col("feature") == "exon")
+    j = jn.interval_join_broadcast(al, ft)
+    got = {(r.qname, r.attributes["gene_id"]) for r in j.collect()}
+    assert ("r10", "gA") in got          # pos == start
+    assert ("r11", "gA") in got          # pos == end (closed)
+    assert ("r11", "gB") in got          # touching interval boundary
+    assert all(q != "r12" for q, _ in got)   # start-1 → matches nothing
+    assert ("r13", "gA") not in got          # end+1 → outside gA
+    assert ("r13", "gB") in got              # …but inside adjacent gB (2000-2500)
+
+
+def test_interval_join_binned_matches_broadcast(spark):
+    al = fx.alignments(spark)
+    ft = fx.features(spark)
+    b1 = jn.interval_join_broadcast(al, ft).select("qname", "start", "end")
+    b2 = jn.interval_join_binned(al, ft, bin_size=500).select("qname", "start", "end")
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_gene_read_count_unstranded(spark):
+    al = fx.alignments(spark)
+    ft = fx.features(spark).filter(F.col("feature") == "exon")
+    j = jn.interval_join_broadcast(al, ft).withColumn(
+        "gene_id", F.col("attributes")["gene_id"]
+    )
+    counts = {r.gene_id: r.n for r in agg.gene_read_count(j).collect()}
+    assert counts["gA"] >= 2 and "gE" not in counts
+
+
+def test_pe_mate_join_and_validate(spark):
+    r1, r2 = fx.reads_pe(spark)
+    joined = jn.pe_mate_join(r1, r2)
+    assert joined.count() == 3
+    bad = jn.pe_mate_validate(r1, r2).collect()
+    assert {(r.read_id, r.side) for r in bad} == {("only_in_r1", 1), ("only_in_r2", 2)}
+
+
+def test_dedup_alignments_keep_best(spark):
+    al = fx.alignments(spark)
+    out = agg.dedup_keep_first(al, ["rname", "pos", "flag"], ["mapq", "qname"])
+    # r1 and r8 share (chr1,100,0) → one survives
+    assert out.filter((F.col("rname") == "chr1") & (F.col("pos") == 100) & (F.col("flag") == 0)).count() == 1
+
+
+def test_fragment_length_histogram_density_sums_to_1(spark):
+    hist = agg.fragment_length_histogram(fx.alignments(spark))
+    rows = hist.collect()
+    assert abs(sum(r.density for r in rows) - 1.0) < 1e-9
+    assert {r.fLength for r in rows} >= {0, 99, 100, 150}  # abs() edge at 0
+
+
+def test_coverage_bin_count_w25(spark):
+    cov = agg.coverage_bin_count(fx.alignments(spark), window=25)
+    m = {(r.rname, r.bin): r["count"] for r in cov.collect()}
+    assert m[("chr1", 4)] == 3  # pos 100 ×3 (r1, r2, r8)
+    assert m[("chr2", 12)] == 3  # pos 300 ×2 (r4, r6) + pos 301 (r7)
+
+
+def test_strip_fastq_suffix_corpus(spark):
+    df = spark.createDataFrame(fx.FASTQ_NAMES, "name string, expected string")
+    out = df.withColumn("got", st.strip_fastq_suffix(F.col("name")))
+    bad = out.filter(F.col("got") != F.col("expected")).collect()
+    assert bad == [], bad
+
+
+def test_pair_key_common_prefix(spark):
+    df = spark.createDataFrame(
+        [("samp_A_R1.fq.gz", "samp_A_R2.fq.gz"), ("x_R1", "x_R2"), ("abc", "xyz")],
+        "a string, b string",
+    )
+    got = [r.k for r in df.select(st.pair_key(F.col("a"), F.col("b")).alias("k")).collect()]
+    assert got[0] == "samp_A_paired"
+    assert got[1] == "x_paired"
+    assert got[2] == ""
+
+
+def test_gaps_and_islands_merge(spark):
+    df = spark.createDataFrame(
+        [("c", 1), ("c", 2), ("c", 3), ("c", 10), ("c", 11), ("d", 5)],
+        "chrom string, bin long",
+    )
+    out = win.gaps_and_islands(df, "chrom", "bin", gap=2)
+    islands = {(r.chrom, r.bin): r.island for r in out.collect()}
+    assert islands[("c", 1)] == islands[("c", 3)]
+    assert islands[("c", 10)] != islands[("c", 3)]
+    assert islands[("c", 10)] == islands[("c", 11)]
+
+
+def test_poisson_tail_matches_exact(spark):
+    import math
+
+    lam, k = 3.7, 9
+    exact = 1.0 - sum(math.exp(-lam) * lam**i / math.factorial(i) for i in range(k))
+    df = spark.createDataFrame([(k, lam)], "k int, lam double")
+    got = df.select(win.poisson_tail(F.col("k"), F.col("lam")).alias("p")).collect()[0].p
+    assert abs(got - exact) < 1e-9
+
+
+def test_peak_call_finds_enriched_region(spark):
+    # background bins count≈1; an enriched run at bins 50-52 with high counts
+    rows = [("chr1", b, 1) for b in range(100)] + [
+        ("chr1", 50, 30), ("chr1", 51, 28), ("chr1", 52, 25)
+    ]
+    cov = (
+        spark.createDataFrame(rows, "chrom string, bin long, count long")
+        .groupBy("chrom", "bin").agg(F.sum("count").alias("count"))
+    )
+    peaks = win.peak_call(cov, qval=0.01, merge_gap_bins=2).collect()
+    assert len(peaks) == 1
+    p = peaks[0]
+    assert p.start_bin == 50 and p.end_bin == 52 and p.pileup >= 83
+
+
+def test_qc_read_stats_positions(spark):
+    reads = spark.createDataFrame(
+        [("r1", 1, "ACGT", "IIII"), ("r2", 1, "ACGT", "!!II")],
+        "read_id string, mate int, sequence string, quality string",
+    )
+    stats = {r.pos: r for r in agg.qc_read_stats(reads).collect()}
+    assert stats[1].min_q == 0 and stats[1].max_q == 40  # '!'=0, 'I'=40
+    assert stats[3].mean_q == 40.0
+
+
+def test_gc_content(spark):
+    reads = spark.createDataFrame(
+        [("r1", 1, "GGCC", "IIII"), ("r2", 1, "ATAT", "IIII")],
+        "read_id string, mate int, sequence string, quality string",
+    )
+    got = {r.read_id: r.gc_frac for r in agg.gc_content(reads).collect()}
+    assert got["r1"] == 1.0 and got["r2"] == 0.0
