@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from `__spark_entry__.queries()` against
+`$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect) so the timing reflects the distributed plan,
+not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Headline set: the reference's analytical core (interval joins, histogram,
+# coverage, dedup, routing, peak calling) + the training-data extensions
+# (MinHash near-dup, ANN top-k, text quality). Scalars/filters are excluded:
+# they are sub-second scans dominated by Spark fixed overhead.
+HEADLINE = [
+    "feature_interval_join",
+    "metrics_interval_join",
+    "gene_read_count",
+    "fragment_length_histogram",
+    "coverage_bin_count",
+    "dedup_alignments",
+    "pe_mate_join",
+    "group_route_jobs",
+    "qc_read_stats",
+    "peak_call",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "text_quality_score",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from seqdatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)  # build plan (untimed)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
