@@ -20,6 +20,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
+
+def _bucket_pairs(keyed: DataFrame, id_col: str, bucket_col: str, max_bucket: int | None = None) -> DataFrame:
+    """Distinct (a < b) pairs of ids sharing a bucket, generated
+    **inside** each bucket from a sorted id array — one groupBy pass
+    instead of a bucket self-join (which would compute the whole
+    upstream signature pipeline twice; Spark has no automatic CTE reuse
+    across self-join branches).
+
+    ``max_bucket`` drops degenerate mega-buckets (a band shared by
+    thousands of docs explodes quadratically); leave None to keep exact
+    parity with a SQL self-join oracle."""
+    ids = F.array_sort(F.collect_set(id_col))
+    buckets = keyed.groupBy(bucket_col).agg(ids.alias("ids")).filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams via higher-order functions (JVM-side)."""
@@ -44,23 +76,32 @@ def minhash_signature(
     """MinHash signatures: permutation j ≈ lexicographic min of
     md5(j || shingle). One explode + one groupBy — the signature
     build is a single shuffle on doc id."""
-    sh = docs.select(
+    sh = fan_out(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
+    # fan_out hash-partitioned by id, so this groupBy adds no shuffle.
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, band_size: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH banding: signature → band keys → *equi-join on band key* →
-    distinct candidate pairs (a < b). The join is hash-partitioned on
-    the band bucket; no pair outside a shared bucket is ever
-    materialized — this is what makes near-dup feasible at 100 TB."""
+    """LSH banding: signature → band keys → group by band bucket →
+    in-bucket (a < b) pair generation. The grouping is hash-partitioned
+    on the band bucket; no pair outside a shared bucket is ever
+    materialized — this is what makes near-dup feasible at 100 TB.
+    Pairs come from one grouped pass over the signatures rather than a
+    bucket self-join, so the (expensive) signature pipeline runs once.
+    At real scale set ``max_bucket`` to drop degenerate mega-buckets
+    (boilerplate bands shared by thousands of docs)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -72,17 +113,8 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key")).distinct()
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
-        a.join(b, on="band_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
 
 
 def minhash_dedup_pairs(
@@ -100,7 +132,7 @@ def simhash_signature(
     """SimHash over word tokens: bit b = majority vote of bit b of
     md5(token) across the doc's distinct tokens. `bits` ≤ 32 hex
     nibbles' high bits; portable (hex-digit test, no murmur)."""
-    tok = docs.select(
+    tok = fan_out(docs, id_col).select(
         F.col(id_col),
         F.size(F.array_distinct(F.split(F.col(text_col), " "))).cast("long").alias("n_tok"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
@@ -120,10 +152,12 @@ def simhash_signature(
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", band_bits: int = 4) -> DataFrame:
+def simhash_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", band_bits: int = 4, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup candidates: docs agreeing on any simhash band
-    (Hamming-distance blocking) — equi-join on (band index, band bits)."""
-    bits = None
+    (Hamming-distance blocking) — same in-bucket pair generation as
+    MinHash LSH, grouped on (band index, band bits)."""
     n = 16  # matches simhash_signature default
     bands = F.array(
         *[
@@ -131,14 +165,8 @@ def simhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", band_bits: i
             for i in range(n // band_bits)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key")).distinct()
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(b, "band_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
 
 
 def ngram_jaccard_pairs(
@@ -152,7 +180,7 @@ def ngram_jaccard_pairs(
     shingles* (inverted-index join, never all-pairs):
     J = |A∩B| / (|A|+|B|−|A∩B|). At scale, prefilter hot shingles
     (stop-grams) before the self-join to kill skew."""
-    sh = docs.select(
+    sh = fan_out(docs, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import fan_out
 from .dedup import cosine
 
 
@@ -32,7 +33,7 @@ def brute_topk_cosine(
     construction); ranking is a window over query_id — shuffle keyed by
     query, never a global sort. Ties broken by neighbor id for
     deterministic output."""
-    scored = corpus.join(F.broadcast(queries)).withColumn(
+    scored = fan_out(corpus).join(F.broadcast(queries)).withColumn(
         "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))

@@ -98,8 +98,9 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", s
     """Document fingerprint: minimum hash over word n-gram shingles
     (winnowing-lite / rolling-hash family). Equal fingerprints ⇒
     near-dup candidates; groupable at any scale."""
+    from ..session import fan_out
     from .dedup import word_shingles
 
     sh = word_shingles(F.col(text_col), shingle_n)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return fan_out(df).select(F.col(id_col), fp.alias("fingerprint"))

@@ -132,6 +132,69 @@ def interval_join_binned(
     return joined.drop("__bin")
 
 
+def interval_count_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    group_cols: list[str],
+    bin_size: int = 50,
+    point_chrom: str = "rname",
+    point_pos: str = "pos",
+    ivl_chrom: str = "chrom",
+    ivl_start: str = "start",
+    ivl_end: str = "end",
+    count_col: str = "n",
+) -> DataFrame:
+    """Count points per interval group **without materializing the
+    point×interval pairs** — the scale form of htseq-count / coverage
+    classification when the answer is a count, not the pairs.
+
+    A naive overlap join can emit orders of magnitude more rows than
+    either input (dense intervals × dense points). Instead:
+
+    - **interior bins**: a bin strictly inside [start, end] contributes
+      its pre-aggregated point count — a join of exploded interval bins
+      against a per-(chrom, bin) count table that is |bins| rows, not
+      |points| rows, with map-side partial aggregation on both sides.
+    - **edge bins**: only the first/last bin of each interval needs the
+      exact ``pos BETWEEN start AND end`` test against raw points, so
+      the expensive comparison touches ~2/span of the data.
+
+    Equivalent to ``interval_join_binned(...).groupBy(group).count()``
+    (closed interval on both ends), checked in tests."""
+    b = F.lit(bin_size)
+    pts = points.select(
+        F.col(point_chrom).alias("__c"),
+        F.col(point_pos).alias("__p"),
+        (F.col(point_pos) / b).cast("long").alias("__bin"),
+    )
+    bin_counts = pts.groupBy("__c", "__bin").agg(F.count("*").alias("__bn"))
+    ivl = intervals.withColumn("__lo", (F.col(ivl_start) / b).cast("long")).withColumn(
+        "__hi", (F.col(ivl_end) / b).cast("long")
+    )
+    interior_bins = ivl.filter(F.col("__hi") >= F.col("__lo") + 2).withColumn(
+        "__ibin", F.explode(F.sequence(F.col("__lo") + 1, F.col("__hi") - 1))
+    )
+    interior = interior_bins.join(
+        bin_counts,
+        on=(interior_bins[ivl_chrom] == bin_counts["__c"])
+        & (interior_bins["__ibin"] == bin_counts["__bin"]),
+    ).select(*group_cols, F.col("__bn").alias("__contrib"))
+    edge_bins = ivl.withColumn("__ibin", F.explode(F.array_distinct(F.array("__lo", "__hi"))))
+    edges = (
+        edge_bins.join(
+            pts,
+            on=(edge_bins[ivl_chrom] == pts["__c"]) & (edge_bins["__ibin"] == pts["__bin"]),
+        )
+        .filter((F.col("__p") >= F.col(ivl_start)) & (F.col("__p") <= F.col(ivl_end)))
+        .select(*group_cols, F.lit(1).alias("__contrib"))
+    )
+    return (
+        interior.unionByName(edges)
+        .groupBy(*group_cols)
+        .agg(F.sum("__contrib").alias(count_col))
+    )
+
+
 def range_band_join(
     fact: DataFrame,
     dim: DataFrame,

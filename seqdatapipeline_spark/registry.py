@@ -473,9 +473,13 @@ def q_pe_mate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """htseq-count semantics (reference tools.py:625-674): overlap-join
     points against intervals, then count per group key. Executed with
-    the bin-and-explode equi-join rewrite (SURVEY.md §4 item 1), so the
-    physical plan is a hash join on the bin key — not a
-    BroadcastNestedLoopJoin — and survives fact-sized interval tables."""
+    the interval-COUNT rewrite (ops.joins.interval_count_binned):
+    interior bins read a pre-aggregated per-bin count table and only
+    the two edge bins of each interval touch raw points — the
+    point×interval pair set (59M rows at sf0.1 for 600k×20k inputs) is
+    never materialized. Pair-producing callers use
+    interval_join_binned; the plan here is the one a 100 TB
+    htseq-count wants."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.lit("all").alias("rname"), F.col("l_extendedprice").alias("pos")
     )
@@ -485,8 +489,7 @@ def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 0.5).alias("start"),
         (F.col("p_retailprice") * 1.5).alias("end"),
     )
-    joined = jn.interval_join_binned(li, part, bin_size=1000)
-    return joined.groupBy("p_brand").agg(F.count("*").alias("n"))
+    return jn.interval_count_binned(li, part, group_cols=["p_brand"], bin_size=50)
 
 
 @q(

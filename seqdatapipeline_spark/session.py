@@ -80,6 +80,22 @@ def get_spark(
     return spark
 
 
+def fan_out(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan parallelism before per-row-expensive compute
+    (shingling, hashing, vector math).
+
+    Small dimension files often arrive as a single input split, which
+    pins every downstream narrow operator to one core; a 100 TB table
+    already has thousands of splits, so this is a no-op there (the
+    partition check avoids an unconditional shuffle). Pass key columns
+    to hash-partition by them (keeps a later groupBy on the same keys
+    shuffle-free)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

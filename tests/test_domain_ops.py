@@ -61,6 +61,29 @@ def test_interval_join_binned_matches_broadcast(spark):
     assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
 
 
+def test_interval_count_binned_matches_join_count(spark):
+    """The count rewrite (interior-bin pre-agg + edge-bin exact test)
+    must agree with materialize-pairs-then-count for every bin size,
+    including bins smaller/larger than the interval span."""
+    al = fx.alignments(spark)
+    ft = fx.features(spark)
+    expected = sorted(
+        (r.gene_id, r.n)
+        for r in jn.interval_join_binned(al, ft, bin_size=500)
+        .withColumn("gene_id", F.col("attributes")["gene_id"])
+        .groupBy("gene_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for bs in (7, 100, 500, 10_000):
+        ftg = ft.withColumn("gene_id", F.col("attributes")["gene_id"])
+        got = sorted(
+            (r.gene_id, r.n)
+            for r in jn.interval_count_binned(al, ftg, ["gene_id"], bin_size=bs).collect()
+        )
+        assert got == expected, (bs, got, expected)
+
+
 def test_gene_read_count_unstranded(spark):
     al = fx.alignments(spark)
     ft = fx.features(spark).filter(F.col("feature") == "exon")
