@@ -44,6 +44,68 @@ def brute_topk_cosine(
     )
 
 
+def kmeans_cells(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means-lite coarse quantizer for IVF: seeds are
+    the k lowest-id vectors, then `iters` Lloyd rounds entirely in
+    DataFrame ops — broadcast centroids → best-cell assignment →
+    per-dimension mean. Returns (cell, centroid).
+
+    Scale: each round is one corpus scan + a k×dim-sized shuffle; the
+    centroid table is always broadcastable (k ≈ √n). At real scale,
+    checkpoint between rounds to keep lineage flat, and train on a
+    sample — Lloyd on a 1% sample converges to near-identical cells."""
+    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    w = Window.orderBy(id_col)
+    cents = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("cell"), F.col("__v").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = assign_best_cell(v, cents, vec_expr="__v", id_col=id_col)
+        per_dim = assigned.select(
+            "cell", F.posexplode("__v").alias("dim", "x")
+        ).groupBy("cell", "dim").agg(F.avg("x").alias("mu"))
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("centroid")
+        )
+    return cents
+
+
+def assign_best_cell(
+    vectors: DataFrame, centroids: DataFrame, vec_expr: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest (max-cosine) cell per vector via broadcast centroids +
+    a single max(struct) aggregation keyed by id — deterministic
+    tie-break on cell id, no window shuffle, and the vector rides
+    inside the struct so the grouping key stays scalar."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "__cc", cosine(F.col(vec_expr), F.col("centroid"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__cc"),
+                (-F.col("cell")).alias("__negcell"),
+                F.col(vec_expr).alias("__vv"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__b.__vv").alias(vec_expr),
+        (-F.col("__b.__negcell")).cast("int").alias("cell"),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
@@ -86,7 +148,9 @@ def ivf_topk_cosine(
     corpus: DataFrame,
     k: int = 5,
     nprobe: int = 3,
-    cell_col: str = "label",
+    cell_col: str | None = None,
+    kmeans_k: int = 10,
+    kmeans_iters: int = 3,
     q_id: str = "query_id",
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
@@ -95,10 +159,26 @@ def ivf_topk_cosine(
     """Approximate top-k: probe only the nprobe best cells per query.
     The query↔corpus join is an *equi-join on cell id*, so at 100 TB
     each query touches ~nprobe/ncells of the corpus instead of all of
-    it. Recall is tunable via nprobe (exact when nprobe = ncells)."""
-    cents = ivf_centroids(corpus, cell_col=cell_col, vec_col=c_vec)
+    it. Recall is tunable via nprobe (exact when nprobe = ncells).
+
+    With ``cell_col`` the data's own coarse partition is used (cheap
+    but only as good as that partition's geometry). Default is a
+    trained quantizer: deterministic k-means-lite cells
+    (``kmeans_cells``) + nearest-cell corpus assignment — the real IVF
+    construction, still pure DataFrame ops."""
+    if cell_col is not None:
+        cents = ivf_centroids(corpus, cell_col=cell_col, vec_col=c_vec)
+        cells = corpus.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
+    else:
+        cents = kmeans_cells(corpus, k=kmeans_k, iters=kmeans_iters, id_col=c_id, vec_col=c_vec)
+        assigned = assign_best_cell(
+            fan_out(corpus).select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__av")),
+            cents,
+            vec_expr="__av",
+            id_col=c_id,
+        )
+        cells = assigned.select("cell", c_id, F.col("__av").alias(c_vec))
     probed = ivf_assign(queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec)
-    cells = corpus.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
     scored = probed.join(cells, "cell").withColumn(
         "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     )

@@ -1,0 +1,178 @@
+"""Tests for the training-data pipeline extensions (dedup, similarity,
+multimodal, streaming) — the properties the DuckDB oracle can't check:
+IVF recall vs the exact baseline, LSH near-dup detection, streaming
+exactly-once, Arrow batch plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqdatapipeline_spark.extensions import dedup as dd
+from seqdatapipeline_spark.extensions import multimodal as mm
+from seqdatapipeline_spark.extensions import similarity as sim
+from seqdatapipeline_spark.streaming import watch
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_ivf_kmeans_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in sim.brute_topk_cosine(qs, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk_cosine(qs, emb, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall} below 0.8"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe == ncells must reproduce the exact baseline."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in sim.brute_topk_cosine(qs, emb, k=5).collect()}
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk_cosine(qs, emb, k=5, nprobe=10, kmeans_k=10).collect()
+    }
+    assert full == exact
+
+
+def test_kmeans_cells_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    c1 = sorted(map(tuple, sim.kmeans_cells(emb, k=5, iters=2).collect()))
+    c2 = sorted(map(tuple, sim.kmeans_cells(emb, k=5, iters=2).collect()))
+    assert c1 == c2
+
+
+# ---------------------------------------------------------------------- dedup
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    docs = _doc_df(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("today", "tonight")),  # 1-word edit → near dup
+            (3, "completely different words about spark dataframes and shuffles here now"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_lsh_max_bucket_drops_mega_buckets(spark):
+    # 6 identical docs share every band → bucket of 6; cap at 5 kills it.
+    docs = _doc_df(spark, [(i, BASE) for i in range(6)])
+    sig = dd.minhash_signature(docs)
+    uncapped = dd.lsh_candidate_pairs(sig).count()
+    capped = dd.lsh_candidate_pairs(sig, max_bucket=5).count()
+    assert uncapped == 15 and capped == 0
+
+
+def test_simhash_pairs_close_docs(spark):
+    docs = _doc_df(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE + " extra"),
+            (3, "zzz qqq vvv www uuu ttt sss rrr"),
+        ],
+    )
+    sig = dd.simhash_signature(docs)
+    pairs = {(r.doc_a, r.doc_b) for r in dd.simhash_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs
+
+
+def test_exact_dedup_counts(spark):
+    docs = _doc_df(spark, [(1, "aa"), (2, "aa"), (3, "bb")])
+    got = {r.keep_id: r.n_dups for r in dd.exact_dedup_groups(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+# ----------------------------------------------------------------- multimodal
+
+def test_decode_media_stub_gate(spark):
+    media = mm.to_media(_doc_df(spark, [(1, "abc")]), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(media)  # real codecs absent → explicit stub
+
+
+def test_decode_media_fake_features(spark):
+    media = mm.to_media(_doc_df(spark, [(1, "abc"), (2, "")]), "doc_id", "text")
+    rows = {r.media_id: r for r in mm.decode_media(media, fake=True).collect()}
+    assert rows[1].n_bytes == 3 and len(rows[1].features) == 8
+    assert abs(sum(rows[1].features) - 1.0) < 1e-9  # histogram sums to 1
+    assert rows[2].n_bytes == 0 and rows[2].features == [0.0] * 8
+
+
+def test_frame_sample_rows(spark):
+    media = mm.to_media(_doc_df(spark, [(1, "x" * 200)]), "doc_id", "text")
+    frames = mm.frame_sample(media, every_n_bytes=64).collect()
+    assert len(frames) == 3  # 200 // 64
+    assert [f.frame_no for f in frames] == [0, 1, 2]
+
+
+# ------------------------------------------------------------------ streaming
+
+def test_dir_poll_stream_glob_and_exactly_once(spark):
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "inbox"), os.path.join(tmp, "ckpt")
+    os.makedirs(inbox)
+    try:
+        with open(os.path.join(inbox, "1job.txt"), "w") as f:
+            f.write("alpha\n")
+        with open(os.path.join(inbox, "notes.txt"), "w") as f:
+            f.write("ignored\n")  # fails ^[0-9] glob
+
+        seen: list[list] = []
+
+        def collect_batch(df, _epoch):
+            seen.append([r.value for r in df.select("value").collect()])
+
+        stream = watch.dir_poll_stream(spark, inbox)
+        watch.run_batches(stream, collect_batch, checkpoint=ckpt, once=True)
+        assert [v for b in seen for v in b] == ["alpha"]
+
+        # second drain with the same checkpoint: nothing reprocessed,
+        # only the new file arrives (the @-rename guard, natively).
+        with open(os.path.join(inbox, "2job.txt"), "w") as f:
+            f.write("beta\n")
+        watch.run_batches(stream, collect_batch, checkpoint=ckpt, once=True)
+        assert [v for b in seen for v in b] == ["alpha", "beta"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_event_counts_semantics(spark):
+    # Batch-mode check of the streaming aggregation expression.
+    rows = [
+        ("2026-01-01 10:01:00", "click", 1.0),
+        ("2026-01-01 10:04:00", "click", 2.0),
+        ("2026-01-01 10:11:00", "click", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r.window.start.minute, r.n, r.total_value)
+        for r in watch.windowed_event_counts(df, window_len="10 minutes").collect()
+    }
+    assert out == {(0, 2, 3.0), (10, 1, 4.0)}
