@@ -177,26 +177,46 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs *generated by shared
-    shingles* (inverted-index join, never all-pairs):
-    J = |A∩B| / (|A|+|B|−|A∩B|). At scale, prefilter hot shingles
-    (stop-grams) before the self-join to kill skew."""
+    shingles* (inverted index, never all-pairs):
+    J = |A∩B| / (|A|+|B|−|A∩B|).
+
+    Single-pass formulation: one shingle explode, one groupBy shingle
+    collecting (id, set-size) members, in-bucket pair generation (the
+    sizes ride inside the bucket structs), then a pair-count groupBy —
+    the naive version (self-join + two size joins) scans and re-shingles
+    the corpus four times; this scans once. At scale, prefilter hot
+    shingles (stop-grams) before grouping to kill bucket skew."""
     sh = fan_out(docs, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+        F.col(id_col).alias("__id"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).cast("long").alias("__n_sh"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.struct("__id", "__n_sh"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice("members", i + F.lit(2), F.size("members")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a.__id").alias("doc_a"),
+            F.col("p.b.__id").alias("doc_b"),
+            F.col("p.a.__n_sh").alias("na"),
+            F.col("p.b.__n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
         )

@@ -19,19 +19,16 @@ def fragment_length_histogram(df: DataFrame, tlen_col: str = "tlen") -> DataFram
     np.bincount → drop zero bins → density = freq/Σfreq at 6 decimals).
 
     `np.nonzero` (dropping empty bins) is implicit: groupBy only emits
-    observed lengths. The grand total is a scalar cross-join — a
-    broadcast of one row — not an unpartitioned window, so the plan
-    stays fully parallel.
+    observed lengths. Density is an unpartitioned window over the
+    *aggregated* histogram (cardinality = distinct fragment lengths,
+    ~2k rows at any data scale) — one fact scan; the scalar-cross-join
+    alternative recomputes the aggregation subtree and scans twice.
     """
     hist = df.groupBy(F.abs(F.col(tlen_col)).cast("long").alias("fLength")).agg(
         F.count("*").alias("freq")
     )
-    total = hist.agg(F.sum("freq").alias("__total"))
-    return (
-        hist.crossJoin(F.broadcast(total))
-        .withColumn("density", F.col("freq") / F.col("__total"))
-        .drop("__total")
-    )
+    w = Window.partitionBy()
+    return hist.withColumn("density", F.col("freq") / F.sum("freq").over(w))
 
 
 def coverage_bin_count(

@@ -17,14 +17,16 @@ from pyspark.sql import functions as F
 
 def density_over_total(df: DataFrame, freq_col: str, out_col: str = "density") -> DataFrame:
     """Grand-total ratio per row (reference tools.py:301-303,
-    density = freq/Σfreq). Implemented as a broadcast scalar join —
-    the unpartitioned-window formulation would single-task at scale."""
-    total = df.agg(F.sum(freq_col).alias("__total"))
-    return (
-        df.crossJoin(F.broadcast(total))
-        .withColumn(out_col, F.col(freq_col) / F.col("__total"))
-        .drop("__total")
-    )
+    density = freq/Σfreq). Unpartitioned window over the input —
+    intended for *aggregated* inputs (histograms, per-category counts)
+    whose cardinality is bounded by the group key, where single-tasking
+    a few thousand rows is free. The alternative (agg-to-scalar +
+    broadcast cross join) recomputes the whole upstream subtree —
+    Spark has no CTE reuse across the two branches — which at 100 TB
+    means scanning the fact table twice. Feed raw fact rows through an
+    aggregation first, or persist them, before calling this."""
+    w = Window.partitionBy()
+    return df.withColumn(out_col, F.col(freq_col) / F.sum(freq_col).over(w))
 
 
 def chunk_batches(df: DataFrame, order_col: str, chunk_size: int = 101) -> DataFrame:

@@ -519,12 +519,12 @@ def q_metrics_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
     )
     counts = joined.groupBy("category").agg(F.count("*").alias("n"))
-    total = o.agg(F.count("*").alias("__total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("pct", F.round(F.col("n") / F.col("__total") * 1.0, 6))
-        .drop("__total")
-    )
+    # Bands partition the whole domain, so Σn == count(orders): the
+    # total comes from the 3-row aggregate (one fact scan), not from a
+    # second scan of orders. (For non-exhaustive bands, aggregate the
+    # fact side once and derive both from it.)
+    w = Window.partitionBy()
+    return counts.withColumn("pct", F.round(F.col("n") / F.sum("n").over(w) * 1.0, 6))
 
 
 @q(
