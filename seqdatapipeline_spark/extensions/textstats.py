@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
 # Tiny stopword marker sets per language for the n-gram/stopword
 # language heuristic. Deliberately minimal and deterministic.
 LANG_MARKERS = {
@@ -43,7 +45,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     (A real n-gram model drops into the same shape: score columns +
     greatest().)"""
     t = F.col(text_col)
-    scored = df
+    scored = fan_out(df)
     for lang, markers in LANG_MARKERS.items():
         scored = scored.withColumn(f"__s_{lang}", marker_hits(t, markers))
     best = F.greatest(*[F.col(f"__s_{lang}") for lang in LANG_MARKERS])
@@ -71,7 +73,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # Blend: long enough, some stopwords (fluency), low punctuation noise.
     len_term = F.least(n_words.cast("double") / 50.0, F.lit(1.0))
     score = F.round(0.4 * len_term + 0.4 * F.least(stop_ratio * 5.0, F.lit(1.0)) + 0.2 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))), 6)
-    return df.select(
+    return fan_out(df).select(
         "*",
         n_chars.alias("q_chars"),
         n_words.alias("q_words"),
@@ -87,7 +89,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     (alnum runs + single punctuation marks) — the pretraining
     size-accounting pass."""
     t = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         "*",
         F.size(F.split(t, r"\s+")).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long").alias("n_re_tokens"),

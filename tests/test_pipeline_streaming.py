@@ -1,0 +1,93 @@
+"""Tests for the stage-DAG runner (short-circuit + status sink) and
+the applyInPandasWithState stateful status stream."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from seqdatapipeline_spark.pipelines import dag
+from seqdatapipeline_spark.streaming import stateful, watch
+
+
+def test_dag_short_circuit_and_status(spark):
+    src = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    tmp = tempfile.mkdtemp()
+    try:
+        stages = [
+            dag.Stage("keep_even", lambda df: df.filter(F.col("x") % 2 == 0), ok_code="q"),
+            dag.Stage("drop_all", lambda df: df.filter(F.lit(False)), ok_code="t"),
+            dag.Stage("never_runs", lambda df: df, ok_code="a"),
+        ]
+        run = dag.run_pipeline(spark, src, stages, sample_id="s1",
+                               status_path=os.path.join(tmp, "status"))
+        assert [r.status for r in run.results] == ["q", "failed", "skipped"]
+        assert not run.ok and run.output is None
+        status = spark.read.parquet(os.path.join(tmp, "status"))
+        got = {r.id: r.status for r in status.collect()}
+        assert got["s1:keep_even"] == "q" and got["s1:drop_all"] == "failed"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dag_all_ok(spark):
+    src = spark.createDataFrame([(1,), (2,)], "x int")
+    run = dag.run_pipeline(spark, src, [dag.Stage("id", lambda df: df)])
+    assert run.ok and run.output is not None and run.output.count() == 2
+
+
+def _write_events(path, name, rows):
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stateful_status_across_batches(spark):
+    """State must survive micro-batch boundaries via the checkpoint:
+    batch 2 sees sample s1's count continue from batch 1."""
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        schema = "sample_id string, stage string, status string, ts long"
+        seen: dict[int, dict] = {}
+
+        def run_once(epoch_tag):
+            stream = (
+                spark.readStream.schema(schema).json(inbox)
+            )
+            out = stateful.sample_status_stream(stream)
+
+            def sink(df, epoch):
+                for r in df.collect():
+                    seen.setdefault(epoch_tag, {})[r.sample_id] = (
+                        r.n_events, r.last_stage, r.last_status, r.failed
+                    )
+
+            q = out.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("update").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        _write_events(inbox, "b1.json", [
+            {"sample_id": "s1", "stage": "qCheck", "status": "q", "ts": 1},
+            {"sample_id": "s1", "stage": "trim", "status": "t", "ts": 2},
+            {"sample_id": "s2", "stage": "qCheck", "status": "failed", "ts": 1},
+        ])
+        run_once(1)
+        assert seen[1]["s1"] == (2, "trim", "t", False)
+        assert seen[1]["s2"] == (1, "qCheck", "failed", True)
+
+        _write_events(inbox, "b2.json", [
+            {"sample_id": "s1", "stage": "align", "status": "a", "ts": 3},
+        ])
+        run_once(2)
+        # n_events continues from persisted state: 2 + 1 = 3
+        assert seen[2]["s1"] == (3, "align", "a", False)
+        assert "s2" not in seen[2]  # no new events → no emission
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
