@@ -112,6 +112,32 @@ def alerts_frame(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a hash-bucketed (and optionally sorted) table — the
+    physical layout that makes repeated joins/aggregations on
+    ``bucket_cols`` shuffle-free: two tables bucketed the same way
+    sort-merge-join with zero Exchange, and groupBy on the bucket key
+    skips its shuffle. This is the engine's answer to the reference's
+    coordinate-sorted BAM convention (tools.py:247-248): pay the
+    partitioning once at write, reuse it every read.
+
+    Bucketing requires the table catalog (``saveAsTable``); pass
+    ``path`` for an external table location."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def _overwrite_parquet(df: DataFrame, path: str) -> None:
     """Safe overwrite for read-modify-write cycles: stage to a temp
     location first (Spark can't overwrite its own input in place)."""

@@ -132,6 +132,33 @@ def interval_join_binned(
     return joined.drop("__bin")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    spread_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for a hot-keyed fact side: fact rows get a
+    deterministic salt in [0, n_salts) (hash of ``spread_cols``, all
+    columns by default), the dim side is exploded across every salt,
+    and the join key becomes (key…, salt) — so a single degenerate key
+    (one chromosome holding half the genome's reads; one user with
+    half the events) spreads over n_salts reducers instead of melting
+    one.
+
+    AQE's skew-join split handles moderate skew without help; reach for
+    this when one key exceeds what a single split can hold, and keep
+    ``dim`` small — it is replicated n_salts times. Result is identical
+    to the plain join (salt never changes match semantics)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    spread = spread_cols or [c for c in fact.columns]
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(*spread), F.lit(n_salts)).cast("int"))
+    d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return f.join(d, on=keys + ["__salt"], how=how).drop("__salt")
+
+
 def interval_count_binned(
     points: DataFrame,
     intervals: DataFrame,

@@ -1,10 +1,12 @@
 """Window-shaped computations (SURVEY.md §2.5/2.6) and the peak-call
 composite operator (§2.4 `peak_call`, reference tools.py:555-622).
 
-Scale notes: every window here is partitioned by a real key (chrom /
-user) — never ``Window.partitionBy()`` over the whole table, which
-serializes through one task. Grand totals are computed as 1-row
-aggregates and broadcast back instead.
+Scale notes: windows over fact tables are partitioned by a real key
+(chrom / user) — an unpartitioned window serializes through one task.
+The one sanctioned exception is a grand-total ratio over an *already
+aggregated* input of bounded cardinality (see density_over_total),
+where single-tasking a few thousand rows beats rescanning the fact
+table for a scalar.
 """
 
 from __future__ import annotations
@@ -27,6 +29,35 @@ def density_over_total(df: DataFrame, freq_col: str, out_col: str = "density") -
     aggregation first, or persist them, before calling this."""
     w = Window.partitionBy()
     return df.withColumn(out_col, F.col(freq_col) / F.sum(freq_col).over(w))
+
+
+def session_windows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation: events within ``gap`` of the
+    previous event extend the session; a silence strictly greater than
+    ``gap`` closes it (Spark's F.session_window merges windows that
+    overlap OR touch — an exactly-gap-spaced event still merges). Works
+    identically on batch and streaming inputs; on a stream add
+    ``withWatermark`` first so closed sessions finalize. Shuffle is
+    keyed by (key, merged session) — no global ordering anywhere."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
 
 
 def chunk_batches(df: DataFrame, order_col: str, chunk_size: int = 101) -> DataFrame:

@@ -941,3 +941,54 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q(
+    "session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the events stream (designed §2.9 extension;
+    F.session_window merge semantics — only a silence strictly longer
+    than 30 min closes the session; exactly-gap-spaced events merge).
+    The oracle is the classic gaps-and-islands rewrite; the Spark side
+    shuffles once on (user, merged-session), no global sort."""
+    e = _t(spark, sf_dir, "events")
+    return win.session_windows(e, "user_id", "ts", "30 minutes", "value")
+
+
+@q(
+    "salted_hot_key_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join (ops.joins.salted_join): the fact
+    side is salted deterministically, the dim side exploded across
+    salts, the join keyed on (key, salt) — one degenerate hot key
+    spreads over n_salts reducers. Result provably identical to the
+    plain join (the oracle IS the plain join)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = jn.salted_join(o, c, on="c_custkey", n_salts=8, spread_cols=["o_orderkey"])
+    return j.groupBy("c_mktsegment").agg(F.count("*").alias("n"))

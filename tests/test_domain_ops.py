@@ -141,6 +141,58 @@ def test_pair_key_common_prefix(spark):
     assert got[2] == ""
 
 
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 100), (3, 200)], "k int, v int"
+    )  # key 1 is the hot key
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, name string")
+    plain = sorted(map(tuple, fact.join(dim, "k").select("k", "v", "name").collect()))
+    salted = sorted(
+        map(tuple, jn.salted_join(fact, dim, "k", n_salts=4).select("k", "v", "name").collect())
+    )
+    assert salted == plain and len(plain) == 41  # 40 hot-key + 1; key 3/4 unmatched
+
+
+def test_session_windows_gap_semantics(spark):
+    rows = [
+        ("u1", "2026-01-01 10:00:00", 1.0),
+        ("u1", "2026-01-01 10:29:59", 2.0),   # diff < gap → same session
+        ("u1", "2026-01-01 10:59:59", 4.0),   # diff == gap exactly → still merged
+        ("u1", "2026-01-01 11:30:00", 16.0),  # diff > gap → NEW session
+        ("u2", "2026-01-01 10:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sorted(
+        (r.user_id, r.n, r.total_value)
+        for r in win.session_windows(df, "user_id", "ts", "30 minutes").collect()
+    )
+    assert out == [("u1", 1, 16.0), ("u1", 3, 7.0), ("u2", 1, 8.0)]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from seqdatapipeline_spark.io.sinks import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    write_bucketed(a, "t_bkt_a", ["id"], n_buckets=4, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", ["id"], n_buckets=4, path=str(tmp_path / "b"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: the sort-merge join needs no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
 def test_gaps_and_islands_merge(spark):
     df = spark.createDataFrame(
         [("c", 1), ("c", 2), ("c", 3), ("c", 10), ("c", 11), ("d", 5)],
