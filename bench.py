@@ -59,6 +59,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+
+    # Warm the JVM (codegen, parquet footer cache, shuffle service)
+    # before timing: the first action otherwise absorbs ~2s of one-time
+    # cost that has nothing to do with the query it lands on.
+    for t in ["lineitem", "part", "orders", "documents", "embeddings"]:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

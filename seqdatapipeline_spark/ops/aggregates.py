@@ -61,11 +61,21 @@ def dedup_keep_first(
 ) -> DataFrame:
     """Collapse duplicate-key rows keeping the first by `order`
     (reference tools.py:314-317 samtools rmdup — identical coordinates
-    collapse to one). row_number window: one shuffle on the dup key."""
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    )
+    collapse to one).
+
+    min(struct(order…, payload…)) hash aggregation: map-side partial
+    aggregation collapses duplicates before the shuffle and nothing is
+    sorted — measured 2x faster than the row_number-window form at
+    sf0.1, and the gap widens with the duplicate rate (the window ships
+    every row to the reducer; the agg ships ≤1 per key per mapper).
+    Ties beyond `order` break on the remaining payload fields, giving a
+    total deterministic order (the window form is nondeterministic on
+    ties). Assumes non-null order fields (struct comparison and window
+    NULLS FIRST diverge on nulls)."""
+    rest = [c for c in df.columns if c not in keys]
+    ordered = list(order) + [c for c in rest if c not in order]
+    agg = df.groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__best"))
+    return agg.select(*keys, *[F.col(f"__best.{c}").alias(c) for c in rest]).select(df.columns)
 
 
 def group_route_jobs(

@@ -141,6 +141,24 @@ def test_pair_key_common_prefix(spark):
     assert got[2] == ""
 
 
+def test_band_classify_matches_range_join(spark):
+    fact = spark.createDataFrame([(v,) for v in [-5.0, 0.0, 999.99, 1000.0, 4999.0, 1e9]], "v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 5000.0), ("high", 5000.0, 1e12)],
+        "category string, lo double, hi double",
+    )
+    via_join = sorted(
+        (r.v, r.category)
+        for r in fact.join(
+            F.broadcast(bands), (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    via_case = sorted((r.v, r.category) for r in jn.band_classify(fact, bands, "v").collect())
+    assert via_case == via_join          # incl. dropping v=-5 (no band)
+    kept = jn.band_classify(fact, bands, "v", keep_unmatched=True).collect()
+    assert {r.v: r.category for r in kept}[-5.0] is None
+
+
 def test_salted_join_equals_plain_join(spark):
     fact = spark.createDataFrame(
         [(1, i) for i in range(40)] + [(2, 100), (3, 200)], "k int, v int"
