@@ -1,0 +1,123 @@
+"""Property-based spot checks (SURVEY.md §5 item 3, hypothesis):
+invariants that hold for arbitrary inputs, not just the fixture rows.
+Example counts are small — every example runs Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from seqdatapipeline_spark.ops import aggregates as agg
+from seqdatapipeline_spark.ops import joins as jn
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(tlens=st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_histogram_density_sums_to_one(spark, tlens):
+    df = spark.createDataFrame([(t,) for t in tlens], "tlen long")
+    rows = agg.fragment_length_histogram(df, "tlen").collect()
+    assert abs(sum(r.density for r in rows) - 1.0) < 1e-9
+    assert sum(r.freq for r in rows) == len(tlens)
+    assert all(r.fLength >= 0 for r in rows)  # abs() invariant
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=5),   # order field
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_keep_first_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    once = agg.dedup_keep_first(df, ["k"], ["o", "v"])
+    got = sorted(map(tuple, once.collect()))
+    # one row per key, and it is the lexicographic minimum of (o, v)
+    expected = {}
+    for k, o, v in rows:
+        if k not in expected or (o, v) < expected[k]:
+            expected[k] = (o, v)
+    assert got == sorted((k, o, v) for k, (o, v) in expected.items())
+    # idempotent
+    twice = agg.dedup_keep_first(once, ["k"], ["o", "v"])
+    assert sorted(map(tuple, twice.collect())) == got
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=50),
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=300), st.integers(min_value=0, max_value=120)),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_size=st.sampled_from([3, 10, 64, 500]),
+)
+@settings(**SETTINGS)
+def test_interval_count_rewrite_equals_join_count(spark, points, intervals, bin_size):
+    """The interior+edge count rewrite must equal materialize-pairs-
+    then-count for arbitrary points, intervals, and bin sizes."""
+    pts = spark.createDataFrame([("c", p) for p in points], "rname string, pos long")
+    ivl = spark.createDataFrame(
+        [("c", f"g{i}", s, s + w) for i, (s, w) in enumerate(intervals)],
+        "chrom string, gid string, start long, end long",
+    )
+    expected = sorted(
+        (r.gid, r.n)
+        for r in jn.interval_join_binned(pts, ivl, bin_size=1000)
+        .groupBy("gid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = sorted(
+        (r.gid, r.n)
+        for r in jn.interval_count_binned(pts, ivl, ["gid"], bin_size=bin_size).collect()
+    )
+    assert got == expected, (bin_size, got, expected)
+
+
+@given(
+    n_salts=st.sampled_from([1, 3, 8]),
+    fact=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), st.integers(min_value=0, max_value=99)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_salted_join_invariant_to_salt_count(spark, n_salts, fact):
+    f = spark.createDataFrame(fact, "k long, v long") if fact else spark.createDataFrame([], "k long, v long")
+    d = spark.createDataFrame([(0, "a"), (2, "b"), (4, "c")], "k long, name string")
+    plain = sorted(map(tuple, f.join(d, "k").select("k", "v", "name").collect()))
+    salted = sorted(
+        map(tuple, jn.salted_join(f, d, "k", n_salts=n_salts).select("k", "v", "name").collect())
+    )
+    assert salted == plain
+
+
+@given(
+    ids=st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=12, unique=True)
+)
+@settings(**SETTINGS)
+def test_pe_mate_join_symmetric(spark, ids):
+    """Joined key set is invariant to side order (reference mate-swap,
+    tools.py:757-764)."""
+    r1 = spark.createDataFrame([(i, 1, "A", "I") for i in ids[: len(ids) // 2 + 1]],
+                               "read_id string, mate int, sequence string, quality string")
+    r2 = spark.createDataFrame([(i, 2, "T", "I") for i in ids[len(ids) // 3 :]],
+                               "read_id string, mate int, sequence string, quality string")
+    k12 = {r.read_id for r in jn.pe_mate_join(r1, r2).collect()}
+    k21 = {r.read_id for r in jn.pe_mate_join(r2, r1).collect()}
+    assert k12 == k21
