@@ -52,32 +52,47 @@ def kmeans_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic k-means-lite coarse quantizer for IVF: seeds are
-    the k lowest-id vectors, then `iters` Lloyd rounds entirely in
-    DataFrame ops — broadcast centroids → best-cell assignment →
-    per-dimension mean. Returns (cell, centroid).
+    the k lowest-id vectors, then `iters` Lloyd rounds — broadcast
+    centroids → best-cell assignment → per-dimension mean. Returns a
+    (cell, centroid) DataFrame backed by a local relation.
 
-    Scale: each round is one corpus scan + a k×dim-sized shuffle; the
-    centroid table is always broadcastable (k ≈ √n). At real scale,
-    checkpoint between rounds to keep lineage flat, and train on a
-    sample — Lloyd on a 1% sample converges to near-identical cells."""
+    The centroid *model* (k rows × dim doubles, k ≈ √n — kilobytes) is
+    materialized to the driver after every round, exactly as MLlib's
+    KMeans does with treeAggregate: each Lloyd round is then one scan
+    of the cached projection instead of a lineage that re-derives all
+    prior rounds, and the *serving* plan downstream of training is a
+    flat local-relation broadcast, not an 8-join DAG. This is a
+    model-sized collect, never a data collect. At real scale, train on
+    a ~1% sample — Lloyd on a sample converges to near-identical
+    cells."""
+    spark = corpus.sparkSession
     v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-    w = Window.orderBy(id_col)
-    cents = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select((F.row_number().over(w) - 1).alias("cell"), F.col("__v").alias("centroid"))
-    )
+    if iters > 0:
+        v = v.cache()
+    schema = "cell int, centroid array<double>"
+    seed_rows = v.orderBy(id_col).limit(k).collect()
+    cents = [(i, list(r["__v"])) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
-        assigned = assign_best_cell(v, cents, vec_expr="__v", id_col=id_col)
-        per_dim = assigned.select(
-            "cell", F.posexplode("__v").alias("dim", "x")
-        ).groupBy("cell", "dim").agg(F.avg("x").alias("mu"))
-        cents = per_dim.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
-            ).alias("centroid")
+        cdf = spark.createDataFrame(cents, schema)
+        assigned = assign_best_cell(v, cdf, vec_expr="__v", id_col=id_col)
+        new_rows = (
+            assigned.select("cell", F.posexplode("__v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+                ).alias("centroid")
+            )
+            .collect()
         )
-    return cents
+        refreshed = {r["cell"]: list(r["centroid"]) for r in new_rows}
+        # A cell that lost every member keeps its previous centroid.
+        cents = [(c, refreshed.get(c, vec)) for c, vec in cents]
+    if iters > 0:
+        v.unpersist()
+    return spark.createDataFrame(cents, schema)
 
 
 def assign_best_cell(

@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of
+the contract at 100 TB, not just the result. A lookup join that
+silently degrades from BroadcastHashJoin to SortMergeJoin, or an
+interval join that falls back to BroadcastNestedLoopJoin, is a
+correctness-of-scale bug even when the rows still match.
+
+Each test builds the production query from `__spark_entry__.queries()`
+and asserts on `executedPlan` (post-AQE-prepare physical plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_contact_lookup_is_broadcast(spark, sf_dir, queries):
+    """Dim lookup must broadcast — the fact side never shuffles
+    (VERDICT r1 item 4: 'verify the contact join plan shows
+    BroadcastHashJoin, not SortMergeJoin')."""
+    plan = _plan(queries["contact_lookup_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gene_read_count_is_broadcast_no_bnlj(spark, sf_dir, queries):
+    """The flagship range join rides a broadcast, and the range
+    predicate must not demote it to a nested-loop join."""
+    plan = _plan(queries["gene_read_count"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_count_has_no_pair_explosion(spark, sf_dir, queries):
+    """The binned interval-count rewrite must stay an equi-join —
+    never BNLJ/cartesian over points x intervals."""
+    plan = _plan(queries["feature_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_classify_folds_dim_into_codegen(spark, sf_dir, queries):
+    """metrics_interval_join folds the band dim into a CASE chain: no
+    join operator of any kind against the band table."""
+    plan = _plan(queries["metrics_interval_join"](spark, sf_dir))
+    assert "NestedLoopJoin" not in plan
+    assert "CASE WHEN" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, queries):
+    """Row filters must reach the parquet reader (PushedFilters), and
+    the scan must prune to the projected columns, not read them all."""
+    plan = _plan(queries["filter_tlen_range"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+    # Column pruning: a projection query must scan only its columns.
+    proj_plan = _plan(queries["project_tlen"](spark, sf_dir))
+    read_schema = [l for l in proj_plan.splitlines() if "ReadSchema" in l]
+    lineitem_cols = 16
+    assert read_schema and read_schema[0].count(":") < lineitem_cols
+
+
+def test_dedup_lsh_is_single_scan_aggregation(spark, sf_dir, queries):
+    """MinHash LSH pair generation is one grouped pass over signatures:
+    no self-join (which would re-derive the signature pipeline twice)
+    and no cross product."""
+    plan = _plan(queries["dedup_minhash_lsh"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_serving_plan_is_flat(spark, sf_dir, queries):
+    """IVF ANN: training materializes the centroid model, so the
+    serving plan reads the corpus once and joins per-query probes on
+    cell id — not an unrolled multi-round Lloyd DAG."""
+    plan = _plan(queries["ann_ivf_topk"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_exact_dedup_has_partial_aggregation(spark, sf_dir, queries):
+    """Hash-groupBy dedup must partial-aggregate map-side (two
+    HashAggregate levels around one shuffle)."""
+    plan = _plan(queries["dedup_exact"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_covers_scalar_ops(spark, sf_dir, queries):
+    """Scalar/filter operators run inside WholeStageCodegen, and no
+    operator in the scalar layer falls back to a Python-UDF
+    BatchEvalPython stage. Higher-order-function expressions (lambda
+    filter/transform in the textstats pass) are JVM-interpreted rather
+    than codegen'd by Catalyst — for those only the no-Python property
+    is asserted."""
+    for name in ("filter_not_chrm", "project_tlen"):
+        plan = _plan(queries[name](spark, sf_dir))
+        # '*(n) ' prefixes mark WholeStageCodegen stages in toString().
+        assert "*(1)" in plan or "WholeStageCodegen" in plan, name
+    for name in ("filter_not_chrm", "project_tlen", "text_quality_score", "token_count"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
