@@ -40,8 +40,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    # Mirrors extensions.dedup.minhash_signature: K-M double hashing,
+    # mh_j = min((h1 + j*h2) % 2^56) over the two 56-bit md5 halves.
+    mod = 1 << 56
     mh_cols = ",\n           ".join(
-        f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(num_hashes)
+        f"min((h1 + {j} * h2) % {mod}) AS mh{j}" for j in range(num_hashes)
     )
     n_bands = num_hashes // band_size
     band_selects = "\n      UNION ALL\n".join(
@@ -52,10 +55,16 @@ def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
     )
     return f"""
     WITH sh AS ({_SHINGLES3}),
+    hh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
            {mh_cols}
-      FROM sh GROUP BY doc_id
+      FROM hh GROUP BY doc_id
     ),
     bands AS (
 {band_selects}

@@ -176,3 +176,19 @@ def test_windowed_event_counts_semantics(spark):
         for r in watch.windowed_event_counts(df, window_len="10 minutes").collect()
     }
     assert out == {(0, 2, 3.0), (10, 1, 4.0)}
+
+
+def test_brute_topk_strategies_agree(spark, sf_dir):
+    """The jvm and arrow physical paths of brute_topk_cosine must
+    return identical rows (same rounding, same tie-break)."""
+    from seqdatapipeline_spark.extensions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    a = sim.brute_topk_cosine(queries, emb, k=5, strategy="jvm")
+    b = sim.brute_topk_cosine(queries, emb, k=5, strategy="arrow")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
