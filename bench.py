@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_topk_cosine",
     "text_quality_score",
     "token_count",
+    "vocab_top_terms",
+    "pack_sequences",
 ]
 
 

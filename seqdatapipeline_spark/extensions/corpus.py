@@ -1,0 +1,126 @@
+"""Corpus-level operators for pretraining-data preparation: vocabulary
+statistics, sequence packing, and deterministic stratified sampling.
+
+Scale notes per operator are on the functions; the common thread is
+that each is a single map-side-combinable shuffle (or none at all) —
+no driver-side loops, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..session import fan_out
+
+
+def vocab_top_terms(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Corpus vocabulary pass: global token frequencies, top-N by
+    (count desc, token asc). One explode + one groupBy with map-side
+    partial aggregation — the wordcount shape that scales linearly —
+    then a top-N. The final orderBy+limit only ever sees |vocab| rows
+    (bounded by language, not corpus size), and Spark executes
+    limit-after-sort as a TakeOrdered, so no global sort of the corpus
+    happens."""
+    tok = fan_out(docs).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_n)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed
+    token-budget bins (training context windows), the packing pass
+    that turns a deduped corpus into model batches.
+
+    Documents are deterministically sharded by hash of id, then packed
+    greedily in id order within each shard: bin boundary = the running
+    token total crossing a multiple of ``budget``. The running sum is
+    a window cumsum *partitioned by shard* — at 100 TB the window
+    never sees more than 1/n_shards of the data, and shards pack
+    independently (no global sequential scan, which is what makes
+    naive greedy packing unscalable). Oversized documents (> budget)
+    get a bin of their own, as in practice they are truncated
+    downstream.
+
+    Output: (doc_id, n_tokens, shard, bin_id, bin_fill) — bin_id is
+    globally unique via (shard, per-shard bin index)."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # md5-derived shard (not xxhash64): engine-portable, so the oracle
+    # can replicate the exact packing.
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+    d = fan_out(docs, id_col).select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    # Greedy rule: a doc opens a new bin when the cumulative total
+    # before it, floored to budget multiples, differs from after it.
+    cum = F.sum(F.least(F.col("n_tokens"), F.lit(budget))).over(w)
+    binned = d.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor((cum - F.least(F.col("n_tokens"), F.lit(budget))) / budget).alias("__bin_in_shard"),
+        cum.alias("__cum"),
+    )
+    out = binned.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        (F.col("shard").cast("long") * F.lit(1_000_000_000) + F.col("__bin_in_shard")).alias(
+            "bin_id"
+        ),
+    )
+    fill = Window.partitionBy("bin_id")
+    return out.withColumn(
+        "bin_fill", F.sum(F.least(F.col("n_tokens"), F.lit(budget))).over(fill)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing pass that
+    up/down-weights sources when assembling a training mix.
+
+    Keep a row iff ``md5(id) mod precision < rate * precision`` for
+    its stratum's rate. Hash-gated sampling is reproducible across
+    runs, engines, and partitionings (unlike `df.sample`, which
+    depends on partition layout), needs no shuffle at all — it is a
+    pure filter that pushes into the scan — and composes: re-sampling
+    with a lower rate yields a subset of the higher-rate sample.
+    Rates fold into a CASE chain like band_classify (dim-sized by
+    construction)."""
+    gate = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10).cast(
+        "long"
+    ) % F.lit(precision)
+    rate_expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        thr = F.lit(int(rate * precision))
+        rate_expr = F.when(cond, thr) if rate_expr is None else rate_expr.when(cond, thr)
+    rate_expr = (
+        rate_expr.otherwise(F.lit(int(default_rate * precision)))
+        if rate_expr is not None
+        else F.lit(int(default_rate * precision))
+    )
+    return docs.filter(gate < rate_expr)

@@ -378,3 +378,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+# ---- corpus preparation (vocab / packing / mixing) ----
+
+from .extensions import corpus as cp  # noqa: E402
+
+
+@q(
+    "vocab_top_terms",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary pass: global token top-N. Wordcount shape —
+    map-side combine, then TakeOrdered over the (language-bounded)
+    vocab, never a global sort of the corpus."""
+    return cp.vocab_top_terms(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+@q(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(sum(least(n_tokens, 512)) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(shard AS BIGINT) * 1000000000
+               + CAST(floor((cum - least(n_tokens, 512)) * 1.0 / 512) AS BIGINT) AS bin_id
+      FROM c
+    )
+    SELECT doc_id, n_tokens, shard, bin_id,
+           CAST(sum(least(n_tokens, 512)) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_fill
+    FROM b
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed token budgets (training
+    context windows). Sharded-greedy: a hash shard per doc, window
+    cumsum within shard — no global sequential pass, each shard packs
+    independently at 100 TB."""
+    return cp.pack_sequences(_t(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+@q(
+    "stratified_sample",
+    """
+    SELECT * FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000000 <
+          CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000 ELSE 100000 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling — the data-mixing
+    pass. Pure filter (no shuffle, pushes to the scan), reproducible
+    across runs/engines/partitionings, and monotone: lowering a rate
+    yields a subset of the higher-rate sample."""
+    return cp.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        rates={"en": 0.5, "de": 1.0},
+        default_rate=0.1,
+    )

@@ -192,3 +192,62 @@ def test_brute_topk_strategies_agree(spark, sf_dir):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+def test_pack_sequences_partitions_docs_exactly_once(spark, sf_dir):
+    """Packing covers every doc exactly once, bins are id-contiguous
+    within a shard, and fills are positive and bounded by
+    budget + max_doc (concat-and-chunk semantics)."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cp.pack_sequences(docs, budget=128, n_shards=4).collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    budget = 128
+    max_doc = max(min(r["n_tokens"], budget) for r in out)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rows in by_bin.values():
+        fill = rows[0]["bin_fill"]
+        assert fill == sum(min(r["n_tokens"], budget) for r in rows)
+        assert 0 < fill < budget + max_doc
+    # bins within a shard cover contiguous id ranges
+    for rows in by_bin.values():
+        shard_rows = sorted(r["doc_id"] for r in rows)
+        others = [
+            r["doc_id"]
+            for r in out
+            if r["shard"] == rows[0]["shard"] and r["bin_id"] != rows[0]["bin_id"]
+        ]
+        assert not any(shard_rows[0] < o < shard_rows[-1] for o in others)
+
+
+def test_stratified_sample_is_monotone_and_deterministic(spark, sf_dir):
+    """Lowering a stratum's rate yields a subset; equal calls yield
+    identical rows (hash-gated, not partition-dependent)."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = {r["doc_id"] for r in cp.stratified_sample(docs, "lang", {"en": 0.2}).collect()}
+    hi = {r["doc_id"] for r in cp.stratified_sample(docs, "lang", {"en": 0.6}).collect()}
+    again = {r["doc_id"] for r in cp.stratified_sample(docs, "lang", {"en": 0.6}).collect()}
+    assert lo <= hi
+    assert hi == again
+    langs = {r["lang"] for r in cp.stratified_sample(docs, "lang", {"en": 1.0}).collect()}
+    assert langs == {"en"}  # default_rate=0 drops other strata
+
+
+def test_vocab_top_terms_matches_local_counter(spark, sf_dir):
+    from collections import Counter
+
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["token"], r["n"]) for r in cp.vocab_top_terms(docs, top_n=10).collect()]
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(r["text"].split(" "))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
