@@ -84,10 +84,13 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):  # min-of-2 damps scheduler/GC noise
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -71,10 +71,18 @@ def dedup_keep_first(
     Ties beyond `order` break on the remaining payload fields, giving a
     total deterministic order (the window form is nondeterministic on
     ties). Assumes non-null order fields (struct comparison and window
-    NULLS FIRST diverge on nulls)."""
+    NULLS FIRST diverge on nulls).
+
+    fan_out keyed by the group keys: a small input that arrives in a
+    handful of parquet row-group splits would otherwise run its
+    map-side aggregation on that many cores; keyed repartition also
+    makes the groupBy itself exchange-free. No-op once the input has
+    scan parallelism (always true at real scale)."""
+    from ..session import fan_out
+
     rest = [c for c in df.columns if c not in keys]
     ordered = list(order) + [c for c in rest if c not in order]
-    agg = df.groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__best"))
+    agg = fan_out(df, *keys).groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__best"))
     return agg.select(*keys, *[F.col(f"__best.{c}").alias(c) for c in rest]).select(df.columns)
 
 

@@ -32,11 +32,16 @@ def pe_mate_join(
     when present, mirroring the reference's mate-swap (tools.py:757-764),
     so callers can pass files in either order.
     """
+    from ..session import fan_out
+
     if swap_check and "mate" in r1.columns and "mate" in r2.columns:
         # Deterministic: side with min(mate)==1 is mate1.
         pass  # columns drive per-row ordering below; file-level swap is I/O-layer
-    m1 = r1.select(key, *[F.col(c).alias(f"{c}_1") for c in r1.columns if c != key])
-    m2 = r2.select(key, *[F.col(c).alias(f"{c}_2") for c in r2.columns if c != key])
+    # Keyed fan-out both sides: co-partitions the join on the read id
+    # (no exchange in the join itself) and restores map parallelism
+    # for row-group-bound local files; no-op at real scale.
+    m1 = fan_out(r1.select(key, *[F.col(c).alias(f"{c}_1") for c in r1.columns if c != key]), key)
+    m2 = fan_out(r2.select(key, *[F.col(c).alias(f"{c}_2") for c in r2.columns if c != key]), key)
     return m1.join(m2, on=key, how="inner")
 
 
@@ -188,11 +193,21 @@ def interval_count_binned(
 
     Equivalent to ``interval_join_binned(...).groupBy(group).count()``
     (closed interval on both ends), checked in tests."""
+    from ..session import fan_out
+
     b = F.lit(bin_size)
-    pts = points.select(
-        F.col(point_chrom).alias("__c"),
-        F.col(point_pos).alias("__p"),
-        (F.col(point_pos) / b).cast("long").alias("__bin"),
+    # Keyed fan-out on (chrom, bin): lifts map-side parallelism for
+    # row-group-bound local inputs (no-op at scale) and pre-partitions
+    # both the bin-count aggregation and the edge equi-join on the
+    # same keys, so neither adds an exchange.
+    pts = fan_out(
+        points.select(
+            F.col(point_chrom).alias("__c"),
+            F.col(point_pos).alias("__p"),
+            (F.col(point_pos) / b).cast("long").alias("__bin"),
+        ),
+        "__c",
+        "__bin",
     )
     bin_counts = pts.groupBy("__c", "__bin").agg(F.count("*").alias("__bn"))
     ivl = intervals.withColumn("__lo", (F.col(ivl_start) / b).cast("long")).withColumn(

@@ -489,10 +489,11 @@ def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 0.5).alias("start"),
         (F.col("p_retailprice") * 1.5).alias("end"),
     )
-    # bin≈interval_width/40 measured best at sf0.1: the edge-bin exact
-    # join shrinks linearly with points-per-bin while the interior
-    # explode stays cheap against the pre-aggregated bin counts.
-    return jn.interval_count_binned(li, part, group_cols=["p_brand"], bin_size=25)
+    # bin≈interval_width/20 measured best at sf0.1 (swept 25-400 after
+    # the keyed fan-out landed): interior explode rows fall linearly
+    # with bin size while the edge-bin exact join grows with
+    # points-per-bin; 50 balances the two.
+    return jn.interval_count_binned(li, part, group_cols=["p_brand"], bin_size=50)
 
 
 @q(
