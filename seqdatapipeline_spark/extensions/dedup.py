@@ -87,20 +87,28 @@ def minhash_signature(
     + one groupBy: the signature build is a single shuffle on doc id,
     and hex-digit arithmetic keeps both engines bit-identical (no
     murmur seed dependence)."""
-    h = F.md5(F.col("shingle"))
-    sh = fan_out(docs, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
-    ).select(
-        F.col(id_col),
-        F.conv(F.substring(h, 1, 14), 16, 10).cast("long").alias("__h1"),
-        F.conv(F.substring(h, 15, 14), 16, 10).cast("long").alias("__h2"),
+    # Hash pairs per shingle, then each permutation's min — all inside
+    # array expressions on the doc row. The signature build is a pure
+    # narrow projection: no explode, no groupBy, ZERO shuffles (the
+    # former explode+groupBy form shuffled |shingles| rows per doc).
+    hp = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 15, 14), 16, 10).cast("long").alias("h2"),
+        ),
     )
-    aggs = [
-        F.min((F.col("__h1") + F.lit(j) * F.col("__h2")) % F.lit(MINHASH_MOD)).alias(f"mh{j}")
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__hp"), lambda h: (h["h1"] + F.lit(j) * h["h2"]) % F.lit(MINHASH_MOD)
+            )
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    # fan_out hash-partitioned by id, so this groupBy adds no shuffle.
-    return sh.groupBy(id_col).agg(*aggs)
+    return fan_out(docs, id_col).select(F.col(id_col), hp.alias("__hp")).select(
+        F.col(id_col), *mins
+    )
 
 
 def lsh_candidate_pairs(
