@@ -53,9 +53,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf) and truncate to
-    microseconds — exactly what DuckDB's reader does — so both engines
-    see identical timestamp values."""
+    reader rejects. Read nanos as long (legacy conf, set here for
+    sessions not built by get_spark) and truncate to microseconds —
+    exactly what DuckDB's reader does — so both engines see identical
+    timestamp values."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql.types import LongType

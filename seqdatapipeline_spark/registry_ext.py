@@ -126,10 +126,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLES3}),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    eligible AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+    ),
+    esh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN eligible USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM esh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM esh a JOIN esh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT s.doc_a, s.doc_b, s.shared,
@@ -141,10 +145,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs generated by an
-    inverted-index self-join on shingles — never all-pairs."""
+    """n-gram Jaccard over candidate pairs from an inverted index with
+    a DF-64 stop-gram cutoff — never all-pairs, and no posting-list
+    blowup from boilerplate shingles (the production cap; see
+    extensions.dedup.ngram_jaccard_pairs)."""
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.05
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.05, max_df=64
     )
 
 

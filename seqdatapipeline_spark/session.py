@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scan: pushdown + pruning (on by default; pinned for clarity).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) columns (events.ts) read as long instead of
+        # erroring; registry._events rebuilds a proper timestamp at
+        # micros precision, matching DuckDB's truncating reader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Conservative auto-broadcast; known dim tables get explicit
         # broadcast() hints instead (a 64 MB global limit risks driver
         # OOM when a "small" side grows at 100x scale).
