@@ -163,26 +163,70 @@ def kmeans_cells(
 def assign_best_cell(
     vectors: DataFrame, centroids: DataFrame, vec_expr: str, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Nearest (max-cosine) cell per vector via broadcast centroids +
-    a single max(struct) aggregation keyed by id — deterministic
-    tie-break on cell id, no window shuffle, and the vector rides
-    inside the struct so the grouping key stays scalar."""
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "__cc", cosine(F.col(vec_expr), F.col("centroid"))
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("__cc"),
-                (-F.col("cell")).alias("__negcell"),
-                F.col(vec_expr).alias("__vv"),
+    """Nearest (max-cosine) cell per vector, hybrid like
+    brute_topk_cosine:
+
+    - few centroids (< ARROW_MIN_QUERIES): broadcast-join + JVM
+      expression fold + max(struct) aggregation — no Python, and the
+      Arrow round-trip would cost more than the fold.
+    - many centroids (k ~ sqrt(n) at real scale): the centroid matrix
+      (k x dim, model-sized) is collected and broadcast, and the
+      corpus streams through an Arrow `mapInPandas` scorer — one
+      normalized matmul per batch with numpy argmax. No shuffle:
+      assignment stays a narrow map over the corpus, the whole-corpus
+      step IVF indexing pays at 100 TB, where BLAS beats per-pair
+      interpreted folds by the vector dimension.
+
+    Ties break on the lower cell id in both paths."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    crows = centroids.select("cell", "centroid").collect()
+    if len(crows) < ARROW_MIN_QUERIES:
+        cdf = F.broadcast(spark.createDataFrame(
+            [(int(r["cell"]), list(r["centroid"])) for r in crows],
+            "cell int, centroid array<double>",
+        ))
+        scored = vectors.join(cdf).withColumn(
+            "__cc", cosine(F.col(vec_expr), F.col("centroid"))
+        )
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("__cc"),
+                    (-F.col("cell")).alias("__negcell"),
+                    F.col(vec_expr).alias("__vv"),
+                )
+            ).alias("__b")
+        )
+        return best.select(
+            F.col(id_col),
+            F.col("__b.__vv").alias(vec_expr),
+            (-F.col("__b.__negcell")).cast("int").alias("cell"),
+        )
+    cells = np.asarray([r["cell"] for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    order = np.argsort(cells)  # ascending cell id => argmax tie-break on lower id
+    cells, cm = cells[order], cm[order]
+    bc = spark.sparkContext.broadcast((cells, cm))
+
+    def assign(batches):
+        cell_ids, cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_expr]])
+            norms = np.linalg.norm(vm, axis=1, keepdims=True)
+            scores = (vm / norms) @ cent.T
+            best = cell_ids[np.argmax(scores, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_expr: pdf[vec_expr], "cell": best.astype("int32")}
             )
-        ).alias("__b")
-    )
-    return best.select(
-        F.col(id_col),
-        F.col("__b.__vv").alias(vec_expr),
-        (-F.col("__b.__negcell")).cast("int").alias("cell"),
+
+    return vectors.select(id_col, vec_expr).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_expr} array<double>, cell int"
     )
 
 
