@@ -458,3 +458,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 0.5, "de": 1.0},
         default_rate=0.1,
     )
+
+
+@q(
+    "stream_dedup",
+    "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming dedup run for real through Structured
+    Streaming: file source → dropDuplicates on content hash → memory
+    sink drained with availableNow. Cross-micro-batch state is
+    exercised in tests/test_pipeline_streaming.py; the watermarked
+    bounded-state form is streaming.watch.streaming_dedup(ts_col=...).
+    Output projected to the content hash (which duplicate row survives
+    is batch-arrival-dependent; the surviving hash set is not)."""
+    import uuid as _uuid
+
+    from .streaming import watch as _watch
+
+    doc_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = _watch.streaming_dedup(stream).select("content_hash")
+    name = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    return spark.table(name)

@@ -88,3 +88,30 @@ def windowed_event_counts(
         .groupBy(win, F.col("event_type"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication on content hash — the ingest-time
+    dedup a training-data pipeline runs before anything else touches a
+    document. First occurrence wins; later identical payloads are
+    dropped across micro-batch boundaries (state lives in the
+    checkpoint).
+
+    With ``ts_col``, dedup state is bounded by the watermark
+    (`dropDuplicatesWithinWatermark`): a hash seen longer than
+    `watermark` ago can be emitted again, but state size stays
+    proportional to the watermark window — the only form that survives
+    an unbounded stream. Without it, `dropDuplicates` keeps every hash
+    forever (exact, but state grows with distinct content; use only
+    for bounded backfills)."""
+    keys = ["content_hash"] + (extra_keys or [])
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return hashed.dropDuplicates(keys)

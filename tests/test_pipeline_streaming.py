@@ -91,3 +91,45 @@ def test_stateful_status_across_batches(spark):
         assert "s2" not in seen[2]  # no new events → no emission
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_across_batches(spark):
+    """A duplicate payload arriving in a later micro-batch must be
+    dropped: dedup state survives the batch boundary."""
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        schema = "doc_id long, text string"
+        emitted: list[tuple] = []
+
+        def run_once():
+            stream = spark.readStream.schema(schema).json(inbox)
+            out = watch.streaming_dedup(stream)
+
+            def sink(df, epoch):
+                emitted.extend((r.doc_id, r.text) for r in df.collect())
+
+            q = out.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("append").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        _write_events(inbox, "b1.json", [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "alpha beta"},   # in-batch dup
+            {"doc_id": 3, "text": "gamma"},
+        ])
+        run_once()
+        texts = sorted(t for _, t in emitted)
+        assert texts == ["alpha beta", "gamma"]
+
+        _write_events(inbox, "b2.json", [
+            {"doc_id": 4, "text": "alpha beta"},   # cross-batch dup
+            {"doc_id": 5, "text": "delta"},
+        ])
+        run_once()
+        texts = sorted(t for _, t in emitted)
+        assert texts == ["alpha beta", "delta", "gamma"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
