@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -105,3 +106,41 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "media_id",
         F.posexplode(idx).alias("frame_no", "__i"),
     ).drop("__i")
+
+
+def resize_media(df: DataFrame, target_bytes: int = 64, fake: bool = False) -> DataFrame:
+    """Resize/transcode step via Arrow-batched `mapInPandas`. The real
+    resample (PIL thumbnail / ffmpeg scale) is unavailable here —
+    STUB: raises unless `fake=True`, which swaps in deterministic
+    payload truncation so the batch shape, binary output column and
+    metadata update are exercised for real. Output schema mirrors the
+    input media shape plus the new size."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "call resize_media(df, fake=True) for the deterministic stand-in"
+        )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clipped = pdf["payload"].map(
+                lambda p: bytes(p[:target_bytes]) if p is not None else b""
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": clipped,
+                    "n_bytes": clipped.map(len),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    return df.mapInPandas(_resize, schema)

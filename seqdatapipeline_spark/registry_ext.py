@@ -493,3 +493,39 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qh.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_no
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per sampled frame of each media payload
+    (the explode-per-frame shape a video pipeline produces; real frame
+    decode is the stubbed codec step)."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.to_media(d, "doc_id", "text", kind="video")
+    return mm.frame_sample(media, every_n_bytes=64).select(
+        "media_id", F.col("frame_no").cast("long").alias("frame_no")
+    )
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(least(octet_length(encode(text)), 48) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing (deterministic stand-in for the
+    stubbed codec): Arrow batches in, binary payload out, size
+    metadata recomputed."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.to_media(d, "doc_id", "text", kind="image")
+    return mm.resize_media(media, target_bytes=48, fake=True).select("media_id", "n_bytes")

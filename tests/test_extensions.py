@@ -251,3 +251,16 @@ def test_vocab_top_terms_matches_local_counter(spark, sf_dir):
         c.update(r["text"].split(" "))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
+
+
+def test_resize_media_stub_gates_real_codecs(spark, sf_dir):
+    """resize_media must refuse to pretend: the codec-less environment
+    raises unless the deterministic stand-in is requested explicitly,
+    and the fake path truncates payloads with recomputed sizes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = mm.to_media(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        mm.resize_media(media, fake=False).collect()
+    out = mm.resize_media(media, target_bytes=16, fake=True).collect()
+    assert len(out) == 20
+    assert all(r["n_bytes"] <= 16 and len(r["payload"]) == r["n_bytes"] for r in out)
