@@ -1,0 +1,113 @@
+"""Scaling check: run the heavy operators at sf0.1 and at a 10x
+replication of it, and report the runtime ratio per operator.
+
+A scan-bound operator should scale ~linearly (ratio ~= 10 on ample
+cores, less when the small run underutilizes them); anything clearly
+super-linear (pair explosion, degenerate buckets, single-reducer
+windows) shows up as a much larger ratio — the local[32] proxy for
+"would this survive 100 TB".
+
+The 10x data is built once into /tmp/spark-graft-scale10 by unioning
+id-offset copies of the sf0.1 tables (duplicated text/embedding
+payloads deliberately stress the dedup operators with 10-member
+duplicate groups).
+
+Usage: python scripts/scalecheck.py [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from seqdatapipeline_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED = "/tmp/spark-graft-scale10"
+COPIES = 10
+TABLES = {
+    "lineitem": ("l_orderkey", 100_000_000),
+    "part": ("p_partkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "documents": ("doc_id", 100_000_000),
+    "embeddings": ("vec_id", 100_000_000),
+    "events": ("event_id", 100_000_000),
+}
+
+OPS = [
+    "feature_interval_join",
+    "gene_read_count",
+    "dedup_alignments",
+    "fragment_length_histogram",
+    "coverage_bin_count",
+    "pe_mate_join",
+    "peak_call",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "token_count",
+    "vocab_top_terms",
+    "pack_sequences",
+]
+
+
+def build_scaled(spark) -> None:
+    for name, (key, stride) in TABLES.items():
+        out = os.path.join(SCALED, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        copies = [
+            df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(COPIES)
+        ]
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"built {name} x{COPIES}", flush=True)
+
+
+def time_op(fn, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return best
+
+
+def main() -> None:
+    ops = sys.argv[1:] or OPS
+    spark = get_spark(app_name="scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(SCALED, exist_ok=True)
+    build_scaled(spark)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    print(f"{'op':28s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>7s}")
+    worst = 0.0
+    for name in ops:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t1 = time_op(fn, spark, BASE)
+        t10 = time_op(fn, spark, SCALED)
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        worst = max(worst, ratio)
+        print(f"{name:28s} {t1:8.3f} {t10:8.3f} {ratio:6.1f}x", flush=True)
+    print(f"\nworst ratio: {worst:.1f}x (10x data; >> 10 indicates super-linear cost)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,11 +72,18 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
-    if master is not None:
-        builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+    if master is not None or (
+        "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT")
+    ):
         # Local/dev default only; never override an externally-set master.
-        builder = builder.master(f"local[{cpus}]")
+        builder = builder.master(master or f"local[{cpus}]")
+        # In local mode the driver JVM is the whole cluster; Spark's 1g
+        # default heap starves broadcast builds and shuffle buffers long
+        # before the machine does. Only set here — on a real cluster
+        # spark-submit's --driver-memory/--executor-memory govern.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
