@@ -42,6 +42,7 @@ HEADLINE = [
     "token_count",
     "vocab_top_terms",
     "pack_sequences",
+    "corpus_prepare",
 ]
 
 

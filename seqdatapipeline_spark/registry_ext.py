@@ -529,3 +529,72 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = mm.to_media(d, "doc_id", "text", kind="image")
     return mm.resize_media(media, target_bytes=48, fake=True).select("media_id", "n_bytes")
+
+
+@q(
+    "corpus_prepare",
+    """
+    WITH keeps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    surv AS (SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
+    feats AS (
+      SELECT doc_id, text, lang,
+             CAST(length(text) AS BIGINT) AS q_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS q_words,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> lower(w) IN ('the','a','and','of','to','in','is','it'))) AS BIGINT) AS n_stop
+      FROM surv
+    ),
+    qual AS (
+      SELECT doc_id, text, lang FROM feats
+      WHERE round(0.4 * least(q_words / 50.0, 1.0)
+                + 0.4 * least(n_stop / q_words * 1.0 * 5.0, 1.0)
+                + 0.2 * (1.0 - least(n_punct / q_chars * 1.0 * 10.0, 1.0)), 6) >= 0.5
+    ),
+    samp AS (
+      SELECT doc_id, text FROM qual
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000000 <
+            CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 800000 ELSE 500000 END
+    ),
+    d2 AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS INT) AS shard
+      FROM samp
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(sum(least(n_tokens, 512)) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+      FROM d2
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(shard AS BIGINT) * 1000000000 + (cum - least(n_tokens, 512)) // 512 AS bin_id
+      FROM c
+    )
+    SELECT doc_id, n_tokens, shard, bin_id,
+           CAST(sum(least(n_tokens, 512)) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_fill
+    FROM b
+    """,
+)
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composite the
+    extensions exist for, each stage the scale-shape documented on its
+    operator: exact dedup (hash groupBy, first-id wins) → quality
+    filter (scan-bound length arithmetic) → per-language hash-gated
+    mix (pure scan filter) → sharded greedy packing into 512-token
+    bins (per-shard window cumsum). One corpus scan feeds the whole
+    chain; the only shuffles are the dedup groupBy, the keep semi-join,
+    and the per-shard packing window."""
+    from .extensions import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    keeps = dd.exact_dedup_groups(d).select(F.col("keep_id").alias("doc_id"))
+    surv = d.join(keeps, "doc_id", "left_semi")
+    qual = tx.quality_features(surv).filter(F.col("q_score") >= 0.5)
+    samp = cp.stratified_sample(
+        qual, strata_col="lang", rates={"en": 1.0, "de": 0.8}, default_rate=0.5
+    )
+    return cp.pack_sequences(samp.select("doc_id", "text"), budget=512, n_shards=8)
