@@ -121,3 +121,65 @@ def test_pe_mate_join_symmetric(spark, ids):
     k12 = {r.read_id for r in jn.pe_mate_join(r1, r2).collect()}
     k21 = {r.read_id for r in jn.pe_mate_join(r2, r1).collect()}
     assert k12 == k21
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.sampled_from([4, 16, 64]),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_covers_all_docs(spark, docs, budget, n_shards):
+    """Packing is a partition of the corpus for arbitrary texts,
+    budgets, and shard counts, and bin_fill always equals the sum of
+    its members' capped token counts."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = cp.pack_sequences(df, budget=budget, n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(docs)))
+    fills = {}
+    for r in out:
+        fills.setdefault(r["bin_id"], []).append(min(r["n_tokens"], budget))
+    for r in out:
+        assert r["bin_fill"] == sum(fills[r["bin_id"]])
+
+
+@given(
+    rate_lo=st.floats(min_value=0.0, max_value=1.0),
+    rate_hi=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_monotone_for_any_rates(spark, rate_lo, rate_hi):
+    """For ANY pair of rates, the lower-rate sample is a subset of the
+    higher-rate sample (hash-gate composability)."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    if rate_lo > rate_hi:
+        rate_lo, rate_hi = rate_hi, rate_lo
+    df = spark.createDataFrame([(i, "en") for i in range(40)], "doc_id long, lang string")
+    lo = {r["doc_id"] for r in cp.stratified_sample(df, "lang", {"en": rate_lo}).collect()}
+    hi = {r["doc_id"] for r in cp.stratified_sample(df, "lang", {"en": rate_hi}).collect()}
+    assert lo <= hi
+
+
+@given(
+    texts=st.lists(st.text(alphabet="xy z", min_size=0, max_size=30), min_size=1, max_size=15)
+)
+@settings(**SETTINGS)
+def test_exact_dedup_groups_partition_docs(spark, texts):
+    """Group sizes sum to the corpus; keep_id is the minimum id of its
+    content group."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = dd.exact_dedup_groups(df).collect()
+    assert sum(r["n_dups"] for r in rows) == len(texts)
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    assert sorted(r["keep_id"] for r in rows) == sorted(min(v) for v in by_text.values())
