@@ -35,6 +35,7 @@ ALLOW = {
     "feature_interval_join": ("scans=", "interior pre-agg + edge-exact branches of the count rewrite"),
     "fragment_length_histogram": ("global-window", "density window runs over histogram bins, not rows"),
     "metrics_interval_join": ("global-window", "pct window over the per-category aggregate (band-count-sized)"),
+    "peak_call_bh": ("global-window", "BH is a global order statistic over the per-bin aggregate (genome/bin-size bounded)"),
     "density_over_total": ("global-window", "ratio window over the aggregated result"),
     "qc_read_stats": ("global-window", "stats window over per-group aggregates"),
     "chunk_batches": ("global-window", "batch numbering over the routed-group list (group-count-sized)"),

@@ -54,6 +54,9 @@ OPS = [
     "token_count",
     "vocab_top_terms",
     "pack_sequences",
+    "corpus_prepare",
+    "ann_topk_cosine",
+    "dedup_embedding_cosine",
 ]
 
 

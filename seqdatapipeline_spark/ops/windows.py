@@ -147,6 +147,40 @@ def poisson_tail(k: Column, lam: Column) -> Column:
     )
 
 
+def bh_significant(
+    df: DataFrame,
+    pval_col: str = "pval",
+    q: float = 0.05,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR selection — the multiple-testing
+    correction macs2 applies to its Poisson p-values (its reported
+    "q-values"): with m tests ranked by ascending p, the cutoff is the
+    largest p(i) with p(i) <= (i/m)·q, and every test at or below the
+    cutoff is significant.
+
+    Three window passes over the *scored* input (rank, m, cutoff) —
+    global windows, sanctioned here for the same reason as
+    density_over_total: the input is per-bin aggregate rows (bounded
+    by genome/bin-size, millions at worst), not fact rows, and BH is
+    inherently a global order statistic. ``tie_cols`` make the rank
+    deterministic for equal p-values."""
+    ties = [F.col(c) for c in (tie_cols or [])]
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col(pval_col), *ties)
+    ranked = df.withColumn("__rank", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count("*").over(w_all)
+    )
+    keep_p = F.when(
+        F.col(pval_col) * F.col("__m") <= F.col("__rank") * F.lit(q), F.col(pval_col)
+    )
+    with_cut = ranked.withColumn("__cut", F.max(keep_p).over(w_all))
+    return (
+        with_cut.filter(F.col(pval_col) <= F.col("__cut"))
+        .drop("__rank", "__m", "__cut")
+    )
+
+
 def peak_call(
     cov: DataFrame,
     chrom_col: str = "chrom",
@@ -154,6 +188,7 @@ def peak_call(
     count_col: str = "count",
     qval: float = 0.01,
     merge_gap_bins: int = 2,
+    correction: str = "bh",
 ) -> DataFrame:
     """Peak calling over a coverage table — macs2 callpeak semantics
     (reference tools.py:555-622: windowed pileup vs local Poisson
@@ -161,16 +196,21 @@ def peak_call(
     enriched windows merged into peaks).
 
     Pipeline: per-chrom expected rate λ (background) → Poisson tail p
-    per bin → threshold (p < qval; documented simplification of the
-    full BH correction) → gaps-and-islands merge of significant bins.
-    All native expressions + one keyed window; scales as a pair of
-    shuffles on `chrom`.
+    per bin → significance selection → gaps-and-islands merge of
+    significant bins. ``correction='bh'`` (default) applies the
+    Benjamini–Hochberg FDR selection macs2 reports as q-values;
+    ``correction='raw'`` thresholds p < qval directly. All native
+    expressions; the only global stage is BH's order statistic over
+    the (bounded) per-bin aggregate.
     """
     lam = cov.groupBy(chrom_col).agg(F.avg(count_col).alias("__lam"))
     scored = cov.join(F.broadcast(lam), chrom_col).withColumn(
         "pval", poisson_tail(F.col(count_col), F.col("__lam"))
     )
-    sig = scored.filter(F.col("pval") < qval)
+    if correction == "bh":
+        sig = bh_significant(scored, "pval", qval, tie_cols=[chrom_col, bin_col])
+    else:
+        sig = scored.filter(F.col("pval") < qval)
     islands = gaps_and_islands(sig, chrom_col, bin_col, gap=merge_gap_bins)
     return islands.groupBy(chrom_col, "island").agg(
         F.min(bin_col).alias("start_bin"),

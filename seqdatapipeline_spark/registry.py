@@ -995,3 +995,54 @@ def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = jn.salted_join(o, c, on="c_custkey", n_salts=8, spread_cols=["o_orderkey"])
     return j.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@q(
+    "peak_call_bh",
+    """
+    WITH cov AS (
+      SELECT event_type AS chrom, CAST(floor(value / 5) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS count
+      FROM events GROUP BY 1, 2
+    ),
+    lam AS (SELECT chrom, avg(count) AS lam FROM cov GROUP BY 1),
+    scored AS (
+      SELECT c.chrom, c.bin, c.count,
+             round(CASE WHEN c.count <= 0 THEN 1.0 ELSE
+               greatest(0.0, least(1.0, 1.0 - list_sum(list_transform(range(0, CAST(c.count AS INT)),
+                 i -> exp(-l.lam + i * ln(l.lam) -
+                      (CASE WHEN i <= 20 THEN ln(CAST(factorial(CAST(i AS INT)) AS DOUBLE))
+                            ELSE (i + 0.5) * ln(CAST(i AS DOUBLE)) - i + 0.5 * ln(2 * pi()) + 1.0 / (12.0 * i) END))))))
+             END, 6) AS pval
+      FROM cov c JOIN lam l USING (chrom)
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pval, chrom, bin) AS BIGINT) AS rnk,
+             count(*) OVER () AS m
+      FROM scored
+    ),
+    cut AS (
+      SELECT *, max(CASE WHEN pval * m <= rnk * 0.05 THEN pval END) OVER () AS cutoff FROM ranked
+    )
+    SELECT chrom, bin, count, pval FROM cut WHERE pval <= cutoff
+    """,
+)
+def q_peak_call_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson scoring + Benjamini-Hochberg FDR selection — the
+    q-value semantics macs2 callpeak reports (reference tools.py:555:
+    -q 0.01/0.05 are FDR cutoffs, not raw p thresholds). λ per chrom,
+    exact Poisson tail per bin (log-factorial exact to k=20, Stirling
+    series above — the oracle spells out the identical formula so both
+    engines agree at 6 dp), then BH over the bounded per-bin aggregate."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("chrom"),
+        (F.col("value") / 5).cast("long").alias("bin"),
+    )
+    cov = e.groupBy("chrom", "bin").agg(F.count("*").alias("count"))
+    # λ per chrom as a keyed window over the aggregate — one scan, no
+    # agg+rejoin branch (Spark has no CTE reuse across branches).
+    lam = F.avg("count").over(Window.partitionBy("chrom"))
+    scored = cov.withColumn(
+        "pval", F.round(win.poisson_tail(F.col("count"), lam), 6)
+    )
+    sig = win.bh_significant(scored, "pval", q=0.05, tie_cols=["chrom", "bin"])
+    return sig.select("chrom", "bin", "count", "pval")

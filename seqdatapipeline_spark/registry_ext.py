@@ -591,8 +591,12 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions import corpus as cp
 
     d = _t(spark, sf_dir, "documents")
-    keeps = dd.exact_dedup_groups(d).select(F.col("keep_id").alias("doc_id"))
-    surv = d.join(keeps, "doc_id", "left_semi")
+    # One-pass dedup keeping the full winning row: min-struct keyed by
+    # content hash — no second corpus scan for a keep-set semi-join.
+    from .ops.aggregates import dedup_keep_first
+
+    hashed = d.withColumn("__h", F.md5(F.col("text")))
+    surv = dedup_keep_first(hashed, ["__h"], ["doc_id"]).drop("__h")
     qual = tx.quality_features(surv).filter(F.col("q_score") >= 0.5)
     samp = cp.stratified_sample(
         qual, strata_col="lang", rates={"en": 1.0, "de": 0.8}, default_rate=0.5

@@ -265,3 +265,22 @@ def test_gc_content(spark):
     )
     got = {r.read_id: r.gc_frac for r in agg.gc_content(reads).collect()}
     assert got["r1"] == 1.0 and got["r2"] == 0.0
+
+
+def test_bh_significant_matches_hand_computation(spark):
+    """BH on a known p-value set: m=6, q=0.25. Sorted p: .01 .02 .03
+    .20 .50 .90; thresholds (i/m)q: .0417 .0833 .125 .167 .208 .25.
+    Largest i with p<=thr is i=3 (p=.03), so cutoff=.03 — exactly
+    {.01,.02,.03} pass, although .20 < q would pass a raw threshold."""
+    from seqdatapipeline_spark.ops import windows as win
+
+    rows = [(i, p) for i, p in enumerate([0.50, 0.01, 0.90, 0.03, 0.20, 0.02])]
+    df = spark.createDataFrame(rows, "bin long, pval double")
+    got = sorted(r["pval"] for r in win.bh_significant(df, "pval", q=0.25, tie_cols=["bin"]).collect())
+    assert got == [0.01, 0.02, 0.03]
+    # no test passes its threshold -> empty selection
+    none = win.bh_significant(
+        spark.createDataFrame([(1, 0.9), (2, 0.8)], "bin long, pval double"),
+        "pval", q=0.05, tie_cols=["bin"],
+    )
+    assert none.count() == 0
