@@ -339,3 +339,56 @@ def embedding_near_dup_pairs(
         .groupBy("blk")
         .applyInPandas(score_block, schema="vec_a long, vec_b long, cos double")
     )
+
+
+def connected_components(
+    incidence: DataFrame,
+    node_col: str = "node",
+    key_col: str = "key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    node–bucket incidence graph (nodes sharing any bucket key are
+    connected), labeling every node with the minimum node id of its
+    component.
+
+    Pair lists (minhash/simhash/ngram candidates) tell you *which*
+    documents collide; corpus dedup needs the transitive closure — one
+    canonical survivor per duplicate *cluster*, even when A~B and B~C
+    but A and C never share a bucket. Iterative min-label propagation
+    through the buckets: comp(node) ← min over its buckets of the min
+    comp in each bucket, repeated to fixpoint. The component minimum
+    travels two hops per round, so rounds ≈ half the cluster diameter
+    (LSH dup clusters are shallow — single digits in practice).
+
+    Scale shape: each round is two keyed aggregations (map-side
+    combinable shuffles) — a q-member bucket contributes q rows per
+    round, never the q² pairwise edges. Lineage is truncated per round
+    with localCheckpoint (else the plan doubles every iteration); the
+    per-round convergence check is a scalar count, not a collect.
+    """
+    inc = (
+        incidence.select(F.col(node_col).alias("node"), F.col(key_col).alias("key"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = inc.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        kmin = inc.join(labels, "node").groupBy("key").agg(F.min("comp").alias("kmin"))
+        nmin = inc.join(kmin, "key").groupBy("node").agg(F.min("kmin").alias("nmin"))
+        relabeled = (
+            labels.join(nmin, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("prev"),
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = relabeled.filter(F.col("comp") < F.col("prev")).limit(1).count()
+        labels = relabeled.drop("prev")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), F.col("comp").alias("cluster_id"))

@@ -286,3 +286,126 @@ def range_band_join(
     return fact.join(
         F.broadcast(dim), on=(F.col(fact_val) >= lo) & (F.col(fact_val) <= hi), how="inner"
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row at
+    or before (``strict``: strictly before) its timestamp, per key.
+
+    Spark has no native as-of join, and the naive range-join +
+    row_number formulation degenerates to a BroadcastNestedLoopJoin
+    over every (left, preceding-right) pair. This is the scalable
+    rewrite: union both sides tagged with a side marker, sort within
+    each key by (ts, side) once, and carry the latest right payload
+    forward with last(ignorenulls) over a running window — one shuffle
+    on the key, no pair materialization, cost independent of how many
+    right rows precede each left row.
+
+    The right payload travels as a single struct so genuinely-NULL
+    payload fields don't make the carry reach past the true latest
+    match. Output columns: all left columns + ``right_cols`` (caller
+    renames right columns beforehand if names collide). Right rows
+    must be unique per (key, ts) for a deterministic result —
+    pre-aggregate with max_by if they are not. ``how='left'`` keeps
+    unmatched left rows with NULL payload.
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_cols or [c for c in right.columns if c not in {*keys, right_ts}]
+    # At equal timestamps the right row must be visible for at-or-before
+    # semantics (sort before the left row) and hidden for strictly-before.
+    r_side, l_side = (0, 1) if not strict else (1, 0)
+
+    l2 = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__t"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(right.select(*payload).schema).alias("__r"),
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(r_side).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == l_side)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(c) for c in payload],
+    )
+
+
+def asof_attach_prior(
+    df: DataFrame,
+    on: str | list[str],
+    ts: str,
+    is_right,
+    right_cols: dict[str, "F.Column"],
+    strict: bool = False,
+    tiebreak: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Single-source as-of: attach to each non-``is_right`` row the
+    most recent at-or-before (``strict``: strictly-before) row of the
+    same stream satisfying ``is_right``, per key. The common
+    event-attribution shape — "each click joined to the user's latest
+    prior purchase" — where ``asof_join`` would scan the fact table
+    twice (Spark has no CTE reuse across join branches), this reads it
+    ONCE: rows are side-tagged in place and the payload is carried by
+    the same running last(ignorenulls) window. One scan, one shuffle.
+
+    ``right_cols`` maps output names to expressions evaluated on right
+    rows. Ties at equal (key, ts) among right rows are resolved by
+    ``tiebreak`` (ascending; the last one wins — pass e.g. the event
+    id to make "latest" deterministic without a pre-aggregation).
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    r_side, l_side = (0, 1) if not strict else (1, 0)
+    side = F.when(is_right, F.lit(r_side)).otherwise(F.lit(l_side))
+    payload = F.when(
+        is_right, F.struct(*[c.alias(n) for n, c in right_cols.items()])
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts), F.col("__side"), *[F.col(c) for c in (tiebreak or [])])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        df.withColumn("__side", side)
+        .withColumn("__r", payload)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    )
+    out = carried.filter(F.col("__side") == l_side)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        *[F.col(f"__match.{n}").alias(n) for n in right_cols],
+    )

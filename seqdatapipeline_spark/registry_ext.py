@@ -602,3 +602,127 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         qual, strata_col="lang", rates={"en": 1.0, "de": 0.8}, default_rate=0.5
     )
     return cp.pack_sequences(samp.select("doc_id", "text"), budget=512, n_shards=8)
+
+
+@q(
+    "asof_latest_event",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    pur AS (
+      SELECT user_id, ts, max(event_id) AS prior_event_id,
+             arg_max(value, event_id) AS prior_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.prior_event_id, p.prior_value
+    FROM clicks c ASOF JOIN pur p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the event stream: each click matched to the
+    user's most recent at-or-before purchase. Oracle is DuckDB's
+    native ASOF JOIN (over a deterministically pre-deduped purchase
+    side) — a genuinely independent implementation of the semantics.
+    Spark side is the single-scan variant (ops.joins.asof_attach_prior):
+    both "tables" are type-slices of the same event stream, so the
+    two-input asof_join would scan events twice; here rows are
+    side-tagged in place and ties at equal (user, ts) resolve by
+    event_id in the window sort — ONE scan, one shuffle on user_id,
+    identical result to the oracle's max_by pre-aggregation."""
+    from .ops import joins as jn
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    out = jn.asof_attach_prior(
+        e.select("event_id", "user_id", "ts", "event_type", "value"),
+        on="user_id",
+        ts="ts",
+        is_right=F.col("event_type") == "purchase",
+        right_cols={
+            "prior_event_id": F.col("event_id"),
+            "prior_value": F.col("value"),
+        },
+        tiebreak=["event_id"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "ts", "prior_event_id", "prior_value")
+
+
+@q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: docs connected whenever they
+    share a bucket key (full-text md5 OR first-100-chars md5 — the
+    second key links near-identical prefix variants, chaining A~B~C
+    into one cluster even when A, C share no key). Spark side is the
+    scalable min-label propagation in extensions.dedup
+    .connected_components; the oracle computes the same fixpoint as a
+    DuckDB recursive CTE over the materialized edge set — independent
+    algorithm, same semantics. Every doc is labeled with its
+    component's min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
+
+
+@q(
+    "rollup_time_bucket",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour) AS DATE) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(sv), 4) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_active_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def q_rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hour-grain
+    rollup of the event stream, then day grain computed FROM the
+    hourly aggregate — the coarser level reads ~24x fewer rows than
+    the raw table and the raw scan happens exactly once. This is the
+    materialized-rollup shape a 100 TB event store needs (each grain
+    feeds the next; nothing re-scans facts), expressed as two
+    map-side-combinable groupBys."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    return hourly.groupBy(
+        F.to_date(F.date_trunc("day", F.col("hour"))).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("sum_value"),
+        F.count("*").cast("long").alias("n_active_hours"),
+    )

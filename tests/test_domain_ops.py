@@ -284,3 +284,103 @@ def test_bh_significant_matches_hand_computation(spark):
         "pval", q=0.05, tie_cols=["bin"],
     )
     assert none.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """At-or-before vs strictly-before at an equal timestamp; latest
+    (not first) prior row wins; NULL payload fields don't make the
+    carry reach past the true match; left-how keeps unmatched rows."""
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 5, "b"), ("u2", 7, "c")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 3, 30.0), ("u1", 5, None), ("u1", 9, 90.0), ("u3", 1, 10.0)],
+        "k string, ts long, v double",
+    )
+    got = {
+        (r.k, r.ts): r.v
+        for r in jn.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    # ts=10 matches the latest prior (ts=9), not the earliest
+    assert got[("u1", 10)] == 90.0
+    # ts=5 matches the equal-ts right row whose payload is genuinely
+    # NULL — must NOT fall back to the ts=3 row
+    assert ("u1", 5) in got and got[("u1", 5)] is None
+    # u2 has no right rows -> dropped by inner
+    assert ("u2", 7) not in got
+
+    strict = {
+        (r.k, r.ts): r.v
+        for r in jn.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], strict=True,
+        ).collect()
+    }
+    # strictly-before: the equal-ts row is invisible, ts=3 row matches
+    assert strict[("u1", 5)] == 30.0
+
+    left_how = jn.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"], how="left"
+    )
+    assert left_how.count() == 3  # u2 kept with NULL payload
+
+
+def test_connected_components_chains_across_keys(spark):
+    """A~B via k1 and B~C via k2 must land in one component (min id
+    propagates transitively) while an isolated node keeps its own id."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    inc = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (2, "k2"), (3, "k2"), (9, "k9"),
+         # second cluster: a 3-member bucket (no pairwise edges needed)
+         (5, "k5"), (6, "k5"), (7, "k5")],
+        "node long, key string",
+    )
+    got = {r.node: r.cluster_id for r in dd.connected_components(inc).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9, 5: 5, 6: 5, 7: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-link path graph — worst-case diameter for label
+    propagation — still converges to a single component."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    rows = []
+    for i in range(12):  # key ki links node i and i+1
+        rows += [(i, f"k{i}"), (i + 1, f"k{i}")]
+    inc = spark.createDataFrame(rows, "node long, key string")
+    comps = {r.cluster_id for r in dd.connected_components(inc).collect()}
+    assert comps == {0}
+
+
+def test_asof_attach_prior_single_scan_semantics(spark):
+    """Single-source as-of: tiebreak picks the max-id right row at an
+    equal timestamp; strict hides the equal-ts right row."""
+    rows = [
+        # (id, user, ts, type, value)
+        (1, "u1", 5, "buy", 10.0),
+        (2, "u1", 5, "buy", 20.0),   # same ts: id=2 must win
+        (3, "u1", 5, "click", 0.0),  # equal-ts click sees buy (non-strict)
+        (4, "u1", 9, "click", 0.0),
+        (5, "u2", 1, "click", 0.0),  # no buy -> dropped (inner)
+    ]
+    df = spark.createDataFrame(rows, "id long, user string, ts long, typ string, value double")
+    out = jn.asof_attach_prior(
+        df, on="user", ts="ts",
+        is_right=F.col("typ") == "buy",
+        right_cols={"prior_id": F.col("id"), "prior_value": F.col("value")},
+        tiebreak=["id"],
+    )
+    got = {r.id: (r.prior_id, r.prior_value) for r in out.filter(F.col("typ") == "click").collect()}
+    assert got == {3: (2, 20.0), 4: (2, 20.0)}
+
+    strict = jn.asof_attach_prior(
+        df, on="user", ts="ts",
+        is_right=F.col("typ") == "buy",
+        right_cols={"prior_id": F.col("id")},
+        tiebreak=["id"], strict=True,
+    )
+    # the equal-ts click now has no visible prior buy
+    assert {r.id for r in strict.filter(F.col("typ") == "click").collect()} == {4}
