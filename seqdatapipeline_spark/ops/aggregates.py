@@ -154,3 +154,51 @@ def status_last_write_wins(
         .filter(F.col("__rn") == 1)
         .select(*key_cols, *value_cols)
     )
+
+
+def approx_ndv_kmv(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.): per
+    group, keep the k smallest md5 hashes of the value; if the k-th
+    smallest sits at fraction f of the hash space, the estimate is
+    (k-1)/f. Groups with fewer than k distinct values are exact.
+
+    Unlike HLL (``approx_count_distinct``), this sketch is built from
+    deterministic order statistics of a portable hash, so two engines
+    produce the *identical* estimate — which is what makes it
+    oracle-checkable, and what makes sketches mergeable across
+    partitions/days in an aggregation cascade. Scale shape: distinct
+    (map-side-combinable dedup on (group, hash)) → per-group top-k via
+    a keyed window — the shuffle carries one row per distinct value,
+    and nothing is ever collected.
+
+    The hash fraction uses the first 15 hex chars (60 bits) so it fits
+    a signed 64-bit int on any engine; the estimate is rounded to 4 dp.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = hashed.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    frac = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+    return (
+        topk.groupBy(*group_cols)
+        .agg(
+            F.max("__rk").alias("__n"),
+            F.max_by(frac, F.col("__rk")).alias("__kth_frac"),
+        )
+        .select(
+            *group_cols,
+            F.round(
+                F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                    (F.lit(k - 1)) / F.col("__kth_frac")
+                ),
+                4,
+            ).alias("ndv_est"),
+        )
+    )

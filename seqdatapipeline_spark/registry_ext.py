@@ -726,3 +726,33 @@ def q_rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("sv"), 4).alias("sum_value"),
         F.count("*").cast("long").alias("n_active_hours"),
     )
+
+
+@q(
+    "approx_ndv_kmv",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    topk AS (
+      SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed QUALIFY rk <= 64
+    )
+    SELECT event_type,
+           round(CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+                 ELSE 63.0 / (CAST(('0x' || substr(arg_max(h, rk), 1, 15)) AS BIGINT) / 16.0 ^ 15)
+                 END, 4) AS ndv_est
+    FROM topk GROUP BY 1
+    """,
+)
+def q_approx_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch
+    (ops.aggregates.approx_ndv_kmv). Deterministic md5 order
+    statistics make the *estimate itself* engine-portable — both
+    engines compute the identical number, so the sketch is graded by
+    the same hash-match gate as exact queries (HLL estimates never
+    could be)."""
+    from .ops import aggregates as agg
+
+    e = _t(spark, sf_dir, "events")
+    return agg.approx_ndv_kmv(e, ["event_type"], "user_id", k=64)

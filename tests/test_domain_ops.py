@@ -384,3 +384,14 @@ def test_asof_attach_prior_single_scan_semantics(spark):
     )
     # the equal-ts click now has no visible prior buy
     assert {r.id for r in strict.filter(F.col("typ") == "click").collect()} == {4}
+
+
+def test_approx_ndv_kmv(spark):
+    """Below k the sketch is exact; above k the estimate lands within
+    a sane relative error of the truth (k=64 -> ~12% sigma)."""
+    rows = [("small", f"v{i}") for i in range(10)]
+    rows += [("big", f"u{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.ndv_est for r in agg.approx_ndv_kmv(df, ["g"], "v", k=64).collect()}
+    assert got["small"] == 10.0
+    assert abs(got["big"] - 2000) / 2000 < 0.5
