@@ -1046,3 +1046,43 @@ def q_peak_call_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = win.bh_significant(scored, "pval", q=0.05, tie_cols=["chrom", "bin"])
     return sig.select("chrom", "bin", "count", "pval")
+
+
+@q(
+    "stream_attribution",
+    """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window join (designed §2.9 extension): every click
+    paired with the same user's purchases from the preceding 30
+    minutes. The registered query runs streaming.watch
+    .stream_attribution_join itself on batch inputs (withWatermark is
+    a batch no-op) — the oracle-checked semantics are exactly what the
+    watermarked stream-stream deployment executes; the streaming run
+    is exercised in tests/test_pipeline_streaming.py."""
+    from .streaming import watch as wt
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return wt.stream_attribution_join(
+        clicks, purchases, key="user_id", within="30 minutes"
+    ).select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )

@@ -115,3 +115,42 @@ def streaming_dedup(
     if ts_col is not None:
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return hashed.dropDuplicates(keys)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against the
+    (batch) dim table with an explicit broadcast — the stream side
+    never shuffles, and the dim is re-resolved per micro-batch (so a
+    refreshed dim parquet is picked up without restarting the query).
+    The same code path works in batch mode, which is how the oracle
+    gate checks it."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    click_ts: str = "click_ts",
+    pur_ts: str = "purchase_ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream attribution join: each click matched
+    to every purchase by the same key in the preceding ``within``
+    horizon. Both sides carry watermarks and the join condition
+    time-bounds the match window — the two requirements that let
+    Structured Streaming expire buffered rows instead of holding both
+    streams forever (state ∝ watermark + horizon, not stream length).
+
+    ``withWatermark`` is a no-op on batch DataFrames, so the identical
+    function serves the batch equivalence query the oracle checks and
+    the streaming deployment the tests run."""
+    c = clicks.withWatermark(click_ts, watermark)
+    p = purchases.withWatermark(pur_ts, watermark)
+    cond = (
+        (c[key] == p[key])
+        & (c[click_ts] >= p[pur_ts])
+        & (c[click_ts] <= F.expr(f"{pur_ts} + INTERVAL {within}"))
+    )
+    return c.join(p, cond, "inner").drop(p[key])

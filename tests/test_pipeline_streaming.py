@@ -133,3 +133,90 @@ def test_streaming_dedup_across_batches(spark):
         assert texts == ["alpha beta", "delta", "gamma"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_enrichment(spark):
+    """Each micro-batch joins against the static dim; a second batch
+    arriving later still enriches (the dim is re-resolved per batch)."""
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        dim = spark.createDataFrame(
+            [("u1", "gold"), ("u2", "basic")], "user string, tier string"
+        )
+        got: list[tuple] = []
+
+        def run_once():
+            stream = spark.readStream.schema("id long, user string").json(inbox)
+            out = watch.enrich_stream(stream, dim, on="user")
+
+            def sink(df, epoch):
+                got.extend((r.id, r.tier) for r in df.collect())
+
+            q = out.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("append").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        _write_events(inbox, "b1.json", [{"id": 1, "user": "u1"}, {"id": 2, "user": "u9"}])
+        run_once()
+        assert sorted(got) == [(1, "gold")]  # u9 has no dim row -> dropped
+        _write_events(inbox, "b2.json", [{"id": 3, "user": "u2"}])
+        run_once()
+        assert sorted(got) == [(1, "gold"), (3, "basic")]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_attribution_across_batches(spark):
+    """Watermarked stream-stream join: a click arriving in a LATER
+    micro-batch than its purchase must still match (the purchase is
+    buffered in join state), and matches outside the 30-minute horizon
+    must not appear."""
+    tmp = tempfile.mkdtemp()
+    cdir, pdir, ckpt = (os.path.join(tmp, d) for d in ("c", "p", "ck"))
+    os.makedirs(cdir); os.makedirs(pdir)
+    try:
+        got: list[tuple] = []
+
+        def run_once():
+            clicks = (
+                spark.readStream.schema("click_id long, user_id long, click_ts string")
+                .json(cdir)
+                .withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+            )
+            purchases = (
+                spark.readStream.schema("purchase_id long, user_id long, purchase_ts string")
+                .json(pdir)
+                .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+            )
+            out = watch.stream_attribution_join(
+                clicks, purchases, key="user_id", within="30 minutes"
+            )
+
+            def sink(df, epoch):
+                got.extend((r.click_id, r.purchase_id) for r in df.collect())
+
+            q = out.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("append").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        _write_events(pdir, "p1.json", [
+            {"purchase_id": 100, "user_id": 1, "purchase_ts": "2024-01-01 10:00:00"},
+            {"purchase_id": 101, "user_id": 1, "purchase_ts": "2024-01-01 08:00:00"},
+        ])
+        _write_events(cdir, "c1.json", [])
+        run_once()
+        assert got == []  # no clicks yet; purchases buffered in state
+
+        # click lands in a later batch: 10:20 matches the 10:00 purchase
+        # (within 30 min) but not the 08:00 one (outside horizon)
+        _write_events(cdir, "c2.json", [
+            {"click_id": 7, "user_id": 1, "click_ts": "2024-01-01 10:20:00"},
+        ])
+        run_once()
+        assert got == [(7, 100)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
