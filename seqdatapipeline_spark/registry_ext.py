@@ -756,3 +756,74 @@ def q_approx_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return agg.approx_ndv_kmv(e, ["event_type"], "user_id", k=64)
+
+
+@q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-identical). Exact percentile
+    buffers each group's values in the final aggregate — fine for
+    bounded groups (5 event types); for 100 TB fact-sized groups use
+    `approx_percentile` (t-digest partials merge map-side) and accept
+    the documented error bound."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+@q(
+    "events_cube",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY CUBE (event_type, day)
+    """,
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in
+    one pass — Spark expands the grouping sets before the shuffle, so
+    partial aggregation still applies (one exchange, not four scans)."""
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
+    return e.cube("event_type", "day").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@q(
+    "events_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot on an explicit value list (passing the list
+    skips the extra distinct-values job Spark otherwise runs, and makes
+    the output schema static — required for production pipelines).
+    Pivoted counts are conditional aggregates under the hood: one
+    map-side-combinable shuffle."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _PIVOT_TYPES]
+    )
