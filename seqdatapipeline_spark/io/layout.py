@@ -1,0 +1,86 @@
+"""Physical-layout operations — the write-side half of scan
+performance at 100 TB.
+
+A table's layout (partition dirs, file sizes, in-file sort order)
+decides how much of it a query must read long before Catalyst sees a
+plan: partition dirs give partition pruning, few-and-large files keep
+the driver's split enumeration and task count sane, and in-file sort
+order gives parquet min/max row-group skipping. The streaming-ingest
+side of the engine produces many small files per trigger; these
+operators are the periodic compaction pass that repairs that.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:
+    """Z-order (Morton) clustering key: interleave the low ``bits``
+    bits of each column, so rows close in ALL dimensions get close
+    keys. Sorting a file by this key makes parquet min/max row-group
+    statistics selective for predicates on ANY of the dimensions — the
+    multi-dimensional generalization of sort-by-one-column data
+    skipping (the trick behind Delta/Iceberg Z-ORDER OPTIMIZE).
+
+    Pure bit arithmetic inside whole-stage codegen: bit i of column j
+    lands at position ``i * n_cols + j``. Keys must already be
+    non-negative and < 2^bits (mod/hash them first); with n columns the
+    key spans n*bits bits, so keep n*bits ≤ 62.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    terms = [
+        (F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j)))
+        for j, c in enumerate(cs)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def zorder_key_sql(cols: list[str], bits: int = 12) -> str:
+    """The identical Morton-key arithmetic as a SQL expression string
+    (DuckDB/ANSI bit operators) — generated from the same spec as
+    ``zorder_key`` so the two can never drift apart."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) * {1 << (i * n + j)})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def compact_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Compaction pass: rewrite a table as one large file per
+    partition value (hash repartition on the partition key puts each
+    key in exactly one task), optionally sorted within files so
+    parquet row-group min/max statistics prune reads on ``sort_cols``
+    (pass a ``zorder_key`` expression column upstream for multi-dim
+    skipping). ``maxRecordsPerFile`` re-splits genuinely huge
+    partitions instead of producing one unmanageable file.
+
+    This is the maintenance operator a streaming ingest needs
+    (micro-batches write a small file per trigger per partition;
+    reading a day back degenerates into an open()-bound scan of
+    thousands of tiny files). Partition dirs + large sorted files =
+    partition pruning + row-group skipping on every later read.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

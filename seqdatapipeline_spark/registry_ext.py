@@ -827,3 +827,59 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _PIVOT_TYPES]
     )
+
+
+from .io import layout as _layout  # noqa: E402
+from .registry import _scratch  # noqa: E402
+
+_ZSPEC_SQL = _layout.zorder_key_sql(["(l_partkey % 4096)", "(l_suppkey % 4096)"], bits=12)
+
+
+@q(
+    "zorder_key",
+    f"""
+    SELECT l_orderkey, l_linenumber, {_ZSPEC_SQL} AS zkey
+    FROM lineitem
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering key over (partkey, suppkey): the sort key a
+    compaction pass uses for multi-dimensional row-group skipping.
+    Spark and oracle expressions are generated from the same bit-
+    interleave spec (io.layout.zorder_key / zorder_key_sql), so the
+    arithmetic cannot drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _layout.zorder_key(
+            [F.col("l_partkey") % 4096, F.col("l_suppkey") % 4096], bits=12
+        ).alias("zkey"),
+    )
+
+
+@q(
+    "compact_layout",
+    """
+    SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip: events rewritten as one sorted parquet
+    file per event_type partition (io.layout.compact_partitioned),
+    read back through the partition-dir layout, and summarized — the
+    oracle checks the round-trip preserved every row and the ts range.
+    tests/test_plans.py asserts the physical effects (single file per
+    partition, PartitionFilters pruning on read)."""
+    e = _t(spark, sf_dir, "events")
+    path = _scratch("compact_layout")
+    _layout.compact_partitioned(
+        e, path, partition_cols=["event_type"], sort_cols=["ts"]
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

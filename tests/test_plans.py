@@ -111,3 +111,57 @@ def test_whole_stage_codegen_covers_scalar_ops(spark, sf_dir, queries):
     for name in ("filter_not_chrm", "project_tlen", "text_quality_score", "token_count"):
         plan = _plan(queries[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_compact_layout_physical_effects(spark, sf_dir):
+    """Compaction must produce ONE parquet file per partition value,
+    and a read with a partition predicate must prune at the dir level
+    (PartitionFilters in the scan, not a post-scan filter)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout
+    from seqdatapipeline_spark.registry import _t
+
+    out = os.path.join(tempfile.mkdtemp(), "compact")
+    e = _t(spark, sf_dir, "events")
+    layout.compact_partitioned(e, out, partition_cols=["event_type"], sort_cols=["ts"])
+
+    part_dirs = glob.glob(os.path.join(out, "event_type=*"))
+    assert len(part_dirs) == 5
+    for d in part_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: expected 1 compacted file, got {len(files)}"
+
+    plan = _plan(
+        spark.read.parquet(out).filter(F.col("event_type") == "click")
+    )
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_zorder_key_locality_and_bounds(spark):
+    """Morton key must interleave exactly (hand-checked values) and
+    stay within n*bits bits."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", layout.zorder_key(["x", "y"], bits=12).alias("z")
+        ).collect()
+    }
+    # bit i of x -> position 2i; bit i of y -> position 2i+1
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    # x=3 (0b11) -> 0b0101; y=5 (0b101) -> 0b100010; z = 0b100111 = 39
+    assert got[(3, 5)] == 0b100111
+    assert got[(4095, 4095)] == (1 << 24) - 1
