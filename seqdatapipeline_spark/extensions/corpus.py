@@ -124,3 +124,52 @@ def stratified_sample(
         else F.lit(int(default_rate * precision))
     )
     return docs.filter(gate < rate_expr)
+
+
+def mix_resample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Mixture resampling WITH repetition — the generalization of
+    ``stratified_sample`` to rates above 1, which is how a training
+    mix up-weights a scarce high-quality source (rate 2.3 = every row
+    twice, plus a third copy for a deterministic 30% of rows). Emits
+    one output row per (input row, epoch), ``epoch`` = 1..n_copies, so
+    downstream shuffling/packing treats repeats as independent docs.
+
+    Same scale contract as the sampler: the whole operator is a CASE
+    chain + one hash compare + an explode of a tiny sequence — a
+    narrow projection that never shuffles, reproducible across runs,
+    engines, and partition layouts. The fractional-copy gate hashes
+    ``id || ':rep'`` so it decorrelates from any sampling gate applied
+    upstream of the mix."""
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":rep"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(precision)
+    base_expr = None
+    thr_expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        base = F.lit(int(rate))
+        thr = F.lit(int(round((rate - int(rate)) * precision)))
+        base_expr = F.when(cond, base) if base_expr is None else base_expr.when(cond, base)
+        thr_expr = F.when(cond, thr) if thr_expr is None else thr_expr.when(cond, thr)
+    d_base = F.lit(int(default_rate))
+    d_thr = F.lit(int(round((default_rate - int(default_rate)) * precision)))
+    base_expr = base_expr.otherwise(d_base) if base_expr is not None else d_base
+    thr_expr = thr_expr.otherwise(d_thr) if thr_expr is not None else d_thr
+    n_copies = base_expr + (gate < thr_expr).cast("int")
+    return docs.withColumn(
+        "epoch",
+        F.explode(
+            F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies))
+        ),
+    ).withColumn("epoch", F.col("epoch").cast("long"))

@@ -883,3 +883,36 @@ def q_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@q(
+    "corpus_mix_resample",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rep'), 1, 14)) AS BIGINT)
+               % 1000000 AS gate
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 0 ELSE 1 END
+             + CASE WHEN gate < (CASE lang WHEN 'de' THEN 300000 WHEN 'en' THEN 500000 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM g
+    )
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+    FROM n
+    """,
+)
+def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling with repetition
+    (extensions.corpus.mix_resample): German up-weighted 2.3x (two
+    full epochs + a hash-gated 30% third), English down to 0.5x,
+    everything else 1.0 — the up/down-weighting pass that assembles a
+    training mix from imbalanced sources. Pure narrow projection; the
+    oracle replays the identical hash arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cp.mix_resample(
+        d, strata_col="lang", rates={"de": 2.3, "en": 0.5}, default_rate=1.0
+    )

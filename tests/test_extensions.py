@@ -264,3 +264,35 @@ def test_resize_media_stub_gates_real_codecs(spark, sf_dir):
     out = mm.resize_media(media, target_bytes=16, fake=True).collect()
     assert len(out) == 20
     assert all(r["n_bytes"] <= 16 and len(r["payload"]) == r["n_bytes"] for r in out)
+
+
+def test_mix_resample_repetition_semantics(spark):
+    """Rate 2.3 gives every row epoch 1..2 plus a 30%-gated 3rd; rate
+    0.5 gives 0 or 1 copies; default 1.0 exactly one; epochs are
+    contiguous from 1."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    rows = [(i, "de" if i % 3 == 0 else ("en" if i % 3 == 1 else "fr")) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cp.mix_resample(df, "lang", {"de": 2.3, "en": 0.5}, default_rate=1.0)
+    per_doc = {
+        (r.doc_id, r.lang): r.n
+        for r in out.groupBy("doc_id", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    de = [n for (_, l), n in per_doc.items() if l == "de"]
+    en = [n for (_, l), n in per_doc.items() if l == "en"]
+    fr = [n for (_, l), n in per_doc.items() if l == "fr"]
+    assert set(de) <= {2, 3} and 2 in de
+    assert set(en) == {1}  # dropped rows never appear in the groupBy
+    assert set(fr) == {1}
+    # roughly 30% of de docs get the third epoch (100 docs, wide band)
+    frac3 = sum(1 for n in de if n == 3) / len(de)
+    assert 0.1 < frac3 < 0.5
+    # en kept-fraction ~0.5 of 100
+    assert 25 < len(en) < 75
+    # epochs contiguous from 1
+    sample = out.filter(F.col("lang") == "de").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("eps")
+    ).limit(5).collect()
+    for r in sample:
+        assert r.eps == list(range(1, len(r.eps) + 1))

@@ -50,8 +50,14 @@ def _norm(v):
 
 
 def _rows_key(rows, colnames):
+    # NULLs (cube/rollup grouping rows, outer joins) sort before any
+    # value via the (is_null, value) pair — Python can't order None
+    # against str/float directly.
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        tuple((r[i] is None, _norm(r[i]) if r[i] is not None else "") for i in order)
+        for r in rows
+    )
 
 
 QUERIES = entrymod.queries()
