@@ -27,6 +27,7 @@ ALLOW = {
     "ann_ivf_topk": (("BNLJ", "double-scan"), "query set filtered from the corpus table; broadcast centroid scoring"),
     "union_inputs": ("double-scan", "union of two sources is two scans by definition"),
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
+    "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
     "param_set_union": ("double-scan", "set op over two inputs"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),

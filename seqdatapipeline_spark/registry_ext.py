@@ -916,3 +916,40 @@ def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.mix_resample(
         d, strata_col="lang", rates={"de": 2.3, "en": 0.5}, default_rate=1.0
     )
+
+
+@q(
+    "apply_changelog",
+    """
+    WITH ch AS (
+      SELECT user_id,
+             arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) AS op,
+             arg_max(value, event_id) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT coalesce(c.c_custkey, ch.user_id) AS user_id,
+           CASE WHEN ch.user_id IS NOT NULL THEN ch.v ELSE c.c_acctbal END AS balance
+    FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.user_id
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+)
+def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (ops.setops.apply_changelog): the events stream read
+    as a changelog over customer balances — error events delete the
+    key, everything else upserts the latest value by event_id;
+    untouched customers pass through. The changelog collapses to one
+    row per touched key before the single full-outer join."""
+    from .ops import setops as so
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_acctbal").alias("balance")
+    )
+    ch = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("value").alias("balance"),
+    )
+    return so.apply_changelog(
+        snap, ch, key_cols=["user_id"], payload_cols=["balance"], seq_col="seq", op_col="op"
+    )

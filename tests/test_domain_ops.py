@@ -395,3 +395,27 @@ def test_approx_ndv_kmv(spark):
     got = {r.g: r.ndv_est for r in agg.approx_ndv_kmv(df, ["g"], "v", k=64).collect()}
     assert got["small"] == 10.0
     assert abs(got["big"] - 2000) / 2000 < 0.5
+
+
+def test_apply_changelog_merge_semantics(spark):
+    """Latest-seq change wins; D deletes; unseen keys insert;
+    untouched keys pass through."""
+    from seqdatapipeline_spark.ops import setops as so
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0), (1, 2, "U", 12.0),   # seq 2 wins
+            (2, 5, "D", 0.0),                        # delete
+            (9, 3, "I", 99.0),                       # insert unseen key
+            (4, 1, "D", 0.0),                        # delete of absent key: no row
+        ],
+        "k long, seq long, op string, v double",
+    )
+    got = {
+        r.k: r.v
+        for r in so.apply_changelog(snap, ch, ["k"], ["v"], "seq", "op").collect()
+    }
+    assert got == {1: 12.0, 3: 30.0, 9: 99.0}
