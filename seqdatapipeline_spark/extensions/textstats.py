@@ -106,3 +106,60 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", s
     sh = word_shingles(F.col(text_col), shingle_n)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return fan_out(df).select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# Ordered: emails first (they contain dots and digits), IPs before
+# phones (a phone pattern would eat dotted quads). Patterns restricted
+# to syntax shared by Java regex (Spark) and RE2 (DuckDB) so the
+# oracle replays them verbatim.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9 ().-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus gets
+    before anything else sees it: emails, IPv4 addresses, and
+    phone-number shapes replaced with typed placeholders. A chain of
+    native regexp_replace calls — pure narrow projection inside
+    codegen, pushes nothing, shuffles nothing; at 100 TB this runs at
+    scan speed."""
+    out = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: most-frequent-word ratio and
+    duplicate-line fraction per document — the quality rules that cull
+    boilerplate and spam from a pretraining corpus (Rae et al. 2021
+    §A1.1 use thresholds on exactly these).
+
+    One corpus scan: the per-row line stats (pure array expressions,
+    no explode) ride along through the word explode + two-level
+    aggregation, so the fact table is read once. Shuffle carries one
+    row per (doc, distinct word) — the wordcount shape."""
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("__n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__n_uniq"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    )
+    wc = base.groupBy(id_col, "__w").agg(
+        F.count("*").alias("__n"),
+        F.first("__n_lines").alias("__n_lines"),
+        F.first("__n_uniq").alias("__n_uniq"),
+    )
+    return wc.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_words"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("top_word_ratio"),
+        F.round(
+            F.lit(1.0) - F.first("__n_uniq") / F.first("__n_lines"), 6
+        ).alias("dup_line_frac"),
+    )

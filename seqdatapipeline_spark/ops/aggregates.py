@@ -181,6 +181,40 @@ def approx_ndv_kmv(
     """
     h = F.md5(F.col(value_col).cast("string"))
     hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    return _kmv_estimate(hashed, group_cols, k)
+
+
+def kmv_partial(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Partial KMV sketch: the k smallest distinct value-hashes per
+    group, as plain rows ``(group_cols…, __h)``. This is the state a
+    sketch cascade persists per day/partition; ``kmv_merge`` combines
+    any number of partials into the exact same estimate a direct
+    ``approx_ndv_kmv`` over the union of their inputs would give —
+    because each group's global k smallest hashes are necessarily
+    inside some partial's k smallest (the KMV merge guarantee)."""
+    h = F.md5(F.col(value_col).cast("string"))
+    hashed = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        hashed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_merge(partials: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV partials (rows of ``(group_cols…, __h)`` from
+    ``kmv_partial``, typically unioned across days with the day column
+    dropped or re-mapped) into per-group estimates."""
+    dedup = partials.select(*group_cols, "__h").distinct()
+    return _kmv_estimate(dedup, group_cols, k)
+
+
+def _kmv_estimate(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Shared estimator: per-group k smallest of pre-hashed distinct
+    rows → (k-1)/kth-fraction, exact below k."""
     w = Window.partitionBy(*group_cols).orderBy("__h")
     topk = hashed.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     frac = F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("double") / F.lit(

@@ -953,3 +953,61 @@ def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return so.apply_changelog(
         snap, ch, key_cols=["user_id"], payload_cols=["balance"], seq_col="seq", op_col="op"
     )
+
+
+@q(
+    "scrub_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (extensions.textstats.scrub_pii): emails, IPv4,
+    phone shapes to typed placeholders, as a codegen regexp_replace
+    chain. The oracle replays the identical patterns (restricted to
+    the Java-regex ∩ RE2 dialect) with DuckDB's 'g' flag matching
+    Spark's replace-all default. Fixture tests exercise real hits;
+    the corpus pass proves scan-speed parity."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.scrub_pii(d).select("doc_id", "scrubbed")
+
+
+@q(
+    "repetition_metrics",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, max(n) AS top_cnt
+      FROM wc GROUP BY 1
+    ),
+    l AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_distinct(string_split(text, chr(10)))) AS n_uniq
+      FROM documents
+    )
+    SELECT a.doc_id, a.n_words,
+           round(a.top_cnt / a.n_words * 1.0, 6) AS top_word_ratio,
+           round(1.0 - l.n_uniq / l.n_lines * 1.0, 6) AS dup_line_frac
+    FROM agg a JOIN l USING (doc_id)
+    """,
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (extensions.textstats
+    .repetition_metrics): most-frequent-word ratio + duplicate-line
+    fraction per doc, one corpus scan (line stats ride through the
+    word aggregation). The oracle takes the two-branch formulation —
+    DuckDB reuses the CTE; Spark would rescan, which is exactly why
+    the engine side carries the scalars through instead."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.repetition_metrics(d)

@@ -296,3 +296,62 @@ def test_mix_resample_repetition_semantics(spark):
     ).limit(5).collect()
     for r in sample:
         assert r.eps == list(range(1, len(r.eps) + 1))
+
+
+def test_scrub_pii_hits(spark):
+    from seqdatapipeline_spark.extensions import textstats as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 192.168.1.254 down"),
+            (3, "call +1 (555) 867-5309 today"),
+            (4, "clean text stays clean"),
+            (5, "two ids: a@b.io and c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.scrubbed for r in tx.scrub_pii(df).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> down"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays clean"
+    assert got[5] == "two ids: <EMAIL> and <EMAIL>"
+
+
+def test_repetition_metrics_values(spark):
+    from seqdatapipeline_spark.extensions import textstats as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),          # top ratio 3/4
+            (2, "a\nb\na\na"),                  # 4 lines, 2 distinct -> dup 0.5
+            (3, "all words differ here"),       # top ratio 1/4, no dup lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.top_word_ratio, r.dup_line_frac)
+        for r in tx.repetition_metrics(df).collect()
+    }
+    assert got[1] == (4, 0.75, 0.0)
+    assert got[2][2] == 0.5
+    assert got[3] == (4, 0.25, 0.0)
+
+
+def test_kmv_sketch_merges(spark):
+    """KMV partials must merge losslessly: the global top-k of the
+    union of per-day top-k hash sets equals the top-k over all data —
+    so a daily sketch cascade gives the identical estimate."""
+    from seqdatapipeline_spark.ops import aggregates as agg
+
+    rows = [("d1" if i % 2 else "d2", f"u{i % 500}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "day string, v string")
+    direct = agg.approx_ndv_kmv(
+        df.select(F.lit("all").alias("g"), "v"), ["g"], "v", k=64
+    ).collect()[0].ndv_est
+    partials = agg.kmv_partial(df.withColumn("g", F.lit("all")), ["day", "g"], "v", k=64)
+    merged = agg.kmv_merge(partials, ["g"], k=64).collect()[0].ndv_est
+    assert merged == direct
+    # and the estimate is in the right neighborhood of the 500 truth
+    assert abs(direct - 500) / 500 < 0.5
