@@ -1011,3 +1011,46 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine side carries the scalars through instead."""
     d = _t(spark, sf_dir, "documents")
     return tx.repetition_metrics(d)
+
+
+@q(
+    "kmv_daily_merge",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    partials AS (
+      SELECT day, event_type, h,
+             row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rk
+      FROM hashed QUALIFY rk <= 64
+    ),
+    merged AS (
+      SELECT DISTINCT event_type, h FROM partials
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM merged QUALIFY rk <= 64
+    )
+    SELECT event_type,
+           round(CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+                 ELSE 63.0 / (CAST(('0x' || substr(arg_max(h, rk), 1, 15)) AS BIGINT) / 16.0 ^ 15)
+                 END, 4) AS ndv_est
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV cascade end-to-end: per-(day, event_type) partial
+    sketches (ops.aggregates.kmv_partial — what a daily batch job
+    would persist) merged into per-event-type estimates (kmv_merge).
+    The merge guarantee makes this equal the direct single-pass
+    sketch, which is how a 100 TB store answers "distinct users last
+    quarter" from kilobytes of daily state instead of a quarter-long
+    rescan."""
+    from .ops import aggregates as agg
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
+    partials = agg.kmv_partial(e, ["day", "event_type"], "user_id", k=64)
+    return agg.kmv_merge(partials, ["event_type"], k=64)
