@@ -173,3 +173,28 @@ def mix_resample(
             F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies))
         ),
     ).withColumn("epoch", F.col("epoch").cast("long"))
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Exactly-k uniform sample per group, deterministically: keep the
+    k smallest md5(id) in each group. An md5 ordering is a uniform
+    random permutation of ids that every run, engine, and partition
+    layout agrees on — so the sample is reproducible AND composable
+    (the k'-sample for k' < k is a strict subset; a later rerun over
+    grown data evicts rows only by hash order). Fixed-size per-group
+    draws are what rate-based sampling (stratified_sample) can't give
+    you: eval/holdout splits, per-source caps, debugging slices.
+
+    One keyed window over (group, hash) — shuffle carries the input
+    once; groups smaller than k pass through whole."""
+    w = Window.partitionBy(*group_cols).orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

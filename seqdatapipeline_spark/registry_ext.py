@@ -1054,3 +1054,22 @@ def q_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
     partials = agg.kmv_partial(e, ["day", "event_type"], "user_id", k=64)
     return agg.kmv_merge(partials, ["event_type"], k=64)
+
+
+@q(
+    "uniform_sample_k",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20 uniform docs per language via deterministic hash
+    order (extensions.corpus.uniform_sample_k) — the reproducible
+    eval-split / per-source-cap draw rate-based sampling can't
+    provide."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cp.uniform_sample_k(d, ["lang"], "doc_id", k=20)

@@ -419,3 +419,48 @@ def test_apply_changelog_merge_semantics(spark):
         for r in so.apply_changelog(snap, ch, ["k"], ["v"], "seq", "op").collect()
     }
     assert got == {1: 12.0, 3: 30.0, 9: 99.0}
+
+
+def test_empty_input_robustness(spark):
+    """Operators must return empty (not raise) on empty inputs — a
+    daily pipeline hits empty partitions routinely."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.ops import setops as so
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_inc = spark.createDataFrame([], "node long, key string")
+    empty_ev = spark.createDataFrame([], "k string, ts long, v double")
+
+    assert dd.connected_components(empty_inc).count() == 0
+    assert dd.exact_dedup_groups(empty_docs).count() == 0
+    assert cp.mix_resample(
+        spark.createDataFrame([], "doc_id long, lang string"), "lang", {"de": 2.0}
+    ).count() == 0
+    assert cp.uniform_sample_k(
+        spark.createDataFrame([], "doc_id long, lang string"), ["lang"], "doc_id"
+    ).count() == 0
+    # as-of with an empty right side: inner drops all, left keeps all
+    left = spark.createDataFrame([("u1", 5, "a")], "k string, ts long, tag string")
+    assert jn.asof_join(left, empty_ev, on="k", left_ts="ts", right_ts="ts",
+                        right_cols=["v"]).count() == 0
+    assert jn.asof_join(left, empty_ev, on="k", left_ts="ts", right_ts="ts",
+                        right_cols=["v"], how="left").count() == 1
+    # changelog with no changes: snapshot passes through
+    snap = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    empty_ch = spark.createDataFrame([], "k long, seq long, op string, v double")
+    assert so.apply_changelog(snap, empty_ch, ["k"], ["v"], "seq", "op").count() == 1
+
+
+def test_uniform_sample_k_properties(spark):
+    """Exactly min(k, group size) rows per group, and the k'=3 sample
+    is a subset of the k=5 sample (hash-order composability)."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    rows = [(i, "a" if i < 20 else "b") for i in range(24)]  # b has 4 < k
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s5 = cp.uniform_sample_k(df, ["lang"], "doc_id", k=5)
+    sizes = {r.lang: r.n for r in s5.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 5, "b": 4}
+    s3 = {r.doc_id for r in cp.uniform_sample_k(df, ["lang"], "doc_id", k=3).collect()}
+    assert s3 <= {r.doc_id for r in s5.collect()}
