@@ -92,7 +92,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         warm = []
-        for _ in range(2):  # min-of-2 damps scheduler/GC noise
+        for _ in range(3):  # min-of-3 damps scheduler/GC noise
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

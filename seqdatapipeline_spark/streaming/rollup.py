@@ -1,0 +1,90 @@
+"""Incremental rollup maintenance — the streaming half of the
+continuous-aggregate story (`rollup_time_bucket` is the batch half).
+
+A stream writes micro-batches; each batch folds into a persistent
+per-key aggregate table by merging ADDITIVE partials (count, sum, min,
+max — anything where merge(f(A), f(B)) = f(A ∪ B)). The rollup table
+stays kilobytes-to-gigabytes while the raw stream is unbounded, and a
+dashboard query reads the rollup, never the stream. Non-additive
+answers come from additive parts (avg = sum/count downstream) or
+mergeable sketches (ops.aggregates.kmv_partial hash sets ride along as
+rows).
+
+State lives as plain parquet via read-modify-overwrite — the same
+documented single-writer limitation as io.sinks.status_upsert
+(SURVEY.md §7 risk 3); swap in Delta/Iceberg MERGE for multi-writer
+clusters. foreachBatch gives exactly-once batch boundaries through the
+checkpoint: a replayed batch re-merges idempotently only if the writer
+dedups batch ids — kept out of scope here and noted, as the reference
+pipeline's own status writes carry the same at-least-once caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io.sinks import _overwrite_parquet
+
+# metric column -> merge function for combining two partials.
+_MERGES = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def merge_rollup(
+    partial: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Fold one partial aggregate into the persistent rollup at
+    ``state_path``. ``merges`` maps each metric column to its combine
+    function ('sum' for counts and sums, 'min'/'max' for extrema).
+    Counts merge with 'sum' — the partial carries per-batch counts and
+    merged counts are their sum.
+
+    One union + one keyed aggregation over (state + batch-partial):
+    cost is proportional to the rollup's key cardinality plus the
+    batch, never the stream's history."""
+    spark = partial.sparkSession
+    try:
+        state = spark.read.parquet(state_path)
+        both = state.unionByName(partial)
+    except Exception:
+        both = partial
+    merged = both.groupBy(*key_cols).agg(
+        *[_MERGES[how](c).alias(c) for c, how in merges.items()]
+    )
+    _overwrite_parquet(merged, state_path)
+    return spark.read.parquet(state_path)
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partial_fn,
+    merges: dict[str, str],
+    once: bool = True,
+):
+    """Wire a stream into the rollup: per micro-batch, build the
+    partial aggregate with ``partial_fn(batch_df)`` (a plain batch
+    groupBy returning key_cols + metric columns) and merge it into the
+    state table. Returns after draining with availableNow when
+    ``once`` (the 12-hour-poll deployment shape of the reference's
+    scanner, with the trigger swapped)."""
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        merge_rollup(partial_fn(batch_df), state_path, key_cols, merges)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    ).outputMode("update")
+    q = writer.trigger(availableNow=True).start() if once else writer.start()
+    if once:
+        q.awaitTermination()
+    return q

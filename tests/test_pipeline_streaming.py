@@ -220,3 +220,50 @@ def test_stream_stream_attribution_across_batches(spark):
         assert got == [(7, 100)]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_incremental_rollup(spark):
+    """Two micro-batches folded into the rollup state must equal the
+    batch aggregate over all rows — counts, sums, and extrema merge
+    additively across batches."""
+    from seqdatapipeline_spark.streaming import rollup
+
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt, state = (os.path.join(tmp, d) for d in ("in", "ck", "state"))
+    os.makedirs(inbox)
+    try:
+        def partial(df):
+            return df.groupBy("k").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("v").alias("sv"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+
+        def run_once():
+            stream = spark.readStream.schema("k string, v double").json(inbox)
+            rollup.streaming_rollup(
+                stream, state, ckpt, ["k"], partial,
+                merges={"n": "sum", "sv": "sum", "mn": "min", "mx": "max"},
+            )
+
+        _write_events(inbox, "b1.json", [
+            {"k": "a", "v": 1.0}, {"k": "a", "v": 2.0}, {"k": "b", "v": 5.0},
+        ])
+        run_once()
+        _write_events(inbox, "b2.json", [
+            {"k": "a", "v": 10.0}, {"k": "c", "v": -1.0},
+        ])
+        run_once()
+
+        got = {
+            r.k: (r.n, r.sv, r.mn, r.mx)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert got == {
+            "a": (3, 13.0, 1.0, 10.0),
+            "b": (1, 5.0, 5.0, 5.0),
+            "c": (1, -1.0, -1.0, -1.0),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
