@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .extensions import dedup as dd
@@ -1073,3 +1073,86 @@ def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     provide."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return cp.uniform_sample_k(d, ["lang"], "doc_id", k=20)
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(t_view) AS BIGINT) AS viewed,
+      CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS clicked_after_view,
+      CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT)
+        AS purchased_after_click
+    FROM stages
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first
+    timestamp of each stage via conditional min — ONE scan, one
+    map-side-combinable groupBy, then a single-row summary over the
+    per-user aggregate (user-cardinality-sized, not fact-sized).
+    Strict inequalities: a later stage counts only when its first
+    occurrence follows the previous stage's first occurrence."""
+    e = _t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).cast("long")
+        .alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).cast("long").alias("purchased_after_click"),
+    )
+
+
+@q(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(avg(gap), 4) AS avg_gap_s,
+           round(max(gap), 4) AS max_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via a keyed lag window
+    (deterministic tie-break on event_id), aggregated to count/avg/max
+    seconds — the session-gap profile that feeds session-window
+    tuning. One shuffle on user_id shared by the window and the
+    groupBy."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp→double keeps fractional seconds on both engines
+    # (unix_timestamp would truncate micros that DuckDB's epoch keeps).
+    gaps = e.withColumn(
+        "gap",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_s"),
+        F.round(F.max("gap"), 4).alias("max_gap_s"),
+    )
