@@ -1156,3 +1156,80 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap"), 4).alias("avg_gap_s"),
         F.round(F.max("gap"), 4).alias("max_gap_s"),
     )
+
+
+@q(
+    "tf_idf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salience scoring
+    a corpus pipeline runs for keyword extraction / topic features.
+    One corpus scan feeds tf; df is a window over the tf aggregate
+    keyed by term (no second pass over text, no rejoin branch). N
+    arrives as a literal from parquet row-group metadata
+    (`docs.count()` reads footers, not data — a model-sized scalar,
+    like the IVF centroid collect)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # parquet metadata count, no data scan
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.count("*").over(df_w)), 6
+        ),
+    )
+    rk_w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
+    SELECT cohort_week, wk AS active_week, CAST(count(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted in every week they return. Distinct (user, week)
+    first — the fact table collapses before any window — then the
+    cohort week rides a user-keyed min window; both shuffles are on
+    pre-aggregated rows."""
+    e = _t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    c = uw.withColumn("cohort_week", F.min("wk").over(w))
+    return c.groupBy("cohort_week", F.col("wk").alias("active_week")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
