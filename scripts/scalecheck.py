@@ -60,6 +60,9 @@ OPS = [
     "asof_latest_event",
     "dedup_clusters",
     "rollup_time_bucket",
+    "scrub_pii",
+    "repetition_metrics",
+    "tf_idf_top_terms",
 ]
 
 

@@ -183,3 +183,82 @@ def test_exact_dedup_groups_partition_docs(spark, texts):
     for i, t in enumerate(texts):
         by_text.setdefault(t, []).append(i)
     assert sorted(r["keep_id"] for r in rows) == sorted(min(v) for v in by_text.values())
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 6)),  # (node, bucket)
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """For ANY random node-bucket incidence, min-label propagation
+    must agree with a reference union-find over the same graph."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(n, f"k{b}") for n, b in edges], "node long, key string"
+    )
+    got = {r.node: r.cluster_id for r in dd.connected_components(df).collect()}
+
+    # reference: union-find over nodes sharing a bucket
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets: dict[int, list[int]] = {}
+    for n, b in edges:
+        buckets.setdefault(b, []).append(n)
+    for members in buckets.values():
+        for m in members[1:]:
+            union(members[0], m)
+    # canonical label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, _ in edges:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n, _ in edges}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.floats(0, 100)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_attach_prior_matches_naive(spark, rows):
+    """Single-scan as-of must agree with the obvious per-row scan:
+    even ids are 'right' events, odd are 'left'; each left row takes
+    the right row with the greatest (ts, id) <= its ts."""
+    data = [(k, ts, i, i % 2 == 0, v) for i, (k, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(k, ts, i, r, v) for k, ts, i, r, v in data],
+        "k long, ts long, id long, is_r boolean, v double",
+    )
+    got = {
+        r.id: r.pid
+        for r in jn.asof_attach_prior(
+            df, on="k", ts="ts", is_right=F.col("is_r"),
+            right_cols={"pid": F.col("id")}, tiebreak=["id"], how="left",
+        ).filter(~F.col("is_r")).collect()
+    }
+    for k, ts, i, is_r, _ in data:
+        if is_r:
+            continue
+        cands = [(ts2, i2) for k2, ts2, i2, r2, _ in data if r2 and k2 == k and ts2 <= ts]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (i, got.get(i), want)
