@@ -312,3 +312,39 @@ def ivf_topk_cosine(
         .filter(F.col("rank") <= k)
         .select(q_id, F.col(c_id).alias("neighbor_id"), "cos", "rank")
     )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec", ndigits: int = 6
+) -> DataFrame:
+    """Unit-normalize vectors (x / ||x||₂), elementwise-rounded for
+    engine parity — the preprocessing that turns cosine similarity
+    into a plain dot product (what every ANN index wants stored).
+    Pure array expressions inside codegen: one aggregate fold for the
+    norm, one transform for the scale — no UDF, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return df.withColumn(
+        out_col, F.transform(v, lambda x: F.round(x / norm, ndigits))
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", ndigits: int = 6
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) ∈ [-127, 127] — 4x smaller vectors, the
+    storage/bandwidth trade every billion-vector store makes. Emits
+    (scale, qvec); dequantize as q*scale. Array-native, no shuffle;
+    all-zero vectors quantize to zeros with scale 0."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        scale > 0, F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn("scale", F.round(scale, ndigits)).withColumn("qvec", q)

@@ -1233,3 +1233,79 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("cohort_week", F.col("wk").alias("active_week")).agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@q(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+    ) GROUP BY 1
+    """,
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events payload parsed with
+    a TYPED schema (from_json + struct, one parse per row feeding any
+    number of fields — the idiomatic Spark path; get_json_object
+    re-parses per extraction) and aggregated per event type. The
+    oracle uses DuckDB's JSON path extraction — independent parser,
+    same values."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "j", F.from_json(F.col("props"), StructType([StructField("k", LongType())]))
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("j.k").cast("long").alias("n_with_k"),
+        F.sum("j.k").cast("long").alias("sum_k"),
+        F.min("j.k").cast("long").alias("min_k"),
+        F.max("j.k").cast("long").alias("max_k"),
+    )
+
+
+@q(
+    "embedding_normalize",
+    """
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6)
+           ) AS unit_vec
+    FROM embeddings
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (extensions.similarity.l2_normalize):
+    cosine becomes a dot product downstream. Codegen array fold +
+    transform; oracle mirrors with list lambdas."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.l2_normalize(emb).select("vec_id", "unit_vec")
+
+
+@q(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+                ELSE list_transform(v, x -> 0) END AS qvec
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (extensions.similarity
+    .quantize_int8): 4x smaller vectors with per-vector scale. Both
+    engines round half-away-from-zero, so the quantized codes match
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(emb).select("vec_id", "scale", "qvec")

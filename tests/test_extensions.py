@@ -355,3 +355,25 @@ def test_kmv_sketch_merges(spark):
     assert merged == direct
     # and the estimate is in the right neighborhood of the 500 truth
     assert abs(direct - 500) / 500 < 0.5
+
+
+def test_l2_normalize_unit_norm(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.5, 0.0])], "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.unit_vec for r in sim.l2_normalize(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [1.0, 0.0]
+
+
+def test_quantize_int8_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in sim.quantize_int8(df).collect()}
+    assert rows[1].qvec == [127, -64, 32]  # scale = 1/127
+    assert max(abs(q) for q in rows[1].qvec) == 127
+    # dequantized max error is bounded by scale/2
+    scale = rows[1].scale
+    deq = [q * scale for q in rows[1].qvec]
+    assert all(abs(a - b) <= scale / 2 + 1e-9 for a, b in zip(deq, [1.0, -0.5, 0.25]))
+    assert rows[2].qvec == [0, 0, 0] and rows[2].scale == 0.0
