@@ -1309,3 +1309,51 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.quantize_int8(emb).select("vec_id", "scale", "qvec")
+
+
+@q(
+    "dedup_embedding_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clustering end-to-end: blocked cosine pairs
+    (extensions.dedup.embedding_near_dup_pairs — equi-join on the
+    coarse block, Arrow matmul inside blocks) closed transitively into
+    duplicate clusters (connected_components over the pair graph, each
+    pair its own bucket). Only vectors that appear in some pair are
+    labeled — the output is the dedup worklist, keyed by its
+    min-vec_id survivor. The oracle recomputes the same fixpoint as a
+    recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_near_dup_pairs(emb, block_col="label", threshold=0.3)
+    pid = F.concat_ws("|", F.col("vec_a"), F.col("vec_b"))
+    # Both incidence rows per pair in ONE pass (a two-branch union
+    # would recompute the Arrow pair-scoring subtree per branch —
+    # Spark has no automatic CTE reuse).
+    inc = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("node"), pid.alias("key")),
+                F.struct(F.col("vec_b").alias("node"), pid.alias("key")),
+            )
+        ).alias("s")
+    ).select("s.node", "s.key")
+    cc = dd.connected_components(inc)
+    return cc.select(F.col("node").alias("vec_id"), "cluster_id")
