@@ -1357,3 +1357,72 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.node", "s.key")
     cc = dd.connected_components(inc)
     return cc.select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+@q(
+    "rolling_7d_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n,
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+    FROM daily
+    """,
+)
+def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over the daily rollup — the time-series
+    smoothing every monitoring dashboard runs. The window is keyed by
+    event_type and slides over the day-grain AGGREGATE (365 rows/key/
+    year), never over raw facts; one groupBy shuffle + one keyed
+    window that reuses the same partitioning."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.avg("n").over(w), 4).alias("avg_7d"),
+    )
+
+
+@q(
+    "skew_profile",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM counts)
+    SELECT key, CAST(n AS BIGINT) AS n,
+           round(n / (SELECT total FROM tot) * 1.0, 6) AS share,
+           round(n / ((SELECT total FROM tot) * 1.0 / (SELECT n_keys FROM tot)), 4) AS x_mean
+    FROM counts
+    ORDER BY n DESC, key LIMIT 20
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic for join/agg key choice: top-20 keys by
+    row count with their share of the table and multiple-of-mean — the
+    numbers that decide between AQE skew-split and salted_join. Grand
+    totals are windows over the per-key AGGREGATE (key-cardinality-
+    sized); the top-20 is a TakeOrdered, not a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    enriched = counts.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w) * 1.0, 6).alias("share"),
+        F.round(F.col("n") / (F.sum("n").over(w) / F.count("*").over(w)), 4).alias("x_mean"),
+    )
+    return enriched.orderBy(F.col("n").desc(), "key").limit(20)
