@@ -28,6 +28,7 @@ ALLOW = {
     "union_inputs": ("double-scan", "union of two sources is two scans by definition"),
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
+    "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),
