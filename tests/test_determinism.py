@@ -1,0 +1,46 @@
+"""Partitioning-determinism tests: the driver's correctness gate
+hashes exact values, so every query must produce identical results
+regardless of shuffle-partition count or input layout. Floating-point
+aggregation order changes with partitioning — these tests catch any
+query whose rounding regime doesn't absorb that (the failure mode
+that would flake the oracle gate rather than fail deterministically).
+
+Representative set: one float-accumulating aggregate per family
+(histogram density, Poisson+BH scoring, minhash array fold, TF-IDF
+window, packing cumsum, KMV estimator).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+REPRESENTATIVE = [
+    "fragment_length_histogram",
+    "peak_call_bh",
+    "dedup_minhash_lsh",
+    "tf_idf_top_terms",
+    "pack_sequences",
+    "approx_ndv_kmv",
+    "rollup_time_bucket",
+    "interarrival_stats",
+]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_identical_across_shuffle_partitionings(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{name} differs across shuffle partitionings"
