@@ -1426,3 +1426,35 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / (F.sum("n").over(w) / F.count("*").over(w)), 4).alias("x_mean"),
     )
     return enriched.orderBy(F.col("n").desc(), "key").limit(20)
+
+
+@q(
+    "bloom_semi_reduce_join",
+    """
+    SELECT p.p_brand, count(*) AS n, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY 1
+    """,
+)
+def q_bloom_semi_reduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective join with Bloom semi-join reduction (ops.bloom): the
+    fact scan is pre-filtered by a kilobyte bitset over the selective
+    dim's keys (~2% of lineitem survives to the shuffle instead of
+    100%), then the exact join culls the bloom's false positives — so
+    the result is identical to the plain join the oracle runs, which
+    is precisely the operator's contract. The bitset build is one
+    map-side-combinable aggregation + a model-sized collect."""
+    from .ops import bloom as bl
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    reduced = bl.bloom_semi_reduce(li, p.select(F.col("p_partkey").alias("l_partkey")),
+                                   on="l_partkey", m_bits=1 << 12, k_hashes=5)
+    j = reduced.join(F.broadcast(p), reduced["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )

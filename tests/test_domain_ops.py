@@ -464,3 +464,20 @@ def test_uniform_sample_k_properties(spark):
     assert sizes == {"a": 5, "b": 4}
     s3 = {r.doc_id for r in cp.uniform_sample_k(df, ["lang"], "doc_id", k=3).collect()}
     assert s3 <= {r.doc_id for r in s5.collect()}
+
+
+def test_bloom_semi_reduce_no_false_negatives_and_reduces(spark):
+    """Every true match must survive the bloom prefilter; the
+    surviving set should be far smaller than the fact table for a
+    selective dim; exact join results are unchanged."""
+    from seqdatapipeline_spark.ops import bloom
+
+    fact = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 5000, 100)], "k long")  # 50 keys
+    reduced = bloom.bloom_semi_reduce(fact, dim, on="k", m_bits=1 << 14, k_hashes=5)
+    kept = {r.k for r in reduced.collect()}
+    true_keys = set(range(0, 5000, 100))
+    assert true_keys <= kept                       # no false negatives
+    assert len(kept) < 5000 * 0.1                  # real reduction (~1% fpp + 50 keys)
+    joined = reduced.join(dim, "k").count()
+    assert joined == 50                            # exact join unchanged
