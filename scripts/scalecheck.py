@@ -37,6 +37,7 @@ TABLES = {
     "documents": ("doc_id", 100_000_000),
     "embeddings": ("vec_id", 100_000_000),
     "events": ("event_id", 100_000_000),
+    "customer": ("c_custkey", 100_000_000),
 }
 
 OPS = [
@@ -63,6 +64,10 @@ OPS = [
     "scrub_pii",
     "repetition_metrics",
     "tf_idf_top_terms",
+    "bloom_semi_reduce_join",
+    "dedup_embedding_clusters",
+    "apply_changelog",
+    "embedding_normalize",
 ]
 
 

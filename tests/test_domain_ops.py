@@ -481,3 +481,18 @@ def test_bloom_semi_reduce_no_false_negatives_and_reduces(spark):
     assert len(kept) < 5000 * 0.1                  # real reduction (~1% fpp + 50 keys)
     joined = reduced.join(dim, "k").count()
     assert joined == 50                            # exact join unchanged
+
+
+def test_bloom_xxhash64_path_agrees(spark):
+    """The fast Spark-only hash path must also have zero false
+    negatives and an unchanged exact join result."""
+    from seqdatapipeline_spark.ops import bloom
+
+    fact = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 40)], "k long")
+    reduced = bloom.bloom_semi_reduce(
+        fact, dim, on="k", m_bits=1 << 13, k_hashes=5, hash_fn="xxhash64"
+    )
+    kept = {r.k for r in reduced.collect()}
+    assert set(range(0, 2000, 40)) <= kept
+    assert reduced.join(dim, "k").count() == 50
