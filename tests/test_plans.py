@@ -165,3 +165,66 @@ def test_zorder_key_locality_and_bounds(spark):
     # x=3 (0b11) -> 0b0101; y=5 (0b101) -> 0b100010; z = 0b100111 = 39
     assert got[(3, 5)] == 0b100111
     assert got[(4095, 4095)] == (1 << 24) - 1
+
+
+def test_zorder_sort_tightens_row_group_stats(spark, sf_dir):
+    """The point of Z-ordering: after sorting by the Morton key, each
+    parquet row group covers a small rectangle of the (partkey,
+    suppkey) space, so min/max statistics prune row groups for
+    predicates on EITHER dimension. Quantified via pyarrow metadata:
+    the mean per-row-group min/max span of both dimensions must shrink
+    by at least 2x versus the unsorted layout."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout
+    from seqdatapipeline_spark.registry import _t
+
+    # sf0.01 (60k rows): enough data that the 64 KiB row-group limit
+    # yields many groups (dictionary-encoded ints buffer tiny).
+    # two dimensions that BOTH span their domain (l_suppkey only
+    # reaches ~100 at this SF, which would leave its Morton bits inert)
+    li = _t(spark, "/root/testdata/sf0.01", "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("x"),
+        (F.col("l_orderkey") % 1024).alias("y"),
+    )
+    zkey = layout.zorder_key(["x", "y"], bits=10)
+
+    tmp = tempfile.mkdtemp()
+    plain, zsorted = os.path.join(tmp, "plain"), os.path.join(tmp, "zsorted")
+    # single output file each; small row groups so files hold many
+    rg = {
+        "parquet.block.size": str(16 * 1024),
+        "parquet.page.size": str(4 * 1024),
+        # plain encoding: dictionary-encoded ints buffer so small that
+        # the writer's size check never triggers a new row group
+        "parquet.enable.dictionary": "false",
+    }
+    li.coalesce(1).write.options(**rg).mode("overwrite").parquet(plain)
+    (
+        li.withColumn("z", zkey)
+        .coalesce(1)
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.options(**rg)
+        .mode("overwrite")
+        .parquet(zsorted)
+    )
+
+    def mean_span(path, col_idx):
+        f = pq.ParquetFile(glob.glob(os.path.join(path, "*.parquet"))[0])
+        spans = []
+        for i in range(f.metadata.num_row_groups):
+            s = f.metadata.row_group(i).column(col_idx).statistics
+            spans.append(s.max - s.min)
+        assert len(spans) >= 4, "need several row groups for a meaningful test"
+        return sum(spans) / len(spans)
+
+    for col_idx in (0, 1):  # x and y both must tighten
+        assert mean_span(zsorted, col_idx) * 2 < mean_span(plain, col_idx), (
+            f"zorder failed to tighten col {col_idx}"
+        )
