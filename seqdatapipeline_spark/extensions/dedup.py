@@ -138,6 +138,22 @@ def lsh_candidate_pairs(
     bucket self-join, so the (expensive) signature pipeline runs once.
     At real scale set ``max_bucket`` to drop degenerate mega-buckets
     (boilerplate bands shared by thousands of docs)."""
+    keyed = lsh_band_incidence(sig, id_col, num_hashes, band_size)
+    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
+
+
+def lsh_band_incidence(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """Signature → (id, band_key) incidence rows — the LSH bucket
+    membership list. Pairs come from it via _bucket_pairs; CLUSTERS
+    come from it directly (connected_components), without ever
+    enumerating pairs — a q-member bucket costs q rows per round
+    instead of q²/2 pairs, which is the form that survives boilerplate
+    mega-buckets at corpus scale."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -149,8 +165,7 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
-    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
+    return sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
 
 
 def minhash_dedup_pairs(

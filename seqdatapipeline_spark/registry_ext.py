@@ -39,9 +39,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+def _minhash_ctes(num_hashes: int = 12, band_size: int = 2) -> str:
     # Mirrors extensions.dedup.minhash_signature: K-M double hashing,
     # mh_j = min((h1 + j*h2) % 2^56) over the two 56-bit md5 halves.
+    # Returns the shared CTE body ending at `keyed` (doc, band_key)
+    # so pair and cluster oracles compose the same pipeline.
     mod = 1 << 56
     mh_cols = ",\n           ".join(
         f"min((h1 + {j} * h2) % {mod}) AS mh{j}" for j in range(num_hashes)
@@ -53,8 +55,7 @@ def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-    WITH sh AS ({_SHINGLES3}),
+    return f"""sh AS ({_SHINGLES3}),
     hh AS (
       SELECT doc_id,
              ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
@@ -69,7 +70,12 @@ def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
     bands AS (
 {band_selects}
     ),
-    keyed AS (SELECT DISTINCT doc_id, band_key FROM bands)
+    keyed AS (SELECT DISTINCT doc_id, band_key FROM bands)"""
+
+
+def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    return f"""
+    WITH {_minhash_ctes(num_hashes, band_size)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
@@ -1458,3 +1464,38 @@ def q_bloom_semi_reduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
     )
+
+
+def _minhash_cluster_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes(num_hashes, band_size)},
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS node FROM keyed),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@q("dedup_minhash_clusters", _minhash_cluster_oracle())
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH duplicate CLUSTERS — pairs are a report; clusters
+    are what dedup consumes (one canonical survivor per transitive
+    group). Goes straight from the band incidence to
+    connected_components WITHOUT enumerating pairs: a q-member
+    boilerplate bucket costs q rows per propagation round, not q²/2
+    pairs — the LSH clustering form that survives corpus-scale
+    mega-buckets. Every doc is labeled (singletons label themselves);
+    the oracle closes the same band graph with a recursive CTE."""
+    sig = dd.minhash_signature(
+        _t(spark, sf_dir, "documents"), num_hashes=12, shingle_n=3
+    )
+    inc = dd.lsh_band_incidence(sig, num_hashes=12, band_size=2)
+    cc = dd.connected_components(inc, node_col="doc_id", key_col="band_key")
+    return cc.select("doc_id", "cluster_id")
