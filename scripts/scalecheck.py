@@ -68,6 +68,7 @@ OPS = [
     "dedup_embedding_clusters",
     "apply_changelog",
     "embedding_normalize",
+    "dedup_minhash_clusters",
 ]
 
 
