@@ -30,6 +30,7 @@ ALLOW = {
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
     "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),
+    "decontaminate_ngram": ("double-scan", "demo uses documents as both corpus and stand-in eval set; in production bench is a separate MB-sized table (one scan each)"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),
     "multimodal_meta": ("double-scan", "payload + metadata branches"),

@@ -175,6 +175,82 @@ def mix_resample(
     ).withColumn("epoch", F.col("epoch").cast("long"))
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out eval/benchmark set (the overlap check
+    GPT-3/PaLM-style pipelines run before training so eval scores
+    aren't memorization artifacts).
+
+    Returns (id, n_shared) for contaminated docs only — ``n_shared``
+    = number of distinct benchmark n-grams the doc contains; callers
+    anti-join it against the corpus to drop (or mask) the hits.
+
+    Scale contract: the benchmark side is eval-set-sized (MBs against
+    a 100 TB corpus), so its distinct-gram set is explicitly
+    ``broadcast()`` — the exploded train side map-side hash-probes it
+    with NO shuffle of the exploded rows; the only shuffle is the
+    map-side-combinable groupBy on doc id, which carries at most one
+    row per (contaminated doc, gram hit). An eval set too big for one
+    broadcast gets chunked and unioned — overlap-with-any distributes
+    over union."""
+    from .dedup import word_shingles
+
+    bench_grams = (
+        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = fan_out(train, id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    # Both sides are distinct per key (word_shingles dedups per doc),
+    # so count(*) after the join = |distinct shared n-grams|.
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: the final
+    pass that fixes a reproducible training order. Each row gets
+    ``shard`` = hash-bucket of (seed, id) and ``pos`` = its rank in
+    hash order within the shard; changing ``seed`` draws a fresh
+    independent permutation, and every run / engine / partition layout
+    agrees on the result (unlike ``orderBy(rand())``).
+
+    Scale contract: md5 is computed in one narrow projection; the
+    only shuffle is the window's hash partition on ``shard``, and each
+    window partition sees 1/n_shards of the corpus — there is NO
+    global sort. The physical writer mirrors the logical op:
+    ``repartition(n_shards, "shard").sortWithinPartitions("pos")``
+    streams each shard to its file in order."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    d = fan_out(df, id_col).select(
+        F.col(id_col), shard.alias("shard"), h.alias("__h")
+    )
+    w = Window.partitionBy("shard").orderBy("__h")
+    return d.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def uniform_sample_k(
     df: DataFrame,
     group_cols: list[str],

@@ -1082,6 +1082,69 @@ def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "decontaminate_ngram",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+      FROM t
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM g
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 < 5
+    )
+    SELECT doc_id, count(*) AS n_shared
+    FROM g
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 100 >= 5
+      AND gram IN (SELECT gram FROM bench)
+    GROUP BY 1
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (extensions.corpus.decontaminate):
+    an md5-gated 5% of documents stands in for the held-out eval set;
+    training docs sharing any word 4-gram with it are flagged with
+    their distinct-overlap count. The eval side is broadcast — the
+    exploded corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 100
+    )
+    bench = d.filter(gate < 5)
+    train = d.filter(gate >= 5)
+    return cp.decontaminate(train, bench, n=4)
+
+
+@q(
+    "shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hh, 1, 14)) AS BIGINT) % 16 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(hh, 1, 14)) AS BIGINT) % 16
+             ORDER BY hh) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle
+    (extensions.corpus.shuffle_shards): every (run, engine, partition
+    layout) agrees on shard and position; no global sort — each
+    window partition holds 1/16 of the corpus."""
+    return cp.shuffle_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", n_shards=16, seed="42"
+    )
+
+
+@q(
     "funnel_conversion",
     """
     WITH stages AS (

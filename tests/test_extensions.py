@@ -377,3 +377,46 @@ def test_quantize_int8_roundtrip(spark):
     deq = [q * scale for q in rows[1].qvec]
     assert all(abs(a - b) <= scale / 2 + 1e-9 for a, b in zip(deq, [1.0, -0.5, 0.25]))
     assert rows[2].qvec == [0, 0, 0] and rows[2].scale == 0.0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing a 4-gram with the bench set is flagged with
+    the right distinct-overlap count; clean docs are absent."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two distinct bench 4-grams (positions 1-4 and 2-5)
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # shares zero 4-grams (only a 3-gram overlap)
+            (2, "beta gamma delta xxx yyy zzz www"),
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in cp.decontaminate(train, bench, n=4).collect()}
+    assert got == {1: 2}
+
+
+def test_shuffle_shards_is_permutation_and_seed_sensitive(spark, sf_dir):
+    """Every doc appears exactly once, pos is dense 1..N per shard,
+    and a different seed draws a different permutation while the same
+    seed reproduces exactly."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = cp.shuffle_shards(docs, "doc_id", n_shards=8, seed="42").collect()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = cp.shuffle_shards(docs, "doc_id", n_shards=8, seed="42").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, again))
+    other = cp.shuffle_shards(docs, "doc_id", n_shards=8, seed="7").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, other))
