@@ -228,3 +228,40 @@ def test_zorder_sort_tightens_row_group_stats(spark, sf_dir):
         assert mean_span(zsorted, col_idx) * 2 < mean_span(plain, col_idx), (
             f"zorder failed to tighten col {col_idx}"
         )
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the join key by write_bucketed join with
+    zero shuffle exchanges (the layout pre-paid the shuffle), and a
+    groupBy on the bucket key aggregates without a repartition.
+    Broadcast is disabled so the test can't pass by broadcasting."""
+    from seqdatapipeline_spark.io import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        layout.write_bucketed(li, "t_li_bucketed", "l_orderkey", n_buckets=8)
+        layout.write_bucketed(od, "t_od_bucketed", "o_orderkey", n_buckets=8)
+        bl, bo = spark.table("t_li_bucketed"), spark.table("t_od_bucketed")
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # same rows as the un-bucketed join
+        plain = li.join(od, li.l_orderkey == od.o_orderkey)
+        assert j.count() == plain.count()
+        agg = bl.groupBy("l_orderkey").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
