@@ -31,6 +31,8 @@ ALLOW = {
     "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),
     "decontaminate_ngram": ("double-scan", "demo uses documents as both corpus and stand-in eval set; in production bench is a separate MB-sized table (one scan each)"),
+    "dq_violations": ("scans=", "each rule is an independent check (anti-join / group-having / filter) over its table; rule count is O(10) and fixed, not data-sized"),
+    "fuzzy_match_pairs": ("double-scan", "blocked self-join: the table is both sides by definition"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),
     "multimodal_meta": ("double-scan", "payload + metadata branches"),

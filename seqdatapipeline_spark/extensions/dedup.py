@@ -407,3 +407,45 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(node_col), F.col("comp").alias("cluster_id"))
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate pairs
+    share a blocking key, survivors are within ``max_dist`` edit
+    distance. The classic record-linkage shape — customer/supplier
+    name dedup, near-identical identifiers — where an all-pairs
+    levenshtein over the table is quadratic and impossible, but a
+    good blocking key (prefix, soundex, sorted-token signature) bounds
+    each comparison set to a bucket.
+
+    Scale contract: the self-join is an EQUI-join on the block key —
+    pair explosion is bounded by max bucket size squared, never |T|².
+    Levenshtein runs JVM-side in codegen on the surviving candidates
+    only. Skewed blocks are the operator's known hazard: profile with
+    skew_profile and tighten the key (or salt-and-recheck) before
+    running corpus-wide. Output: (id_a, id_b, dist), id_a < id_b."""
+    keyed = df.select(
+        F.col(id_col), F.col(name_col), block.alias("__blk")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__blk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__na"), F.col("__nb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -1,0 +1,100 @@
+"""Data-quality operators: the gate a production pipeline runs before
+publishing a batch — column profiling (the stats a human checks first)
+and rule-based validation (the counts a scheduler alerts on).
+
+Reference parity note: the reference pipelines validate inputs ad hoc
+(arity checks, nonzero-size checks — parserTools.py:44-91,
+pipelineParser.py:45-55); this module is the systematic generalization
+a 100 TB store needs: every check is a full-scan aggregate with
+map-side partial aggregation or an anti-join that AQE can broadcast —
+never a driver-side loop over rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(
+    df: DataFrame,
+    num_cols: list[str] = (),
+    str_cols: list[str] = (),
+) -> DataFrame:
+    """Per-column profile: row count, null count, exact NDV, and
+    min/max (numeric columns in ``min_num``/``max_num``, string-ish
+    columns — including dates/timestamps, cast after the min/max —
+    in ``min_str``/``max_str``).
+
+    One wide aggregate computes every statistic in a single pass over
+    the table (the distinct counts share one Expand-based aggregation),
+    then a constant-sized explode pivots the single result row into
+    one row per column — the profile itself never re-scans. At 100 TB
+    swap ``approx_count_distinct`` in for exact NDV if a 2% error is
+    acceptable; everything else is map-side combinable either way."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in list(num_cols) + list(str_cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__ndv_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+
+    def _row(c: str, numeric: bool):
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+            F.col(f"__ndv_{c}").alias("ndv"),
+            (F.col(f"__min_{c}") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"__max_{c}") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if numeric else F.col(f"__min_{c}")).alias("min_str"),
+            (F.lit(None).cast("string") if numeric else F.col(f"__max_{c}")).alias("max_str"),
+        )
+
+    rows = [_row(c, True) for c in num_cols] + [_row(c, False) for c in str_cols]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def pk_duplicates(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Primary-key violations: one row per key value appearing more
+    than once, with its multiplicity. Map-side-combinable groupBy."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Foreign-key violations: child rows whose key has no parent —
+    a LEFT ANTI join, which AQE turns into a broadcast probe whenever
+    the parent's key projection fits, and a shuffled null-skipping
+    hash join otherwise. (Null child keys are not orphans, matching
+    SQL FK semantics.)"""
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return child.filter(F.col(child_key).isNotNull()).join(
+        p, on=(F.col(child_key) == F.col("__pk")), how="left_anti"
+    )
+
+
+def dq_counts(rules: dict[str, DataFrame]) -> DataFrame:
+    """Fold named violation sets into one (rule, n_violations) report
+    — the artifact a batch gate asserts on (`all counts == 0` to
+    publish). Each rule contributes a 1-row count aggregate; the
+    union of single-row plans is scheduler noise, not data volume."""
+    parts = [
+        v.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+        for name, v in sorted(rules.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)

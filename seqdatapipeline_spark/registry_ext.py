@@ -1145,6 +1145,113 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "table_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null, count(DISTINCT o_orderkey) AS ndv,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of `orders` (ops.quality.table_profile): count /
+    nulls / exact NDV / min-max per column, all from ONE pass — the
+    pre-publish stats a batch gate records. The oracle's five scans
+    union to the same values."""
+    from .ops import quality as dq
+
+    return dq.table_profile(
+        _t(spark, sf_dir, "orders"),
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderdate"],
+    )
+
+
+@q(
+    "dq_violations",
+    """
+    SELECT 'fk_lineitem_orders' AS rule, count(*) AS n_violations
+    FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'fk_orders_customer', count(*)
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'pk_unique_orders', count(*)
+    FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'price_range_1k_450k', count(*)
+    FROM orders WHERE o_totalprice < 1000 OR o_totalprice > 450000
+    """,
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based validation report (ops.quality.dq_counts): two FK
+    orphan checks (anti-joins), a PK uniqueness check, and a value
+    range rule — the publish gate asserts all counts are zero (the
+    range rule fires on ~1% here, proving the gate detects)."""
+    from .ops import quality as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return dq.dq_counts(
+        {
+            "fk_lineitem_orders": dq.fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey"),
+            "fk_orders_customer": dq.fk_orphans(orders, customer, "o_custkey", "c_custkey"),
+            "pk_unique_orders": dq.pk_duplicates(orders, ["o_orderkey"]),
+            "price_range_1k_450k": orders.filter(
+                (F.col("o_totalprice") < 1000) | (F.col("o_totalprice") > 450000)
+            ),
+        }
+    )
+
+
+@q(
+    "fuzzy_match_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, len(c_name) - 2) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution (extensions.dedup.fuzzy_match_pairs):
+    customer names within edit distance 1, candidates bounded by a
+    shared name-prefix block — an equi-join self-match, never an
+    all-pairs levenshtein."""
+    c = _t(spark, sf_dir, "customer")
+    return dd.fuzzy_match_pairs(
+        c,
+        "c_custkey",
+        "c_name",
+        block=F.expr("substr(c_name, 1, length(c_name) - 2)"),
+        max_dist=1,
+    )
+
+
+@q(
     "funnel_conversion",
     """
     WITH stages AS (

@@ -420,3 +420,69 @@ def test_shuffle_shards_is_permutation_and_seed_sensitive(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, again))
     other = cp.shuffle_shards(docs, "doc_id", n_shards=8, seed="7").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, other))
+
+
+def test_quality_gate_finds_planted_violations(spark):
+    """Planted orphans, duplicate keys, and range breaches are each
+    counted by their rule; clean rules report zero; null FKs are not
+    orphans (SQL FK semantics)."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops import quality as dq
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id long, fk long"
+    )
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    got = {
+        r.rule: r.n_violations
+        for r in dq.dq_counts(
+            {
+                "fk": dq.fk_orphans(child, parent, "fk", "pk"),
+                "pk": dq.pk_duplicates(dup, ["k"]),
+                "rng": child.filter(F.col("id") > 100),
+            }
+        ).collect()
+    }
+    assert got == {"fk": 1, "pk": 1, "rng": 0}
+
+
+def test_table_profile_stats(spark):
+    """Profile of a toy table: nulls, exact NDV, numeric vs string
+    min/max routing."""
+    from seqdatapipeline_spark.ops import quality as dq
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a")], "x long, s string"
+    )
+    rows = {r.col_name: r for r in dq.table_profile(df, ["x"], ["s"]).collect()}
+    x, s = rows["x"], rows["s"]
+    assert (x.n, x.n_null, x.ndv, x.min_num, x.max_num) == (3, 0, 2, 1.0, 2.0)
+    assert (x.min_str, x.max_str) == (None, None)
+    assert (s.n, s.n_null, s.ndv, s.min_str, s.max_str) == (3, 1, 2, "a", "b")
+    assert (s.min_num, s.max_num) == (None, None)
+
+
+def test_fuzzy_match_blocked_pairs(spark):
+    """Within-block pairs at edit distance <= 1 are found; cross-block
+    near-identical names are (deliberately) not compared."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith"),
+            (2, "smyth"),   # dist 1, same block 's'
+            (3, "smithe"),  # dist 1 from smith, same block
+            (4, "zmith"),   # dist 1 from smith but block 'z' — never compared
+            (5, "stone"),   # same block, dist > 1 from all
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in dd.fuzzy_match_pairs(
+            df, "id", "name", block=F.substring("name", 1, 1), max_dist=1
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1}
