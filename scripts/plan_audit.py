@@ -29,6 +29,7 @@ ALLOW = {
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
     "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
+    "mixture_weights": ("global-window", "normalizing sum runs over the per-source aggregate (source-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),
     "decontaminate_ngram": ("double-scan", "demo uses documents as both corpus and stand-in eval set; in production bench is a separate MB-sized table (one scan each)"),
     "dq_violations": ("scans=", "each rule is an independent check (anti-join / group-having / filter) over its table; rule count is O(10) and fixed, not data-sized"),

@@ -274,3 +274,36 @@ def uniform_sample_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: per-source token counts and
+    the sampling weight ``n_tokens^alpha / sum(n_tokens^alpha)`` —
+    the multinomial that upsamples scarce sources (alpha < 1 flattens
+    the natural distribution; alpha = 1 keeps it; alpha = 0 is
+    uniform). This computes the rates that ``mix_resample`` consumes:
+    weight / share > 1 means the source is repeated.
+
+    One map-side-combinable groupBy over the corpus; the normalizing
+    sum runs in an unpartitioned window over the per-source aggregate
+    — source-cardinality-sized (tens of rows), never the corpus.
+    Shares and weights are rounded to 6 so downstream threshold
+    comparisons are engine-stable."""
+    per = fan_out(docs).groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    return per.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("share"),
+        F.round(powed / F.sum(powed).over(w), 6).alias("weight"),
+    )

@@ -236,3 +236,47 @@ def _kmv_estimate(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame
             ).alias("ndv_est"),
         )
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Item co-occurrence matrix ("users who had A also had B"): for
+    every unordered item pair sharing a group (user/session/basket),
+    the number of groups containing both. The substrate of
+    co-view/also-bought recommenders and co-click similarity.
+
+    Pair generation happens INSIDE each group from a sorted distinct
+    item array (one groupBy, same idiom as the LSH bucket pairs) —
+    never a self-join of the event table, which would scan and shuffle
+    it twice. Cost is bounded by sum(per-group distinct items²);
+    ``max_group`` is the heavy-user cap every production co-occurrence
+    job needs — a bot with 10⁵ items contributes 10¹⁰ pairs of pure
+    noise; dropping such groups changes recommendations negligibly and
+    caps the blowup. Output: (item_a, item_b, n_groups), item_a <
+    item_b."""
+    items = df.select(group_col, item_col).distinct()
+    grouped = (
+        items.groupBy(group_col)
+        .agg(F.array_sort(F.collect_set(item_col)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    pairs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )

@@ -1145,6 +1145,65 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cooccurrence_counts",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events WHERE event_type = 'view'
+    ),
+    capped AS (
+      SELECT user_id FROM ui GROUP BY user_id HAVING count(*) BETWEEN 2 AND 50
+    )
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_groups
+    FROM ui a
+    JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+    WHERE a.user_id IN (SELECT user_id FROM capped)
+    GROUP BY 1, 2
+    """,
+)
+def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-view matrix (ops.aggregates.cooccurrence_counts): item pairs
+    viewed by the same user with group counts — pairs generated inside
+    each user's sorted item array (one groupBy), never a self-join of
+    the event table; heavy users capped at 50 items. The oracle IS the
+    self-join formulation — same values, different physical strategy."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .ops import aggregates as agg
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    ui = e.withColumn(
+        "j", F.from_json(F.col("props"), StructType([StructField("k", LongType())]))
+    ).select("user_id", F.col("j.k").alias("item"))
+    return agg.cooccurrence_counts(ui, "user_id", "item", max_group=50)
+
+
+@q(
+    "mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS share,
+           round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER (), 6) AS weight
+    FROM s
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights
+    (extensions.corpus.mixture_weights, alpha=0.5): the per-source
+    sampling multinomial that mix_resample consumes — scarce sources
+    get weight > share. The normalizing window runs over the
+    source-cardinality aggregate, never the corpus."""
+    return cp.mixture_weights(
+        _t(spark, sf_dir, "documents"), "source", alpha=0.5
+    )
+
+
+@q(
     "table_profile",
     """
     SELECT 'o_orderkey' AS col_name, count(*) AS n,

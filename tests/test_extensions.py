@@ -486,3 +486,40 @@ def test_fuzzy_match_blocked_pairs(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1, (1, 3): 1}
+
+
+def test_cooccurrence_counts_and_heavy_cap(spark):
+    """Pair counts match the by-hand matrix; duplicate events don't
+    double-count; a group over the cap contributes nothing."""
+    from seqdatapipeline_spark.ops import aggregates as agg
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "a"), ("u1", "b"), ("u1", "b"),  # dup (u1,b) ignored
+            ("u2", "a"), ("u2", "b"), ("u2", "c"),
+            ("u3", "a"), ("u3", "b"), ("u3", "c"), ("u3", "d"),  # capped out
+        ],
+        "user string, item string",
+    )
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in agg.cooccurrence_counts(df, "user", "item", max_group=3).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_mixture_weights_flatten_and_normalize(spark):
+    """alpha=0.5 pulls weights toward uniform relative to shares, and
+    both columns sum to 1."""
+    from seqdatapipeline_spark.extensions import corpus as cp
+
+    df = spark.createDataFrame(
+        [("big", "w " * 99 + "w"), ("small", "w")], "source string, text string"
+    )
+    rows = {r.source: r for r in cp.mixture_weights(df, "source", alpha=0.5).collect()}
+    assert rows["big"].n_tokens == 100 and rows["small"].n_tokens == 1
+    assert abs(rows["big"].share + rows["small"].share - 1.0) < 1e-9
+    assert abs(rows["big"].weight + rows["small"].weight - 1.0) < 1e-9
+    # flattening: the scarce source is upweighted relative to its share
+    assert rows["small"].weight > rows["small"].share
+    assert abs(rows["small"].weight - 1 / 11) < 1e-6  # 1 / (10 + 1)
