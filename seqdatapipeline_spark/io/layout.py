@@ -84,32 +84,3 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    key: str,
-    n_buckets: int = 32,
-    sorted_buckets: bool = True,
-    mode: str = "overwrite",
-) -> None:
-    """Bucketed-table writer: hash-cluster rows into ``n_buckets``
-    files by ``key`` (optionally sorted within each bucket) via
-    ``bucketBy`` + ``saveAsTable``. Bucketing bakes the shuffle INTO
-    THE LAYOUT: two tables bucketed by the same key with the same
-    bucket count join with NO Exchange on either side — the join
-    every pipeline runs per-batch (fact ⋈ fact on a key too big to
-    broadcast) pays its shuffle once at write time instead of on
-    every read. Same story for ``groupBy(key)``: partial aggregation
-    feeds straight into the final without a repartition.
-
-    At 100 TB this is THE strategy for the repeated big-big join:
-    shuffle cost moves out of the query path entirely, and sorted
-    buckets additionally let sort-merge join skip its sort. Spark
-    requires bucketed data to be table-managed (``saveAsTable``, not
-    path ``parquet()``) so the bucket spec survives in the catalog."""
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
-    if sorted_buckets:
-        w = w.sortBy(key)
-    w.saveAsTable(table)

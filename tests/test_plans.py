@@ -235,7 +235,7 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_dir):
     zero shuffle exchanges (the layout pre-paid the shuffle), and a
     groupBy on the bucket key aggregates without a repartition.
     Broadcast is disabled so the test can't pass by broadcasting."""
-    from seqdatapipeline_spark.io import layout
+    from seqdatapipeline_spark.io import sinks
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity"
@@ -247,8 +247,12 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        layout.write_bucketed(li, "t_li_bucketed", "l_orderkey", n_buckets=8)
-        layout.write_bucketed(od, "t_od_bucketed", "o_orderkey", n_buckets=8)
+        sinks.write_bucketed(
+            li, "t_li_bucketed", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"]
+        )
+        sinks.write_bucketed(
+            od, "t_od_bucketed", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"]
+        )
         bl, bo = spark.table("t_li_bucketed"), spark.table("t_od_bucketed")
         j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
