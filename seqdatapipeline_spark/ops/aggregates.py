@@ -10,7 +10,7 @@ row through one task at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -279,4 +279,34 @@ def cooccurrence_counts(
         grouped.select(F.explode(pairs).alias("p"))
         .groupBy("p.item_a", "p.item_b")
         .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key least-squares trend: slope = covar_pop(x,y)/var_pop(x)
+    and the fitted intercept — the one-pass linear regression that
+    turns a metric's history into a direction (drift detection,
+    capacity forecasting) without any iterative fitting.
+
+    covar/var are single-pass map-side-combinable aggregates, so the
+    whole operator is one groupBy at any scale. Callers should shift
+    ``x`` to a data-scale origin (e.g. days since a fixed recent
+    epoch): slope is shift-invariant mathematically, and a small |x|
+    keeps the accumulated floating error orders below the rounding
+    regime. Keys with zero x-variance yield NULL slope."""
+    xx, yy = x.cast("double"), y.cast("double")
+    d = df.select(*key_cols, xx.alias("__x"), yy.alias("__y"))
+    slope = F.covar_pop("__x", "__y") / F.var_pop("__x")
+    return d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.var_pop("__x") > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            F.var_pop("__x") > 0,
+            F.round(F.avg("__y") - slope * F.avg("__x"), 6),
+        ).alias("intercept"),
     )

@@ -218,3 +218,37 @@ def peak_call(
         F.sum(count_col).alias("pileup"),
         F.min("pval").alias("min_pval"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation is
+    weighted by how long it was "in effect" — the duration until the
+    next event — so a metric sampled irregularly averages correctly
+    (a plain avg over-weights bursts). The last observation per key
+    has no successor and carries no weight, standard TWAP-over-window
+    semantics.
+
+    One keyed window (lead) sharing its shuffle with the groupBy —
+    cost is one pass regardless of per-key history length. Output:
+    (keys, n_intervals, span_s, twav); keys whose events all share one
+    timestamp have zero total weight and a NULL twav."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    t = F.col(ts_col).cast("double")
+    dt = F.lead(t).over(w) - t
+    d = df.withColumn("__dt", dt).filter(F.col("__dt").isNotNull())
+    wsum = F.sum("__dt")
+    return d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(wsum, 4).alias("span_s"),
+        F.when(
+            wsum > 0,
+            F.round(F.sum(F.col(value_col) * F.col("__dt")) / wsum, 6),
+        ).alias("twav"),
+    )

@@ -1145,6 +1145,71 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "time_weighted_avg",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(dt), 4) AS span_s,
+           CASE WHEN sum(dt) > 0 THEN round(sum(value * dt) / sum(dt), 6) END AS twav
+    FROM d WHERE dt IS NOT NULL GROUP BY 1
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of the event value (ops.windows.time_weighted_avg)
+    — each observation weighted by its time-in-effect, the correct
+    average for irregularly sampled metrics. Keyed lead window with a
+    deterministic event_id tie-break; one shuffle shared with the
+    groupBy."""
+    from .ops import windows as wn
+
+    return wn.time_weighted_avg(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+@q(
+    "trend_slope",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch(ts) / 86400.0 - 10000 AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN var_pop(x) > 0
+                THEN round(covar_pop(x, y) / var_pop(x), 6) END AS slope,
+           CASE WHEN var_pop(x) > 0
+                THEN round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) END
+             AS intercept
+    FROM d GROUP BY 1
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value drift (ops.aggregates.trend_slope): a
+    one-pass least-squares fit of value against time in days (shifted
+    to a data-scale origin so float accumulation stays far below the
+    rounding regime). No iteration — covar/var are map-side-combinable
+    aggregates."""
+    from .ops import aggregates as agg
+
+    e = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / 86400.0 - 10000
+    return agg.trend_slope(e, ["event_type"], x, F.col("value"))
+
+
+@q(
     "cooccurrence_counts",
     """
     WITH ui AS (

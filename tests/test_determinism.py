@@ -25,6 +25,8 @@ REPRESENTATIVE = [
     "approx_ndv_kmv",
     "rollup_time_bucket",
     "interarrival_stats",
+    "time_weighted_avg",
+    "trend_slope",
 ]
 
 

@@ -496,3 +496,47 @@ def test_bloom_xxhash64_path_agrees(spark):
     kept = {r.k for r in reduced.collect()}
     assert set(range(0, 2000, 40)) <= kept
     assert reduced.join(dim, "k").count() == 50
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """TWAP weights each value by its duration-in-effect; the last
+    observation carries no weight; a single-event key disappears (no
+    intervals); an all-same-timestamp key yields NULL twav."""
+    from seqdatapipeline_spark.ops import windows as wn
+
+    df = spark.createDataFrame(
+        [
+            # key a: value 10 held 2s, value 20 held 8s -> (20+160)/10 = 18
+            ("a", 0.0, 10.0, 1), ("a", 2.0, 20.0, 2), ("a", 10.0, 99.0, 3),
+            ("b", 5.0, 7.0, 1),                       # single event: dropped
+            ("c", 3.0, 1.0, 1), ("c", 3.0, 9.0, 2),   # zero span: NULL twav
+        ],
+        "k string, t double, value double, eid long",
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    rows = {
+        r.k: r
+        for r in wn.time_weighted_avg(
+            df, ["k"], ts_col="ts", value_col="value", tiebreak_col="eid"
+        ).collect()
+    }
+    assert set(rows) == {"a", "c"}
+    assert rows["a"].n_intervals == 2 and rows["a"].span_s == 10.0
+    assert rows["a"].twav == 18.0
+    assert rows["c"].span_s == 0.0 and rows["c"].twav is None
+
+
+def test_trend_slope_recovers_line(spark):
+    """An exact linear series returns its slope/intercept; zero
+    x-variance yields NULLs."""
+    from seqdatapipeline_spark.ops import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("up", float(x), 3.0 * x + 2.0) for x in range(10)]
+        + [("flatx", 5.0, 1.0), ("flatx", 5.0, 9.0)],
+        "k string, x double, y double",
+    )
+    rows = {
+        r.k: r for r in agg.trend_slope(df, ["k"], F.col("x"), F.col("y")).collect()
+    }
+    assert rows["up"].slope == 3.0 and rows["up"].intercept == 2.0
+    assert rows["flatx"].slope is None and rows["flatx"].intercept is None
