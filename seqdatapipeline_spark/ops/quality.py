@@ -98,3 +98,30 @@ def dq_counts(rules: dict[str, DataFrame]) -> DataFrame:
         for name, v in sorted(rules.items())
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns — the
+    profiling step after ``table_profile`` (which columns are
+    redundant, which move together). All C(n,2) correlations are
+    aggregates in ONE wide groupBy-less pass over the table; the
+    output is pair-count-sized. Rounded to 6 so the accumulation
+    order (which varies with partitioning) can't leak into results.
+    At 100 TB the single pass is the point: n(n-1)/2 separate
+    ``df.stat.corr`` calls would each rescan the table."""
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            names.append((a, b))
+            aggs.append(F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"__c_{a}_{b}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{a}_{b}").alias("corr"),
+        )
+        for a, b in names
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

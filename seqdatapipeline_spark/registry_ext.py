@@ -1308,6 +1308,30 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corr_matrix",
+    """
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (ops.quality.corr_matrix) over
+    lineitem's numeric columns: all pairs from ONE pass (the oracle's
+    three scans union to the same values); quantity~price correlate,
+    discount doesn't."""
+    from .ops import quality as dq
+
+    return dq.corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@q(
     "dq_violations",
     """
     SELECT 'fk_lineitem_orders' AS rule, count(*) AS n_violations

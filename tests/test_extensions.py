@@ -523,3 +523,18 @@ def test_mixture_weights_flatten_and_normalize(spark):
     # flattening: the scarce source is upweighted relative to its share
     assert rows["small"].weight > rows["small"].share
     assert abs(rows["small"].weight - 1 / 11) < 1e-6  # 1 / (10 + 1)
+
+
+def test_corr_matrix_known_correlations(spark):
+    """Perfectly correlated, anti-correlated, and independent pairs
+    produce 1, -1, and ~0 from a single-pass aggregate."""
+    from seqdatapipeline_spark.ops import quality as dq
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -3.0 * i, float(i % 2)) for i in range(20)],
+        "a double, b double, c double, d double",
+    )
+    got = {(r.col_a, r.col_b): r.corr for r in dq.corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == 1.0 and got[("a", "c")] == -1.0
+    assert abs(got[("a", "d")]) < 0.2
+    assert len(got) == 6
