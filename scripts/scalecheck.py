@@ -69,6 +69,16 @@ OPS = [
     "apply_changelog",
     "embedding_normalize",
     "dedup_minhash_clusters",
+    "decontaminate_ngram",
+    "shuffle_shards",
+    "fuzzy_match_pairs",
+    "table_profile",
+    "dq_violations",
+    "cooccurrence_counts",
+    "mixture_weights",
+    "time_weighted_avg",
+    "trend_slope",
+    "corr_matrix",
 ]
 
 
