@@ -29,6 +29,8 @@ ALLOW = {
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
     "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
+    "anomaly_zscore": ("double-scan", "stats pass + broadcast-joined probe pass: the scale-correct form (a per-type window would one-task each group)"),
+    "equidepth_bins": (("BNLJ", "double-scan"), "one-row quantile bounds broadcast-crossed into the binning scan: O(1) BNLJ by construction"),
     "mixture_weights": ("global-window", "normalizing sum runs over the per-source aggregate (source-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),
     "decontaminate_ngram": ("double-scan", "demo uses documents as both corpus and stand-in eval set; in production bench is a separate MB-sized table (one scan each)"),

@@ -79,6 +79,13 @@ OPS = [
     "time_weighted_avg",
     "trend_slope",
     "corr_matrix",
+    "dataset_split",
+    "chunk_documents",
+    "clean_text",
+    "bigram_counts",
+    "anomaly_zscore",
+    "equidepth_bins",
+    "topk_per_group",
 ]
 
 

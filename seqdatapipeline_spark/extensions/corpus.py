@@ -307,3 +307,87 @@ def mixture_weights(
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("share"),
         F.round(powed / F.sum(powed).over(w), 6).alias("weight"),
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ratios: tuple[tuple[str, int], ...] = (("train", 80), ("valid", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic hash-based train/valid/test assignment: bucket =
+    md5(id) mod 100, split = the ratio band the bucket falls in. The
+    split is a pure row-wise function of the id — no shuffle, no state,
+    stable under reruns, partition layout, and data growth (a doc never
+    migrates between splits when the corpus grows, which random-split
+    approaches can't guarantee). md5 keeps the gate engine-portable.
+
+    ``ratios`` are integer percents summing to <= 100; any remainder
+    falls into the last split."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10).cast("long")
+        % 100
+    )
+    expr = F.lit(ratios[-1][0])
+    cum = 0
+    conds = []
+    for name, pct in ratios[:-1]:
+        cum += pct
+        conds.append((cum, name))
+    for cum, name in reversed(conds):
+        expr = F.when(bucket < cum, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks (the RAG / context-window
+    preprocessing pass): chunk k covers [k*stride, k*stride + size).
+    One narrow explode per document — output rows ~= chars/stride, no
+    shuffle at all; at 100 TB this is a pure map stage whose output
+    feeds the embedding/packing stages downstream.
+
+    Empty documents emit one empty chunk (start index 0) so every doc
+    survives into the chunk table. Guard: Spark's sequence(0, -1)
+    yields [0, -1] (auto negative step), hence the greatest(len-1, 0)
+    clamp mirrored in the oracle."""
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        fan_out(docs, id_col)
+        .select(F.col(id_col), F.col(text_col), F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.substring(F.col(text_col), F.col("__start") + 1, size).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus n-gram language-model counts: every (non-distinct) word
+    n-gram with its corpus frequency, top-N by (count desc, gram asc).
+    The wordcount shape — explode + map-side-combinable groupBy — so
+    it scales linearly; the orderBy+limit is a TakeOrdered over the
+    bounded vocabulary, never a global sort of the corpus. Documents
+    shorter than n words contribute nothing (the when-guard avoids
+    Spark's sequence(1, 0) -> [1, 0] negative-step surprise)."""
+    w = F.split(F.col(text_col), " ")
+    hi = (F.size(w) - (n - 1)).cast("int")
+    idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
+    grams = fan_out(docs).select(F.explode(F.transform(idx, gram)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(top_n)

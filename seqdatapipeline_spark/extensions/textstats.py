@@ -163,3 +163,26 @@ def repetition_metrics(
             F.lit(1.0) - F.first("__n_uniq") / F.first("__n_lines"), 6
         ).alias("dup_line_frac"),
     )
+
+
+def clean_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """HTML/markup stripping + whitespace normalization — the first
+    pass of every web-scrape ingestion pipeline: drop tags, decode the
+    common entities, collapse runs of whitespace, trim. Pure row-wise
+    JVM regex (no UDF), so it rides inside whole-stage codegen and
+    costs one scan at any scale. Patterns stay in the Java-regex ∩ RE2
+    dialect so the DuckDB oracle replays them byte-identically."""
+    t = F.regexp_replace(F.col(text_col), "<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, rep)
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    return df.select(
+        id_col,
+        t.alias(out_col),
+        F.length(t).cast("long").alias("n_chars_clean"),
+    )

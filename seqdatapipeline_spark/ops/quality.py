@@ -125,3 +125,69 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for a, b in names
     ]
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score outliers: flag rows whose value sits more than
+    ``threshold`` sample standard deviations from their group mean.
+
+    Deliberately NOT a window partitioned by the group key — a
+    low-cardinality key would funnel every row of a group through one
+    task at 100 TB. Instead: one map-side-combinable groupBy computes
+    (mean, stddev) per key — a tiny aggregate — which joins back
+    broadcast, and the z-score is then pure row-wise arithmetic.
+    Stats are rounded to 6 decimals before the division (and z to 4
+    after) so the flagged set is stable across partition layouts and
+    engines despite float accumulation order."""
+    stats = df.groupBy(key_col).agg(
+        F.round(F.avg(val_col), 6).alias("__mu"),
+        F.round(F.stddev_samp(val_col), 6).alias("__sd"),
+    )
+    z = F.round((F.col(val_col) - F.col("__mu")) / F.col("__sd"), 4)
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("__mu", "__sd")
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth histogram: exact quantile boundaries (one aggregate
+    pass), then each row is binned by counting the boundaries below it
+    — a broadcast of n_bins-1 doubles and a row-wise array scan, never
+    a global NTILE window (which would sort the whole table through
+    one reducer at scale). Returns per-bin row counts and value
+    ranges. Spark `percentile` and DuckDB `quantile_cont` are
+    bit-identical (verified), so the bin edges — and therefore the
+    bin populations — match exactly."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in ps])).alias("__bs")
+    )
+    binned = df.join(F.broadcast(bounds)).select(
+        F.col(col),
+        F.aggregate(
+            "__bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(col), 2).alias("min_v"),
+            F.round(F.max(col), 2).alias("max_v"),
+        )
+        .orderBy("bin")
+    )

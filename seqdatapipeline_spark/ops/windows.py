@@ -252,3 +252,24 @@ def time_weighted_avg(
             F.round(F.sum(F.col(value_col) * F.col("__dt")) / wsum, 6),
         ).alias("twav"),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int = 3,
+    tiebreak_cols: list[str] = (),
+) -> DataFrame:
+    """Generic top-k rows per group by ``order_col`` descending, with
+    a deterministic tiebreak so rank is total. One keyed window over a
+    high-cardinality group key — each partition holds one group's rows,
+    so the shuffle carries the input exactly once and no task sees more
+    than a group. (For low-cardinality keys use an aggregate + sort
+    instead — see equidepth_bins for the pattern.)"""
+    order = [F.col(order_col).desc()] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

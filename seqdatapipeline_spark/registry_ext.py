@@ -1817,3 +1817,185 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = dd.lsh_band_incidence(sig, num_hashes=12, band_size=2)
     cc = dd.connected_components(inc, node_col="doc_id", key_col="band_key")
     return cc.select("doc_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation: splits, chunking, cleaning, n-gram counts
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dataset_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+          FROM documents)
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (extensions.corpus.
+    dataset_split): md5-bucket of the id — shuffle-free, rerun-stable,
+    growth-stable (docs never migrate splits as the corpus grows)."""
+    from .extensions import corpus as cp
+
+    return cp.dataset_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "split"
+    )
+
+
+@q(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(s // 150 AS BIGINT) AS chunk_id,
+           substring(text, CAST(s AS INT) + 1, 200) AS chunk_text,
+           CAST(length(substring(text, CAST(s AS INT) + 1, 200)) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+          FROM documents)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (extensions.corpus.
+    chunk_documents): window 200 / stride 150 — a pure map-side
+    explode, the RAG/context-window preprocessing pass."""
+    from .extensions import corpus as cp
+
+    return cp.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=200, stride=150
+    )
+
+
+@q(
+    "clean_text",
+    """
+    SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean_text
+      FROM documents)
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-strip + entity-decode + whitespace-collapse
+    (extensions.textstats.clean_text) — the web-scrape ingestion
+    cleaner, all JVM regex inside codegen."""
+    return tx.clean_text(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "bigram_counts",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                    i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM toks
+    )
+    SELECT gram, count(*) AS n FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 50
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM counts (extensions.corpus.ngram_counts): the
+    wordcount shape — explode + map-side-combinable groupBy +
+    TakeOrdered top-50."""
+    from .extensions import corpus as cp
+
+    return cp.ngram_counts(_t(spark, sf_dir, "documents"), n=2, top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Analytics: outliers, equi-depth histograms, per-group top-k
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(round((e.value - s.mu) / s.sd, 4)) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (ops.quality.anomaly_zscore):
+    tiny groupBy stats broadcast back, row-wise z — NOT a
+    low-cardinality window, which would one-task each group at scale."""
+    from .ops import quality as dq
+
+    return dq.anomaly_zscore(
+        _t(spark, sf_dir, "events"), "event_type", "value", threshold=2.5
+    ).select("event_id", "event_type", "value", "zscore")
+
+
+@q(
+    "equidepth_bins",
+    """
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(bs, b -> o_totalprice > b)) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v
+    FROM orders, bounds GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order totals (ops.quality.
+    equidepth_bins): exact quantile bounds from one aggregate,
+    broadcast, row-wise binning — never a global NTILE sort."""
+    from .ops import quality as dq
+
+    return dq.equidepth_bins(_t(spark, sf_dir, "orders"), "o_totalprice", n_bins=10)
+
+
+@q(
+    "topk_per_group",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, l_partkey, revenue, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                                       ORDER BY revenue DESC, l_partkey) AS rn
+          FROM rev)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per supplier by revenue (ops.windows.
+    top_k_per_group): keyed window over a high-cardinality group —
+    the shuffle carries the aggregate once; revenue rounded before
+    ranking so order is engine-stable."""
+    from .ops import windows as win
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    top = win.top_k_per_group(
+        rev, ["l_suppkey"], "revenue", k=3, tiebreak_cols=["l_partkey"]
+    )
+    return top.select(
+        "l_suppkey", "l_partkey", "revenue", F.col("rank").cast("long").alias("rank")
+    )

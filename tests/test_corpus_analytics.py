@@ -1,0 +1,137 @@
+"""Tests for the corpus-preparation and analytics operators added in
+round 2's second half: splits, chunking, cleaning, n-grams, outliers,
+equi-depth bins, per-group top-k — the edge behaviors the DuckDB
+oracle pass doesn't isolate (empty docs, split stability under corpus
+growth, chunk reconstruction, boundary membership)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seqdatapipeline_spark.extensions import corpus as cp
+from seqdatapipeline_spark.extensions import textstats as tx
+from seqdatapipeline_spark.ops import quality as dq
+from seqdatapipeline_spark.ops import windows as win
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -------------------------------------------------------------- dataset_split
+
+def test_dataset_split_ratios_and_stability(spark):
+    small = _docs(spark, [(i, "x") for i in range(500)])
+    big = _docs(spark, [(i, "x") for i in range(2000)])
+    s_small = {r.doc_id: r.split for r in cp.dataset_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in cp.dataset_split(big).collect()}
+    # growth stability: the first 500 docs keep their assignment
+    assert all(s_big[i] == s_small[i] for i in range(500))
+    # rough ratio check on the big corpus
+    n_train = sum(1 for v in s_big.values() if v == "train")
+    assert 0.7 < n_train / 2000 < 0.9
+    assert set(s_big.values()) == {"train", "valid", "test"}
+
+
+def test_dataset_split_custom_ratios(spark):
+    d = _docs(spark, [(i, "x") for i in range(300)])
+    out = cp.dataset_split(d, ratios=(("a", 50), ("b", 50))).collect()
+    assert set(r.split for r in out) == {"a", "b"}
+
+
+# ------------------------------------------------------------ chunk_documents
+
+def test_chunk_reconstruction_and_overlap(spark):
+    text = "".join(chr(97 + i % 26) for i in range(520))
+    d = _docs(spark, [(1, text)])
+    chunks = sorted(
+        cp.chunk_documents(d, size=200, stride=150).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # chunk k starts at k*150; consecutive chunks overlap by 50 chars
+    assert [r.chunk_id for r in chunks] == [0, 1, 2, 3]
+    for r in chunks:
+        start = r.chunk_id * 150
+        assert r.chunk_text == text[start : start + 200]
+    assert chunks[0].chunk_text[150:] == chunks[1].chunk_text[:50]
+    # concatenating stride-prefixes + the last chunk rebuilds the doc
+    rebuilt = "".join(r.chunk_text[:150] for r in chunks[:-1]) + chunks[-1].chunk_text
+    assert rebuilt == text
+
+
+def test_chunk_empty_and_short_docs(spark):
+    d = _docs(spark, [(1, ""), (2, "short")])
+    out = {r.doc_id: r for r in cp.chunk_documents(d, size=200, stride=150).collect()}
+    assert out[1].chunk_text == "" and out[1].chunk_len == 0
+    assert out[2].chunk_text == "short" and out[2].chunk_id == 0
+
+
+# ----------------------------------------------------------------- clean_text
+
+def test_clean_text_strips_markup(spark):
+    d = _docs(spark, [(1, "<p>Hello   <b>world</b>&nbsp;&amp;&lt;tag&gt;</p>")])
+    r = tx.clean_text(d).collect()[0]
+    assert r.clean_text == 'Hello world &<tag>'
+    assert r.n_chars_clean == len(r.clean_text)
+
+
+def test_clean_text_plain_passthrough(spark):
+    d = _docs(spark, [(1, "already clean text")])
+    assert tx.clean_text(d).collect()[0].clean_text == "already clean text"
+
+
+# --------------------------------------------------------------- ngram_counts
+
+def test_bigram_counts_and_short_doc_guard(spark):
+    d = _docs(spark, [(1, "a b a b c"), (2, "a"), (3, "")])
+    out = {r.gram: r.n for r in cp.ngram_counts(d, n=2, top_n=10).collect()}
+    # doc 1 bigrams: "a b","b a","a b","b c"; docs 2/3 contribute none
+    assert out == {"a b": 2, "b a": 1, "b c": 1}
+
+
+def test_trigram_counts(spark):
+    d = _docs(spark, [(1, "x y z w")])
+    out = {r.gram: r.n for r in cp.ngram_counts(d, n=3, top_n=10).collect()}
+    assert out == {"x y z": 1, "y z w": 1}
+
+
+# ------------------------------------------------------------- anomaly_zscore
+
+def test_anomaly_zscore_flags_only_outliers(spark):
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = dq.anomaly_zscore(df, "event_type", "value", threshold=2.5).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 2.5
+
+
+def test_anomaly_zscore_plan_has_no_window(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "event_id long, event_type string, value double"
+    )
+    plan = dq.anomaly_zscore(df, "event_type", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- equidepth_bins
+
+def test_equidepth_bins_are_equal_depth(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    out = sorted(dq.equidepth_bins(df, "v", n_bins=10).collect(), key=lambda r: r.bin)
+    assert len(out) == 10
+    assert all(r.n == 100 for r in out)
+    # bins tile the value range in order
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_v <= hi.min_v
+
+
+# ------------------------------------------------------------ top_k_per_group
+
+def test_top_k_per_group_rank_and_ties(spark):
+    rows = [("s1", 1, 5.0), ("s1", 2, 9.0), ("s1", 3, 9.0), ("s1", 4, 1.0), ("s2", 9, 2.0)]
+    df = spark.createDataFrame(rows, "g string, item long, score double")
+    out = win.top_k_per_group(df, ["g"], "score", k=2, tiebreak_cols=["item"]).collect()
+    got = {(r.g, r.item, r.rank) for r in out}
+    # tie on 9.0 broken by item asc; k=2 cuts item 4
+    assert got == {("s1", 2, 1), ("s1", 3, 2), ("s2", 9, 1)}
