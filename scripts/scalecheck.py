@@ -86,6 +86,9 @@ OPS = [
     "anomaly_zscore",
     "equidepth_bins",
     "topk_per_group",
+    "gap_fill_daily",
+    "value_change_points",
+    "token_entropy",
 ]
 
 

@@ -391,3 +391,37 @@ def ngram_counts(
     grams = fan_out(docs).select(F.explode(F.transform(idx, gram)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(top_n)
+
+
+def token_entropy(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (nats) —
+    the diversity screen that separates boilerplate-heavy sources
+    (low entropy: the same tokens over and over) from natural text
+    when weighing a pretraining mix.
+
+    Uses the one-pass identity H = ln(T) - (sum n_t ln n_t) / T over
+    per-token counts, so the whole thing is two map-side-combinable
+    groupBys (corpus -> (source, token) counts -> source) — no join
+    back, no window, nothing driver-side. Rounded to 6 so the sum's
+    float accumulation order can't flip the hash."""
+    tok = fan_out(docs).select(
+        F.col(strata_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    per = tok.groupBy(strata_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.groupBy(strata_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("n") * F.log("n")).alias("__s"),
+    )
+    return agg.select(
+        strata_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(
+            F.log("n_tokens") - F.col("__s") / F.col("n_tokens"), 6
+        ).alias("entropy_nats"),
+    )

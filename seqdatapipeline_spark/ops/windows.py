@@ -273,3 +273,71 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    out_col: str = "n",
+) -> DataFrame:
+    """Daily counts per key with missing days zero-filled — the
+    gap-fill every dashboard and training-data freshness monitor
+    needs (a day with no rows must report 0, not vanish).
+
+    Single-scan form: after the daily groupBy (map-side combinable),
+    each aggregate row emits itself plus the zero-days up to — not
+    including — the key's next observed day (lead() + sequence-
+    explode). One scan of the input, one keyed window that only ever
+    sees the keys x days aggregate, no join-back (a spine-join
+    formulation re-scans the input because Spark won't reuse the
+    aggregate subtree across branches). Trailing days never fill
+    (there is no next observation), matching the spine-to-max-day
+    semantics."""
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias(out_col))
+    w = Window.partitionBy(key_col).orderBy("day")
+    nxt = F.lead("day").over(w)
+    span = F.sequence(
+        F.col("day"), F.coalesce(F.date_sub(nxt, 1), F.col("day"))
+    )
+    return (
+        daily.withColumn("__span", span)
+        .select(
+            key_col,
+            F.col(out_col).alias("__n"),
+            F.posexplode("__span").alias("__pos", "day"),
+        )
+        .select(
+            key_col,
+            "day",
+            F.when(F.col("__pos") == 0, F.col("__n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(out_col),
+        )
+    )
+
+
+def value_change_points(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    order_tiebreak: str,
+    threshold: float = 50.0,
+) -> DataFrame:
+    """Per-key change-point detection: rows whose value jumps more
+    than ``threshold`` against the immediately preceding observation
+    (lag-1 in event-time order, ties broken deterministically). One
+    keyed window over a high-cardinality key — the shuffle carries
+    the input once and no task sees more than one key's history.
+    The delta is a two-operand subtract of stored doubles, so the
+    flagged set is exact on any engine — no rounding needed."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    delta = F.col(val_col) - F.lag(val_col).over(w)
+    return (
+        df.withColumn("delta", delta)
+        .filter(F.abs(F.col("delta")) > threshold)
+    )

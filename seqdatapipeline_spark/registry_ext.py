@@ -1999,3 +1999,72 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "l_suppkey", "l_partkey", "revenue", F.col("rank").cast("long").alias("rank")
     )
+
+
+@q(
+    "gap_fill_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily counts per event type (ops.windows.
+    gap_fill_daily): the date spine explodes from the per-key min/max
+    aggregate, so spine size is keys x days, never corpus-sized."""
+    from .ops import windows as win
+
+    return win.gap_fill_daily(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@q(
+    "value_change_points",
+    """
+    SELECT event_id, user_id, ts, value, delta
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    WHERE abs(delta) > 150
+    """,
+)
+def q_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 change points (ops.windows.value_change_points):
+    keyed window over the high-cardinality user key; the delta is a
+    two-operand subtract, exact on any engine."""
+    from .ops import windows as win
+
+    return win.value_change_points(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id", threshold=150.0
+    ).select("event_id", "user_id", "ts", "value", "delta")
+
+
+@q(
+    "token_entropy",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+    per AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
+    FROM per GROUP BY 1
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution entropy (extensions.corpus.
+    token_entropy): H = ln T - (sum n ln n)/T in two map-side
+    groupBys — the mix-diversity screen, no join-back or window."""
+    from .extensions import corpus as cp
+
+    return cp.token_entropy(_t(spark, sf_dir, "documents"))

@@ -135,3 +135,54 @@ def test_top_k_per_group_rank_and_ties(spark):
     got = {(r.g, r.item, r.rank) for r in out}
     # tie on 9.0 broken by item asc; k=2 cuts item 4
     assert got == {("s1", 2, 1), ("s1", 3, 2), ("s2", 9, 1)}
+
+
+# ------------------------------------------------------------- gap_fill_daily
+
+def test_gap_fill_inserts_zero_days(spark):
+    rows = [
+        (1, "a", "2024-01-01 10:00:00"),
+        (2, "a", "2024-01-04 10:00:00"),  # 2nd and 3rd missing
+        (3, "b", "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r.event_type, str(r.day)): r.n for r in win.gap_fill_daily(df, "event_type", "ts").collect()}
+    assert out[("a", "2024-01-01")] == 1
+    assert out[("a", "2024-01-02")] == 0
+    assert out[("a", "2024-01-03")] == 0
+    assert out[("a", "2024-01-04")] == 1
+    # key b spans a single day: no fill beyond its own range
+    assert [k for k in out if k[0] == "b"] == [("b", "2024-01-02")]
+
+
+# -------------------------------------------------------- value_change_points
+
+def test_change_points_flag_jumps_only(spark):
+    rows = [
+        (1, 7, "2024-01-01 00:00:01", 10.0),
+        (2, 7, "2024-01-01 00:00:02", 12.0),   # delta 2: quiet
+        (3, 7, "2024-01-01 00:00:03", 90.0),   # delta 78: flagged
+        (4, 8, "2024-01-01 00:00:04", 500.0),  # first obs per key: never flagged
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = win.value_change_points(df, "user_id", "ts", "value", "event_id", threshold=50.0).collect()
+    assert [(r.event_id, r.delta) for r in out] == [(3, 78.0)]
+
+
+# -------------------------------------------------------------- token_entropy
+
+def test_token_entropy_uniform_beats_skewed(spark):
+    import math
+
+    rows = [(1, "u", "a b c d"), (2, "s", "a a a b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in cp.token_entropy(df).collect()}
+    assert out["u"].vocab_size == 4 and out["u"].n_tokens == 4
+    assert abs(out["u"].entropy_nats - math.log(4)) < 1e-6
+    skewed = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out["s"].entropy_nats - skewed) < 1e-6
+    assert out["u"].entropy_nats > out["s"].entropy_nats
