@@ -89,6 +89,8 @@ OPS = [
     "gap_fill_daily",
     "value_change_points",
     "token_entropy",
+    "event_transitions",
+    "weekly_active_users",
 ]
 
 

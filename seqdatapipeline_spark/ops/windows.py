@@ -341,3 +341,65 @@ def value_change_points(
         df.withColumn("delta", delta)
         .filter(F.abs(F.col("delta")) > threshold)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts: for each user's
+    event-time-ordered history, count (event_type -> next event_type)
+    pairs and the per-source transition probability — the behavioral
+    fingerprint funnel and recommendation models start from.
+
+    One keyed lag window over the high-cardinality user key extracts
+    successors, then a map-side-combinable groupBy counts pairs. The
+    probability normalizer is a window over the |types|^2 aggregate —
+    type-cardinality-sized, never event-sized."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.withColumn("next_type", F.lead(type_col).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("prob"),
+    )
+
+
+def weekly_active_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing 7-day distinct active users per day. Spark has no
+    COUNT(DISTINCT) over a range window, and the naive per-day
+    self-join re-scans the fact table per window day; instead each
+    (day, user) pair — already deduped, so much smaller than the
+    event table — is exploded to the ``window_days`` observation days
+    it contributes to, then one distinct-count per day. Cost is a
+    bounded x7 blowup of the *daily-user* table, all shuffles
+    map-side combinable; the window never funnels through one task."""
+    day_user = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    obs = day_user.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+        "u",
+    )
+    return (
+        obs.groupBy("day")
+        .agg(F.countDistinct("u").cast("long").alias("wau"))
+        .orderBy("day")
+    )

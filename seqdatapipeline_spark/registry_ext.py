@@ -2068,3 +2068,50 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions import corpus as cp
 
     return cp.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "event_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    agg AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM agg
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (ops.windows.
+    event_transitions): keyed lead window + pair groupBy; the
+    probability normalizer runs over the |types|^2 aggregate."""
+    from .ops import windows as win
+
+    return win.event_transitions(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "weekly_active_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+    ex AS (
+      SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day, u
+      FROM du
+    )
+    SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS wau FROM ex GROUP BY 1
+    """,
+)
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users (ops.windows.weekly_active_users):
+    day-explode of the deduped (day, user) table — the scalable
+    rewrite of COUNT(DISTINCT) over a range window, which Spark
+    doesn't support and a per-day self-join would re-scan for."""
+    from .ops import windows as win
+
+    return win.weekly_active_users(_t(spark, sf_dir, "events"))

@@ -186,3 +186,47 @@ def test_token_entropy_uniform_beats_skewed(spark):
     skewed = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert abs(out["s"].entropy_nats - skewed) < 1e-6
     assert out["u"].entropy_nats > out["s"].entropy_nats
+
+
+# ----------------------------------------------------------- event_transitions
+
+def test_event_transitions_counts_and_probs(spark):
+    rows = [
+        (1, 7, "2024-01-01 00:00:01", "view"),
+        (2, 7, "2024-01-01 00:00:02", "cart"),
+        (3, 7, "2024-01-01 00:00:03", "view"),
+        (4, 7, "2024-01-01 00:00:04", "buy"),
+        (5, 8, "2024-01-01 00:00:05", "view"),
+        (6, 8, "2024-01-01 00:00:06", "cart"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.from_type, r.to_type): (r.n, r.prob) for r in win.event_transitions(df).collect()}
+    # user 7: view->cart, cart->view, view->buy; user 8: view->cart
+    assert out[("view", "cart")] == (2, 0.666667)
+    assert out[("view", "buy")] == (1, 0.333333)
+    assert out[("cart", "view")] == (1, 1.0)
+    # no cross-user transition (8's first event never follows 7's last)
+    assert ("buy", "view") not in out
+
+
+# --------------------------------------------------------- weekly_active_users
+
+def test_weekly_active_users_window(spark):
+    rows = [
+        (1, 100, "2024-01-01 10:00:00"),
+        (2, 200, "2024-01-03 10:00:00"),
+        (3, 100, "2024-01-09 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {str(r.day): r.wau for r in win.weekly_active_users(df).collect()}
+    # Jan 3..7: both users' activity within trailing 7 days
+    assert out["2024-01-03"] == 2
+    assert out["2024-01-07"] == 2
+    # Jan 8: user 100's Jan-1 visit aged out, user 200's Jan-3 still in
+    assert out["2024-01-08"] == 1
+    # Jan 9: both 200 (Jan 3) and 100 (Jan 9) active
+    assert out["2024-01-09"] == 2
