@@ -91,6 +91,9 @@ OPS = [
     "token_entropy",
     "event_transitions",
     "weekly_active_users",
+    "pipeline_rna",
+    "pipeline_chip",
+    "pipeline_atac",
 ]
 
 

@@ -2115,3 +2115,84 @@ def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import windows as win
 
     return win.weekly_active_users(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipelines (reference mainScript / mainChIP / mainATAC)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pipeline_rna",
+    """
+    SELECT l_partkey AS gene_id, count(DISTINCT l_orderkey) AS n
+    FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+    """,
+)
+def q_pipeline_rna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNA-seq pipeline composed end-to-end (pipelines.presets.
+    rna_stages: chrM filter -> PCR dedup -> per-gene counts,
+    reference mainScript.py:230-260). Catalyst fuses the staged plan:
+    the filter pushes into the scan and dedup+count share exchanges.
+    The oracle is the algebraic collapse of the three stages."""
+    from .pipelines import presets
+
+    return presets.compose(
+        _t(spark, sf_dir, "lineitem"), presets.rna_stages()
+    )
+
+
+@q(
+    "pipeline_chip",
+    """
+    WITH d AS (
+      SELECT event_type AS chrom, value AS pos FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type, value ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    cov AS (SELECT chrom, CAST(floor(pos / 5) AS BIGINT) AS bin, count(*) AS count
+            FROM d GROUP BY 1, 2),
+    sig AS (SELECT * FROM cov WHERE count >= 3),
+    flagged AS (
+      SELECT *, CASE WHEN bin - lag(bin) OVER (PARTITION BY chrom ORDER BY bin) > 2
+                     THEN 1 ELSE 0 END AS f
+      FROM sig),
+    isl AS (
+      SELECT *, CAST(sum(f) OVER (PARTITION BY chrom ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged)
+    SELECT chrom, island, min(bin) AS start_bin, max(bin) AS end_bin,
+           CAST(sum(count) AS BIGINT) AS pileup
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def q_pipeline_chip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChIP-seq pipeline composed end-to-end (pipelines.presets.
+    chip_stages: position dedup -> binned pileup -> threshold ->
+    island merge, reference mainChIP.py:330-390)."""
+    from .pipelines import presets
+
+    return presets.compose(_t(spark, sf_dir, "events"), presets.chip_stages())
+
+
+@q(
+    "pipeline_atac",
+    """
+    WITH f AS (SELECT * FROM events WHERE value > -100 AND value < 100),
+    d AS (
+      SELECT event_type AS chrom, value AS pos FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type, value ORDER BY event_id) AS rn
+        FROM f) WHERE rn = 1
+    )
+    SELECT chrom, CAST(floor(pos / 25) AS BIGINT) AS bin, count(*) AS count
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q_pipeline_atac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATAC-seq pipeline composed end-to-end (pipelines.presets.
+    atac_stages: TLEN band -> position dedup -> coverage track,
+    reference mainATAC.py:300-360)."""
+    from .pipelines import presets
+
+    return presets.compose(_t(spark, sf_dir, "events"), presets.atac_stages())

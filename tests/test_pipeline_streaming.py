@@ -267,3 +267,41 @@ def test_streaming_incremental_rollup(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_preset_pipelines_run_with_status(spark, sf_dir, tmp_path):
+    """The operational form: run_pipeline over the RNA preset logs one
+    ok status row per stage and matches the composed lazy plan."""
+    import os
+
+    from seqdatapipeline_spark.pipelines import dag, presets
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    stages = presets.rna_stages()
+    run = dag.run_pipeline(spark, li, stages, sample_id="rna-demo")
+    assert run.ok and len(run.results) == 3
+    assert [r.stage for r in run.results] == ["filter_chrm", "dedup", "count_genes"]
+    composed = presets.compose(li, stages)
+    assert sorted(map(tuple, run.output.collect())) == sorted(map(tuple, composed.collect()))
+
+
+def test_preset_chip_islands_merge(spark):
+    """Two enriched regions separated by > gap bins come out as two
+    peaks; duplicate positions collapse before the pileup."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.pipelines import presets
+
+    rows = []
+    eid = 0
+    # region A: bins 0-1 (positions 0..9), 3 distinct positions per bin
+    for pos in [0.0, 1.0, 2.0, 5.0, 6.0, 7.0]:
+        for dup in range(2):  # duplicates must not inflate counts
+            rows.append((eid, "c1", pos)); eid += 1
+    # region B: bin 10 (positions 50..54), far beyond gap=2
+    for pos in [50.0, 51.0, 52.0]:
+        rows.append((eid, "c1", pos)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = presets.compose(df, presets.chip_stages()).collect()
+    got = {(r.start_bin, r.end_bin): r.pileup for r in out}
+    assert got == {(0, 1): 6, (10, 10): 3}
