@@ -30,6 +30,7 @@ ALLOW = {
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),
     "skew_profile": ("global-window", "share/mean windows run over the per-key aggregate (key-cardinality-sized)"),
     "anomaly_zscore": ("double-scan", "stats pass + broadcast-joined probe pass: the scale-correct form (a per-type window would one-task each group)"),
+    "source_overlap_matrix": ("double-scan", "the second scan is column-pruned to (doc_id, source) next to the shingle/md5 signature branch; threading source through the signature aggregate would couple the hash kernel to caller schema"),
     "equidepth_bins": (("BNLJ", "double-scan"), "one-row quantile bounds broadcast-crossed into the binning scan: O(1) BNLJ by construction"),
     "mixture_weights": ("global-window", "normalizing sum runs over the per-source aggregate (source-cardinality-sized)"),
     "param_set_union": ("double-scan", "set op over two inputs"),

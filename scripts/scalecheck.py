@@ -94,6 +94,9 @@ OPS = [
     "pipeline_rna",
     "pipeline_chip",
     "pipeline_atac",
+    "dup_rate_by_source",
+    "source_overlap_matrix",
+    "label_centroids",
 ]
 
 

@@ -449,3 +449,83 @@ def fuzzy_match_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def exact_dup_rate(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source exact-duplicate rate: how many rows each source
+    would lose to content-hash dedup — the per-provider quality
+    report that decides which feeds need upstream fixing. One
+    map-side-combinable groupBy (count + distinct-hash count)."""
+    return docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col))))
+        .cast("long")
+        .alias("n_dup_rows"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col))))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """Cross-source near-duplicate pressure: for every source pair,
+    the number of LSH band collisions between their documents — the
+    contamination matrix that tells you which feeds are re-crawling
+    each other before you pay for pairwise verification.
+
+    Counts come from the per-band SOURCE HISTOGRAM, never from
+    enumerating document pairs: a band shared by n_a docs of source a
+    and n_b of source b contributes n_a*n_b (or n(n-1)/2 within a
+    source), computed from a collect_list over the per-band histogram
+    — sources are O(10), so the struct array is tiny even when the
+    band bucket holds thousands of docs. Mega-buckets cost their
+    histogram, not their square."""
+    sig = minhash_signature(docs, id_col, text_col, num_hashes)
+    inc = lsh_band_incidence(sig, id_col, num_hashes, band_size)
+    src = docs.select(F.col(id_col), F.col(strata_col).alias("__src"))
+    per = (
+        inc.join(src, id_col)
+        .groupBy("band_key", "__src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = per.groupBy("band_key").agg(
+        F.array_sort(F.collect_list(F.struct("__src", "n"))).alias("h")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "h",
+            lambda a, i: F.transform(
+                F.slice("h", i + 1, F.size("h")),
+                lambda b: F.struct(
+                    a["__src"].alias("source_a"),
+                    b["__src"].alias("source_b"),
+                    F.when(
+                        a["__src"] == b["__src"],
+                        (a["n"] * (a["n"] - 1) / 2).cast("long"),
+                    )
+                    .otherwise(a["n"] * b["n"])
+                    .alias("cnt"),
+                ),
+            ),
+        )
+    )
+    return (
+        hist.select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b", "p.cnt")
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("cnt").alias("n_band_pairs"))
+        .filter(F.col("n_band_pairs") > 0)
+    )

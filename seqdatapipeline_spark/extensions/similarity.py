@@ -348,3 +348,25 @@ def quantize_int8(
         scale > 0, F.transform(v, lambda x: F.round(x / scale).cast("int"))
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.withColumn("scale", F.round(scale, ndigits)).withColumn("qvec", q)
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of the embedding space, one row per
+    (label, dimension) — the class prototype table that powers
+    nearest-centroid classification and drift monitoring.
+
+    posexplode flattens vectors to (label, dim, x) and one map-side-
+    combinable groupBy averages per coordinate — output cardinality is
+    labels x dims regardless of corpus size. Means are rounded to 6 so
+    float accumulation order can't flip the hash."""
+    ex = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    return ex.groupBy(label_col, "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("x"), 6).alias("centroid"),
+    )

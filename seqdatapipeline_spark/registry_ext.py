@@ -2196,3 +2196,63 @@ def q_pipeline_atac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelines import presets
 
     return presets.compose(_t(spark, sf_dir, "events"), presets.atac_stages())
+
+
+@q(
+    "dup_rate_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows,
+           round((count(*) - count(DISTINCT md5(text))) / count(*), 6) AS dup_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate report (extensions.dedup.
+    exact_dup_rate): one groupBy with a distinct-hash count — which
+    provider feeds need upstream fixing."""
+    return dd.exact_dup_rate(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "source_overlap_matrix",
+    f"""
+    WITH {{ctes}},
+    srcd AS (
+      SELECT k.doc_id, k.band_key, d.source AS src
+      FROM keyed k JOIN documents d USING (doc_id)
+    ),
+    per AS (SELECT band_key, src, count(*) AS n FROM srcd GROUP BY 1, 2)
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(sum(CASE WHEN a.src = b.src THEN a.n * (a.n - 1) // 2
+                         ELSE a.n * b.n END) AS BIGINT) AS n_band_pairs
+    FROM per a JOIN per b ON a.band_key = b.band_key AND a.src <= b.src
+    GROUP BY 1, 2 HAVING n_band_pairs > 0
+    """.format(ctes=_minhash_ctes(12, 2)),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix (extensions.dedup.
+    source_overlap_matrix): band collisions counted from the per-band
+    source histogram — mega-buckets cost their histogram, never their
+    square. The oracle replays the same band pipeline and self-joins
+    the per-band counts."""
+    return dd.source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS centroid
+    FROM (SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (extensions.similarity.
+    label_centroids): posexplode + per-coordinate groupBy — output is
+    labels x dims regardless of corpus size."""
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))

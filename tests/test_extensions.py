@@ -538,3 +538,54 @@ def test_corr_matrix_known_correlations(spark):
     assert got[("a", "b")] == 1.0 and got[("a", "c")] == -1.0
     assert abs(got[("a", "d")]) < 0.2
     assert len(got) == 6
+
+
+# ------------------------------------------------------- dedup reporting
+
+def test_exact_dup_rate_per_source(spark):
+    rows = [
+        (1, "clean", "aaa bbb ccc"),
+        (2, "clean", "ddd eee fff"),
+        (3, "dirty", "same text here"),
+        (4, "dirty", "same text here"),
+        (5, "dirty", "same text here"),
+        (6, "dirty", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in dd.exact_dup_rate(df).collect()}
+    assert out["clean"].n_dup_rows == 0 and out["clean"].dup_rate == 0.0
+    assert out["dirty"].n_docs == 4 and out["dirty"].n_dup_rows == 2
+    assert out["dirty"].dup_rate == 0.5
+
+
+def test_source_overlap_matrix_counts_band_pairs(spark):
+    # three identical docs (identical signatures -> 6 shared bands):
+    # sources a,a,b  =>  (a,a): C(2,2)=1 per band x6, (a,b): 2x1=2 per band x6
+    text = "w0 w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (1, "a", text),
+        (2, "a", text),
+        (3, "b", text),
+        (4, "b", "completely different words entirely here now today friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.source_a, r.source_b): r.n_band_pairs for r in dd.source_overlap_matrix(df).collect()}
+    assert out[("a", "a")] == 6
+    assert out[("a", "b")] == 12
+    # doc 4 shares no shingles -> contributes no collisions with anyone
+    assert out.get(("b", "b"), 0) == 0
+
+
+# --------------------------------------------------------- label_centroids
+
+def test_label_centroids_per_dimension_mean(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 2.0], 0),
+        (3, [10.0, 10.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.dim): r for r in sim.label_centroids(df).collect()}
+    assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 1.0
+    assert out[(0, 0)].n_vectors == 2
+    assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].n_vectors == 1
