@@ -529,3 +529,79 @@ def source_overlap_matrix(
         .agg(F.sum("cnt").alias("n_band_pairs"))
         .filter(F.col("n_band_pairs") > 0)
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sketch-accuracy report: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature
+    components) next to the TRUE shingle Jaccard — the calibration
+    table that tells you whether num_hashes is sized right for your
+    dedup threshold before you trust the sketch at corpus scale.
+
+    The signature table is localCheckpoint'ed once and feeds all
+    three consumers (band pairs + both sides of the pair join) — the
+    production pattern of materializing sketches rather than
+    recomputing the shingle/hash pipeline per branch. The true-Jaccard
+    branch joins the exact shingle sets only for candidate DOCUMENTS
+    (the pair join prunes first), never all pairs."""
+    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int") for j in range(num_hashes)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
+
+    # Exact shingle SETS as one checkpointed array column (distinct by
+    # construction in word_shingles): the pair join then computes the
+    # true Jaccard with array_intersect — no shingle explode, no
+    # per-branch re-shingling of the corpus. Like the signatures, at
+    # production scale this table would persist to storage once.
+    sh_arr = fan_out(docs, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).localCheckpoint(eager=True)
+    shared = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - shared
+    truth = (
+        pairs.join(
+            sh_arr.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, F.round(shared / union, 6))
+            .otherwise(F.lit(0.0))
+            .alias("true_jaccard"),
+        )
+    )
+    return (
+        est.join(truth, ["doc_a", "doc_b"])
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
+        )
+    )

@@ -403,3 +403,32 @@ def weekly_active_users(
         .agg(F.countDistinct("u").cast("long").alias("wau"))
         .orderBy("day")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_col: str,
+    val_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "norm_value",
+) -> DataFrame:
+    """Quantile normalization — the cross-sample distribution
+    alignment standard in expression analysis (rank each value within
+    its sample, then replace it with the mean of all samples' values
+    at that rank): after it, every sample has an identical value
+    distribution, removing batch effects before comparison.
+
+    Two keyed windows, one pass: rank partitioned by sample (each
+    partition = one sample's rows), then the rank-mean partitioned by
+    rank (each partition = one row per sample). Both keys are
+    high-cardinality, so nothing funnels through a single task, and
+    no join-back is needed (the second window replaces it). Means
+    rounded to 6 for engine-stable hashes."""
+    wr = Window.partitionBy(sample_col).orderBy(
+        F.col(val_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = df.withColumn("rank", F.row_number().over(wr))
+    wm = Window.partitionBy("rank")
+    return ranked.withColumn(
+        out_col, F.round(F.avg(val_col).over(wm), 6)
+    )

@@ -2256,3 +2256,74 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_centroids): posexplode + per-coordinate groupBy — output is
     labels x dims regardless of corpus size."""
     return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "quantile_normalize",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, rank,
+           round(avg(l_extendedprice) OVER (PARTITION BY rank), 6) AS norm_value
+    FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank
+          FROM lineitem)
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across samples (ops.windows.
+    quantile_normalize — the expression-matrix batch-effect
+    remover): rank within sample, replace with cross-sample
+    rank-mean. Two keyed high-cardinality windows, no join-back."""
+    from .ops import windows as win
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = win.quantile_normalize(
+        li, "l_suppkey", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "rank", "norm_value")
+
+
+def _mh_est_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    agree = " + ".join(
+        f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_ctes(num_hashes, band_size)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS shared
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           coalesce(round(s.shared / (za.n_sh + zb.n_sh - s.shared), 6), 0.0) AS true_jaccard,
+           round(abs(e.est_jaccard
+                 - coalesce(round(s.shared / (za.n_sh + zb.n_sh - s.shared), 6), 0.0)), 6) AS abs_err
+    FROM est e
+    LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+    LEFT JOIN sizes za ON za.doc_id = e.doc_a
+    LEFT JOIN sizes zb ON zb.doc_id = e.doc_b
+    """
+
+
+@q("minhash_jaccard_estimate", _mh_est_oracle())
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration (extensions.dedup.minhash_estimate_pairs):
+    MinHash estimate vs true shingle Jaccard per LSH candidate pair.
+    The signature table is checkpointed once and reused by the band
+    pairing and both join sides — materialize sketches, don't
+    recompute them per branch."""
+    return dd.minhash_estimate_pairs(_t(spark, sf_dir, "documents"))

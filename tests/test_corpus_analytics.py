@@ -230,3 +230,23 @@ def test_weekly_active_users_window(spark):
     assert out["2024-01-08"] == 1
     # Jan 9: both 200 (Jan 3) and 100 (Jan 9) active
     assert out["2024-01-09"] == 2
+
+
+# ---------------------------------------------------------- quantile_normalize
+
+def test_quantile_normalize_aligns_distributions(spark):
+    rows = [
+        ("s1", 1, 1, 10.0), ("s1", 2, 1, 20.0), ("s1", 3, 1, 30.0),
+        ("s2", 4, 1, 100.0), ("s2", 5, 1, 200.0), ("s2", 6, 1, 300.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_suppkey string, l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    out = win.quantile_normalize(
+        df, "l_suppkey", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    ).collect()
+    by_sample = {}
+    for r in out:
+        by_sample.setdefault(r.l_suppkey, []).append(r.norm_value)
+    # after normalization both samples carry the identical distribution
+    assert sorted(by_sample["s1"]) == sorted(by_sample["s2"]) == [55.0, 110.0, 165.0]

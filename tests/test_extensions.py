@@ -589,3 +589,19 @@ def test_label_centroids_per_dimension_mean(spark):
     assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 1.0
     assert out[(0, 0)].n_vectors == 2
     assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].n_vectors == 1
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    # identical docs: estimate and truth both exactly 1.0
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    near = "t0 t1 t2 t3 t4 t5 t6 t7 t8 zz"
+    rows = [(1, text), (2, text), (3, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in dd.minhash_estimate_pairs(df).collect()}
+    assert out[(1, 2)].est_jaccard == 1.0 and out[(1, 2)].true_jaccard == 1.0
+    assert out[(1, 2)].abs_err == 0.0
+    if (1, 3) in out:  # near-dup pair surfaces only if a band collides
+        r = out[(1, 3)]
+        # 8 shingles each, 7 shared -> J = 7/9
+        assert abs(r.true_jaccard - 7 / 9) < 1e-6
+        assert 0.0 <= r.est_jaccard <= 1.0
