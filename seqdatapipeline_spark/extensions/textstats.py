@@ -186,3 +186,60 @@ def clean_text(
         t.alias(out_col),
         F.length(t).cast("long").alias("n_chars_clean"),
     )
+
+
+def lm_doc_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring — the KenLM-style perplexity
+    filter of web-corpus pipelines, re-expressed relationally: train
+    add-one-smoothed bigram probabilities on the corpus itself, then
+    score every document by the mean log-probability of its bigram
+    instances. Low scores mark boilerplate-free but incoherent text;
+    high scores mark repetitive/templated text.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+
+    Shape: ONE bigram-instance table (doc_id, w1, w2), checkpointed,
+    feeds both the model build (two map-side-combinable groupBys whose
+    results are vocab²- and vocab-bounded — broadcast at any corpus
+    size) and the scoring join. The vocab size V rides in on a 1-row
+    broadcast equi-join (constant key), never a driver-side collect.
+    Docs with fewer than 2 tokens carry no bigram and are excluded,
+    matching the SQL mirror."""
+    w = F.split(F.col(text_col), " ")
+    bi = F.transform(
+        F.sequence(F.lit(1), (F.size(w) - 1).cast("int")),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    inst = (
+        fan_out(df.filter(F.size(w) >= 2), id_col)
+        .select(F.col(id_col), F.explode(bi).alias("b"))
+        .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    c_bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    c_ctx = inst.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    vocab = (
+        inst.select(F.col("w1").alias("t"))
+        .union(inst.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    # The 1-row vocab count crosses into the vocab-BOUNDED context
+    # table (an O(|vocab|) nested-loop by construction), never into
+    # the corpus-sized instance table.
+    c_ctx_v = c_ctx.crossJoin(F.broadcast(vocab))
+    logp = F.log((F.col("c_bi") + 1) / (F.col("c_ctx") + F.col("v")))
+    return (
+        inst.join(F.broadcast(c_bi), ["w1", "w2"])
+        .join(F.broadcast(c_ctx_v), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), 6).alias("lm_score"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )

@@ -191,3 +191,77 @@ def equidepth_bins(
         )
         .orderBy("bin")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers via the modified z-score
+    0.6745·|x − median| / MAD — the standard robust alternative to
+    mean/stddev z-scores (a few extreme rows inflate the stddev and
+    mask their own outlier-ness; the median and MAD are immune to
+    up to 50% contamination).
+
+    Two aggregate passes are inherent (MAD is a median OF deviations
+    FROM a median), but both are map-side-combinable groupBys whose
+    results are key-cardinality-sized and join back broadcast — no
+    per-group window, so a hot group never funnels through one task.
+    Spark `percentile` == DuckDB `quantile_cont` bit-identically,
+    and scores round to 4 before thresholding, keeping the flagged
+    set engine- and partition-stable."""
+    med = df.groupBy(key_col).agg(
+        F.percentile(F.col(val_col), 0.5).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "__absdev", F.abs(F.col(val_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.percentile(F.col("__absdev"), 0.5).alias("__mad")
+    )
+    # try_divide: a zero MAD (>=50% of the group identical) is a
+    # degenerate group where the modified z-score is undefined — the
+    # null propagates through the > filter and flags nothing, matching
+    # the oracle's explicit mad > 0 guard (ANSI mode would error).
+    score = F.round(F.try_divide(F.lit(0.6745) * F.col("__absdev"), F.col("__mad")), 4)
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .withColumn("mod_zscore", score)
+        .filter(F.col("mod_zscore") > threshold)
+        .drop("__med", "__absdev", "__mad")
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization report: clip values to the group's
+    [p_low, p_high] quantiles and compare the raw vs clipped mean —
+    the one-pass-per-level robustness summary that tells you how much
+    of a metric's mean is carried by its tails before you train on
+    it. One quantile aggregate (key-cardinality-sized, broadcast
+    back) + one clipped re-aggregate; no window, no sort."""
+    q = df.groupBy(key_col).agg(
+        F.percentile(F.col(val_col), p_low).alias("__lo"),
+        F.percentile(F.col(val_col), p_high).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(val_col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(q), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.round(F.first("__lo"), 6).alias("p_low"),
+            F.round(F.first("__hi"), 6).alias("p_high"),
+            F.round(F.avg(val_col), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+            F.sum((F.col(val_col) < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col(val_col) > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )

@@ -432,3 +432,46 @@ def quantile_normalize(
     return ranked.withColumn(
         out_col, F.round(F.avg(val_col).over(wm), 6)
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    depth: int = 3,
+) -> DataFrame:
+    """Entry-path analysis: each user's first ``depth`` event types
+    (event-time order) joined into one 'a>b>c' path string, counted
+    across users — the onboarding-flow census behind 'what do users
+    actually do first'.
+
+    One keyed window over the high-cardinality user key ranks events;
+    rows past ``depth`` are dropped BEFORE the path assembly, so the
+    groupBy that builds paths moves at most depth rows per user. The
+    ordered join uses sort_array over (rank, type) structs — order
+    arrives from the struct sort, not from collect_list's
+    partition-dependent arrival order, so paths are deterministic on
+    any cluster layout."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    ranked = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= depth)
+        .select(key_col, "__rn", type_col)
+    )
+    path = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__rn", type_col))),
+            lambda s: s[type_col],
+        ),
+        ">",
+    )
+    per_user = ranked.groupBy(key_col).agg(
+        path.alias("path"), F.count("*").cast("long").alias("__n_ev")
+    )
+    return (
+        per_user.filter(F.col("__n_ev") == depth)
+        .groupBy("path")
+        .agg(F.countDistinct(key_col).cast("long").alias("n_users"))
+    )

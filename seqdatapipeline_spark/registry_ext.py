@@ -95,14 +95,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_oracle(bits: int = _SIMHASH_BITS) -> str:
+def _simhash_sig_ctes(bits: int = _SIMHASH_BITS) -> str:
+    """CTE chain ending in sig(doc_id, simhash) — shared by the
+    signature query and the Hamming-pair query."""
     sums = ",\n           ".join(
         f"CAST(sum(CASE WHEN substr(md5(tok), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS BIGINT) AS b{b}"
         for b in range(bits)
     )
     sig = " || ".join(f"CASE WHEN b{b} * 2 > n_tok THEN '1' ELSE '0' END" for b in range(bits))
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_tok,
              unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -112,8 +113,14 @@ def _simhash_oracle(bits: int = _SIMHASH_BITS) -> str:
       SELECT doc_id, n_tok,
            {sums}
       FROM tok GROUP BY doc_id, n_tok
-    )
-    SELECT doc_id, {sig} AS simhash FROM votes
+    ),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM votes)"""
+
+
+def _simhash_oracle(bits: int = _SIMHASH_BITS) -> str:
+    return f"""
+    WITH {_simhash_sig_ctes(bits)}
+    SELECT doc_id, simhash FROM sig
     """
 
 
@@ -2327,3 +2334,169 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing and both join sides — materialize sketches, don't
     recompute them per branch."""
     return dd.minhash_estimate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_hamming_oracle(
+    bits: int = _SIMHASH_BITS, band_bits: int = 4, max_hamming: int = 1
+) -> str:
+    n_bands = bits // band_bits
+    ham = " + ".join(
+        f"CASE WHEN substr(sa.simhash, {b + 1}, 1) <> substr(sb.simhash, {b + 1}, 1) THEN 1 ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_simhash_sig_ctes(bits)},
+    keyed AS (
+      SELECT s.doc_id,
+             CAST(g.i AS VARCHAR) || '|' || substr(s.simhash, g.i * {band_bits} + 1, {band_bits}) AS band_key
+      FROM sig s, (SELECT unnest(range(0, {n_bands})) AS i) g
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, CAST(({ham}) AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    WHERE ({ham}) <= {max_hamming}
+    """
+
+
+@q("simhash_hamming_pairs", _simhash_hamming_oracle())
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage simhash dedup (extensions.dedup.
+    simhash_hamming_pairs): band blocking for recall, exact
+    bit_count(xor) Hamming filter for precision. bits=16/band_bits=4/
+    max_hamming<=3 makes banding lossless by pigeonhole — every
+    qualifying pair shares a band."""
+    return dd.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, band_bits=4, max_hamming=1
+    )
+
+
+@q(
+    "lm_doc_score",
+    """
+    WITH bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 2
+    ),
+    c_bi AS (SELECT w1, w2, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+    c_ctx AS (SELECT w1, count(*) AS c_ctx FROM bi GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT w1 AS t FROM bi UNION ALL SELECT w2 FROM bi)
+    )
+    SELECT b.doc_id,
+           round(avg(ln((c.c_bi + 1) / (x.c_ctx + vocab.v))), 6) AS lm_score,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bi b
+    JOIN c_bi c USING (w1, w2)
+    JOIN c_ctx x USING (w1)
+    CROSS JOIN vocab
+    GROUP BY 1
+    """,
+)
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring (extensions.textstats.lm_doc_score) — the
+    perplexity-filter analog: add-one-smoothed bigram model trained
+    on the corpus itself, every doc scored by mean log-prob. Model
+    tables are vocab-bounded broadcasts; the instance table is built
+    once and checkpointed."""
+    return tx.lm_doc_score(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.user_id, e.value,
+             abs(e.value - med.m) AS absdev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.user_id, d.value,
+           round(0.6745 * d.absdev / mad.mad, 4) AS mod_zscore
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0 AND round(0.6745 * d.absdev / mad.mad, 4) > 3.5
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via modified z-score (ops.quality.mad_outliers):
+    median/MAD per event type, both passes map-side-combinable
+    groupBys joined back broadcast — immune to the outliers it hunts,
+    no per-group window funnel."""
+    from .ops import quality as ql
+
+    e = _t(spark, sf_dir, "events")
+    out = ql.mad_outliers(e, "event_type", "value", threshold=3.5)
+    return out.select("event_id", "event_type", "user_id", "value", "mod_zscore")
+
+
+@q(
+    "winsorize_stats",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.01) AS lo,
+             quantile_cont(o_totalprice, 0.99) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           round(q.lo, 6) AS p_low,
+           round(q.hi, 6) AS p_high,
+           round(avg(o.o_totalprice), 6) AS mean_raw,
+           round(avg(least(greatest(o.o_totalprice, q.lo), q.hi)), 6) AS mean_winsorized,
+           CAST(sum(CASE WHEN o.o_totalprice < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN o.o_totalprice > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1, q.lo, q.hi
+    """,
+)
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report (ops.quality.winsorize_stats): per-group
+    p01/p99 clip, raw vs clipped mean — how much of the metric's mean
+    its tails carry. Quantile aggregate broadcasts back; Spark
+    percentile == DuckDB quantile_cont bit-identically."""
+    from .ops import quality as ql
+
+    return ql.winsorize_stats(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+@q(
+    "top_event_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+             count(*) AS n_ev
+      FROM ranked WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT path, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM per_user WHERE n_ev = 3 GROUP BY 1
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path census (ops.windows.top_event_paths): each user's
+    first 3 event types as an ordered 'a>b>c' path, counted across
+    users. Keyed window ranks, rows past depth drop before path
+    assembly, struct-sort makes ordering partition-independent."""
+    from .ops import windows as win
+
+    return win.top_event_paths(_t(spark, sf_dir, "events"), depth=3)

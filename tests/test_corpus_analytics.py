@@ -250,3 +250,54 @@ def test_quantile_normalize_aligns_distributions(spark):
         by_sample.setdefault(r.l_suppkey, []).append(r.norm_value)
     # after normalization both samples carry the identical distribution
     assert sorted(by_sample["s1"]) == sorted(by_sample["s2"]) == [55.0, 110.0, 165.0]
+
+
+# ---------------------------------------------------------------- mad_outliers
+
+def test_mad_outliers_robust_to_contamination(spark):
+    # 20 inlier values 1..20 plus one huge spike; mean/std z-score at
+    # 3.5 would be dragged by the spike, the MAD score flags only it
+    rows = [("a", i, float(v)) for i, v in enumerate(list(range(1, 21)) + [1000])]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    out = dq.mad_outliers(df, "event_type", "value", threshold=3.5).collect()
+    assert [r.value for r in out] == [1000.0]
+    # median=11, MAD=5 -> 0.6745*989/5
+    assert abs(out[0].mod_zscore - round(0.6745 * 989 / 5, 4)) < 1e-9
+
+
+def test_mad_outliers_groups_are_independent(spark):
+    rows = [("a", i, float(i)) for i in range(10)] + [("b", 100, 1e6)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    # group b has a single row: absdev=0, MAD=0 -> 0/0 division is
+    # null, which must not be flagged (no false positive, no error)
+    out = dq.mad_outliers(df, "event_type", "value", threshold=3.5).collect()
+    assert out == []
+
+
+# ------------------------------------------------------------- winsorize_stats
+
+def test_winsorize_clips_tails_only(spark):
+    rows = [("g", float(v)) for v in range(1, 100 + 1)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = dq.winsorize_stats(df, "k", "v", p_low=0.05, p_high=0.95).collect()[0]
+    # quantile_cont on 1..100: p05 = 5.95, p95 = 95.05
+    assert abs(out.p_low - 5.95) < 1e-9 and abs(out.p_high - 95.05) < 1e-9
+    assert out.n_clipped_low == 5 and out.n_clipped_high == 5
+    assert out.mean_raw == 50.5
+    # clipped mean moves toward the center by the clipped tail mass
+    exp = (sum(range(6, 96)) + 5 * 5.95 + 5 * 95.05) / 100
+    assert abs(out.mean_winsorized - round(exp, 6)) < 1e-9
+
+
+# ------------------------------------------------------------- top_event_paths
+
+def test_top_event_paths_orders_by_time_not_arrival(spark):
+    rows = [
+        (1, 3, "c"), (1, 1, "a"), (1, 2, "b"),   # out-of-order input
+        (2, 10, "a"), (2, 11, "b"), (2, 12, "c"), (2, 13, "d"),
+        (3, 5, "x"), (3, 6, "y"),                # only 2 events: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string") \
+        .withColumn("event_id", F.col("ts"))
+    out = {r.path: r.n_users for r in win.top_event_paths(df, depth=3).collect()}
+    assert out == {"a>b>c": 2}

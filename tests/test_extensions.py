@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from seqdatapipeline_spark.extensions import dedup as dd
 from seqdatapipeline_spark.extensions import multimodal as mm
 from seqdatapipeline_spark.extensions import similarity as sim
+from seqdatapipeline_spark.extensions import textstats as tx
 from seqdatapipeline_spark.streaming import watch
 
 
@@ -605,3 +606,32 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
         # 8 shingles each, 7 shared -> J = 7/9
         assert abs(r.true_jaccard - 7 / 9) < 1e-6
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_simhash_hamming_exact_distance_and_pigeonhole(spark):
+    # identical docs -> hamming 0; disjoint-vocab docs -> far apart
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "alpha beta gamma delta epsilon eta"
+    rows = [(1, t1), (2, t1), (3, t2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.hamming for r in
+           dd.simhash_hamming_pairs(df, max_hamming=16).collect()}
+    assert out[(1, 2)] == 0
+    # pigeonhole: every pair within max_hamming=3 must be generated by
+    # banding (no false negatives) — verify vs brute force signatures
+    sig = {r.doc_id: r.simhash for r in
+           dd.simhash_signature(df).collect()}
+    for (a, b), h in out.items():
+        brute = sum(x != y for x, y in zip(sig[a], sig[b]))
+        assert h == brute
+
+
+def test_lm_doc_score_prefers_in_distribution_text(spark):
+    # corpus dominated by "a b" bigrams; the odd doc pays in log-prob
+    rows = [(i, "a b a b a b") for i in range(10)] + [(99, "q r q r q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lm_score for r in tx.lm_doc_score(df).collect()}
+    assert out[0] > out[99]
+    # single-token docs carry no bigram and are excluded
+    df2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
+    assert {r.doc_id for r in tx.lm_doc_score(df2).collect()} == {2}
