@@ -51,6 +51,7 @@ ALLOW = {
     "chunk_batches": ("global-window", "batch numbering over the routed-group list (group-count-sized)"),
     "limit_first_record": ("global-window", "limit-1 probe"),
     "sra_source": ("global-window", "single-accession probe"),
+    "srp_embedding_pairs": ("double-scan", "exact-cosine confirm joins the (column-pruned) vector table onto both pair sides; the signature branch is checkpointed, not rescanned"),
     "lm_doc_score": ("BNLJ", "one-row vocab-size aggregate broadcast-crossed into the vocab-bounded context table: O(|vocab|) BNLJ by construction"),
     "mad_outliers": ("scans=", "exact two-level median (MAD = median of deviations from a median) is inherently multi-pass; each pass is a map-side-combinable groupBy whose key-sized result joins back broadcast — a per-group window would one-task each group"),
     "winsorize_stats": ("double-scan", "quantile pass + clipped re-aggregate: the scale-correct two-pass form (a per-group window would one-task each group)"),

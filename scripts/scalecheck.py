@@ -97,6 +97,13 @@ OPS = [
     "dup_rate_by_source",
     "source_overlap_matrix",
     "label_centroids",
+    "quantile_normalize",
+    "minhash_jaccard_estimate",
+    "simhash_hamming_pairs",
+    "lm_doc_score",
+    "mad_outliers",
+    "winsorize_stats",
+    "top_event_paths",
 ]
 
 

@@ -644,3 +644,87 @@ def simhash_hamming_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def srp_signs(bits: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for signed random
+    projection, derived from md5 of the (bit, dim) index — computed
+    driver-side ONCE and inlined as literals, so Spark and any SQL
+    oracle share bit-identical hyperplanes with no RNG-seed
+    dependence."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{b},{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dims)
+        ]
+        for b in range(bits)
+    ]
+
+
+def srp_signature(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 24,
+    dims: int = 64,
+) -> DataFrame:
+    """SRP (sign-of-random-projection) signature for embeddings — the
+    SimHash of vector space (Charikar 2002): bit b = sign(v · r_b)
+    with r_b a fixed ±1 hyperplane. Collision probability is
+    1 − angle(u,v)/π, so near-duplicate vectors agree on almost all
+    bits. Pure fixed-order double arithmetic inside codegen — the
+    projection is deterministic across engines AND partition layouts
+    (no float-accumulation ambiguity: one expression, one evaluation
+    order)."""
+    signs = srp_signs(bits, dims)
+    v = lambda d: F.element_at(F.col(vec_col), d + 1).cast("double")
+    bit = lambda b: F.when(
+        sum(signs[b][d] * v(d) for d in range(dims)) >= 0, F.lit("1")
+    ).otherwise(F.lit("0"))
+    sig = F.concat(*[bit(b) for b in range(bits)])
+    return fan_out(emb, id_col).select(F.col(id_col), sig.alias("srp"))
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 24,
+    band_bits: int = 8,
+    dims: int = 64,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup WITHOUT a precomputed block key: SRP
+    signature → band buckets → in-bucket pairs → exact cosine filter.
+    The label-blocked variant (embedding_near_dup_pairs) needs a
+    partitioner someone already built; this one manufactures its own
+    buckets from the geometry, which is what you do on a fresh 100 TB
+    embedding table. Candidates are band-collisions only — random
+    pairs collide on an 8-bit band with p≈1/256, so the candidate set
+    is a thin slice of n², never all-pairs."""
+    sig = srp_signature(emb, id_col, vec_col, bits, dims)
+    sig = sig.localCheckpoint(eager=True)
+    n_bands = bits // band_bits
+    bands = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(i)), F.substring("srp", i * band_bits + 1, band_bits))
+            for i in range(n_bands)
+        ]
+    )
+    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    pairs = _bucket_pairs(keyed, id_col, "band_key", max_bucket)
+    va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

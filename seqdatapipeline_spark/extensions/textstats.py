@@ -243,3 +243,51 @@ def lm_doc_score(
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+def rule_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_ratio: float = 0.0,
+    max_repeat_ratio: float = 0.6,
+) -> DataFrame:
+    """C4/Gopher-style rule gate with per-rule attribution: each
+    heuristic is its own 0/1 column next to the final ``keep``, so a
+    corpus report can say *which* rule removed *how much* — the
+    difference between a filter you can tune and one you can only
+    rerun (C4 and Gopher both publish their rules precisely so they
+    can be audited this way).
+
+    Rules: word-count band, mean-word-length band, stopword floor
+    (fluency proxy), repeated-token ceiling (1 − distinct/total —
+    boilerplate proxy). All pure length/array arithmetic in one
+    whole-stage-codegen pass — the gate costs one corpus scan at any
+    scale. Flags are ints, not bools, for cross-engine hash parity."""
+    w = F.split(F.col(text_col), " ")
+    n_words = F.size(w).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    stop_lit = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_lit, x))) / n_words
+    repeat_ratio = 1.0 - F.size(F.array_distinct(w)) / n_words
+    r_len = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_stop = stop_ratio > min_stop_ratio
+    r_rep = repeat_ratio <= max_repeat_ratio
+    return fan_out(df, id_col).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(repeat_ratio, 6).alias("repeat_ratio"),
+        r_len.cast("long").alias("pass_len"),
+        r_wl.cast("long").alias("pass_word_len"),
+        r_stop.cast("long").alias("pass_stopword"),
+        r_rep.cast("long").alias("pass_repeat"),
+        (r_len & r_wl & r_stop & r_rep).cast("long").alias("keep"),
+    )

@@ -2500,3 +2500,98 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import windows as win
 
     return win.top_event_paths(_t(spark, sf_dir, "events"), depth=3)
+
+
+@q(
+    "rule_filter",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
+           round(n_stop / n_words, 6) AS stop_ratio,
+           round(1.0 - n_uniq / n_words, 6) AS repeat_ratio,
+           CAST(n_words >= 20 AND n_words <= 1000 AS BIGINT) AS pass_len,
+           CAST((n_chars - (n_words - 1)) / n_words >= 3.0
+                AND (n_chars - (n_words - 1)) / n_words <= 10.0 AS BIGINT) AS pass_word_len,
+           CAST(n_stop / n_words > 0.0 AS BIGINT) AS pass_stopword,
+           CAST(1.0 - n_uniq / n_words <= 0.6 AS BIGINT) AS pass_repeat,
+           CAST(n_words >= 20 AND n_words <= 1000
+                AND (n_chars - (n_words - 1)) / n_words >= 3.0
+                AND (n_chars - (n_words - 1)) / n_words <= 10.0
+                AND n_stop / n_words > 0.0
+                AND 1.0 - n_uniq / n_words <= 0.6 AS BIGINT) AS keep
+    FROM f
+    """,
+)
+def q_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher rule gate with per-rule attribution
+    (extensions.textstats.rule_filter): word-count band, mean-word-
+    length band, stopword floor, repeated-token ceiling — each rule
+    its own 0/1 column so the drop report is auditable. One codegen
+    scan of the corpus."""
+    return tx.rule_filter(_t(spark, sf_dir, "documents"))
+
+
+def _srp_oracle(bits: int = 24, band_bits: int = 6, dims: int = 64, threshold: float = 0.3) -> str:
+    signs = dd.srp_signs(bits, dims)
+    n_bands = bits // band_bits
+    proj = lambda b: " + ".join(
+        f"({'' if signs[b][d] > 0 else '-'}1.0 * e[{d + 1}])" for d in range(dims)
+    )
+    sig = " || ".join(
+        f"CASE WHEN ({proj(b)}) >= 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, {sig} AS srp FROM v),
+    keyed AS (
+      SELECT s.vec_id,
+             CAST(g.i AS VARCHAR) || '|' || substr(s.srp, g.i * {band_bits} + 1, {band_bits}) AS band_key
+      FROM sig s, (SELECT unnest(range(0, {n_bands})) AS i) g
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b,
+           round(list_cosine_similarity(va.e, vb.e), 6) AS cos
+    FROM pairs p JOIN v va ON va.vec_id = p.vec_a JOIN v vb ON vb.vec_id = p.vec_b
+    WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {threshold}
+    """
+
+
+@q("srp_embedding_pairs", _srp_oracle())
+def q_srp_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free embedding near-dup (extensions.dedup.
+    srp_near_dup_pairs): SRP/hyperplane signature manufactures its
+    own LSH buckets from geometry (Charikar 2002), in-bucket pairs,
+    exact-cosine confirm. The hyperplane matrix is md5-derived
+    literals — bit-identical in any engine, no RNG seed."""
+    return dd.srp_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), bits=24, band_bits=6, threshold=0.3
+    )
+
+
+@q("stream_minhash_dedup", _minhash_oracle())
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (streaming.neardup): the corpus drains
+    through merge_band_store in 4 deterministic micro-batches, each
+    probing and then appending the persistent band store. The oracle
+    is the ONE-SHOT batch LSH result — the identity (union of
+    incremental pairs == batch pairs) is the correctness contract of
+    the streaming path."""
+    import tempfile
+
+    from .streaming import neardup as nd
+
+    root = tempfile.mkdtemp(prefix="neardup-")
+    return nd.replay_batched(_t(spark, sf_dir, "documents"), root)

@@ -301,3 +301,22 @@ def test_top_event_paths_orders_by_time_not_arrival(spark):
         .withColumn("event_id", F.col("ts"))
     out = {r.path: r.n_users for r in win.top_event_paths(df, depth=3).collect()}
     assert out == {"a>b>c": 2}
+
+
+# ------------------------------------------------------------------ rule_filter
+
+def test_rule_filter_attribution_columns(spark):
+    good = " ".join(["the"] + [f"w{i}" for i in range(30)])       # passes all
+    short = "the tiny one"                                        # fails len
+    nostop = " ".join(f"w{i}" for i in range(30))                 # fails stopword
+    repeat = " ".join(["the"] * 5 + ["spam"] * 45)                # fails repeat
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, repeat)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in tx.rule_filter(df).collect()}
+    assert out[1].keep == 1
+    assert out[2].keep == 0 and out[2].pass_len == 0 and out[2].pass_stopword == 1
+    assert out[3].keep == 0 and out[3].pass_stopword == 0 and out[3].pass_len == 1
+    assert out[4].keep == 0 and out[4].pass_repeat == 0
+    # repeat ratio: 50 words, 2 distinct -> 0.96
+    assert abs(out[4].repeat_ratio - 0.96) < 1e-9

@@ -635,3 +635,28 @@ def test_lm_doc_score_prefers_in_distribution_text(spark):
     # single-token docs carry no bigram and are excluded
     df2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
     assert {r.doc_id for r in tx.lm_doc_score(df2).collect()} == {2}
+
+
+def test_srp_finds_constructed_near_dups(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(64)]
+    near = [x + rnd.gauss(0, 0.05) for x in base]  # cos ~0.999
+    noise = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = [(1, base), (2, near)] + [(10 + i, v) for i, v in enumerate(noise)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_a, r.vec_b): r.cos for r in
+           dd.srp_near_dup_pairs(df, bits=24, band_bits=6, threshold=0.9).collect()}
+    # a 0.999-cosine pair agrees on ~23.7/24 SRP bits in expectation;
+    # missing all 4 bands is vanishingly unlikely
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+
+
+def test_srp_signature_is_deterministic_and_balanced(spark):
+    rows = [(i, [float((i * 7 + d) % 13 - 6) for d in range(64)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r.vec_id: r.srp for r in dd.srp_signature(df).collect()}
+    b = {r.vec_id: r.srp for r in dd.srp_signature(df.repartition(7)).collect()}
+    assert a == b  # partition-layout independent
+    assert all(len(s) == 24 and set(s) <= {"0", "1"} for s in a.values())

@@ -305,3 +305,49 @@ def test_preset_chip_islands_merge(spark):
     out = presets.compose(df, presets.chip_stages()).collect()
     got = {(r.start_bin, r.end_bin): r.pileup for r in out}
     assert got == {(0, 1): 6, (10, 10): 3}
+
+
+# --------------------------------------------------------- incremental neardup
+
+def test_replay_batched_equals_batch_lsh(spark, tmp_path):
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.streaming import neardup as nd
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [(i, base) for i in range(5)] + [
+        (10, base.replace("old", "new")),
+        (11, "totally unrelated text about query engines and shuffles right here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(docs).collect()}
+    inc = {(r.doc_a, r.doc_b) for r in
+           nd.replay_batched(docs, str(tmp_path / "state"), n_batches=3).collect()}
+    assert inc == batch and len(batch) >= 10  # 5 identical docs alone give C(5,2)
+
+
+def test_streaming_neardup_cross_batch_pairs(spark, tmp_path):
+    """Two files drained one-per-trigger: the duplicate pair spans
+    batches, so it can only surface via the persistent band store."""
+    from seqdatapipeline_spark.streaming import neardup as nd
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    spark.createDataFrame([(1, base)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(inbox / "f1.parquet"))
+    spark.createDataFrame([(2, base)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(inbox / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox / "*.parquet"))
+    )
+    nd.streaming_neardup(
+        stream,
+        state_path=str(tmp_path / "bands"),
+        checkpoint=str(tmp_path / "ckpt"),
+        pairs_path=str(tmp_path / "pairs"),
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in
+             spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert (1, 2) in pairs
