@@ -92,7 +92,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         warm = []
-        for _ in range(3):  # min-of-3 damps scheduler/GC noise
+        for _ in range(5):  # min-of-5: r3 showed min-of-3 still lets
+            # host-load noise move the total ~19% on identical code
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

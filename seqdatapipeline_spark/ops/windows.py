@@ -17,6 +17,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(c: Column) -> Column:
+    """Wall-clock seconds since 1970-01-01 00:00:00 as a double, with
+    microsecond precision preserved. Works on TIMESTAMP and
+    TIMESTAMP_NTZ alike (Spark 4 rejects a direct NTZ→DOUBLE cast),
+    is session-timezone independent, and matches DuckDB's ``epoch()``
+    on naive timestamps — the oracle contract every time-derived query
+    here relies on. Pure codegen arithmetic, no UDF."""
+    origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", origin, c.cast("timestamp_ntz")) / F.lit(1e6)
+
+
 def density_over_total(df: DataFrame, freq_col: str, out_col: str = "density") -> DataFrame:
     """Grand-total ratio per row (reference tools.py:301-303,
     density = freq/Σfreq). Unpartitioned window over the input —
@@ -240,7 +251,7 @@ def time_weighted_avg(
     timestamp have zero total weight and a NULL twav."""
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    t = F.col(ts_col).cast("double")
+    t = epoch_seconds(F.col(ts_col))
     dt = F.lead(t).over(w) - t
     d = df.withColumn("__dt", dt).filter(F.col("__dt").isNotNull())
     wsum = F.sum("__dt")

@@ -214,18 +214,39 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_topk_cosine(queries, emb, k=5)
 
 
-@q("ann_ivf_topk")  # approximate: no SQL oracle; recall asserted in tests
+@q(
+    "ann_ivf_topk",
+    """
+    WITH queries AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM queries q CROSS JOIN embeddings c
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic k-means-lite coarse quantizer, then
     probe the nprobe nearest cells per query — the 100 TB scale path
     (equi-join on cell id; each query touches ~nprobe/ncells of the
-    corpus). Rows-only check here; recall vs the exact baseline is
-    asserted in tests/test_extensions.py."""
+    corpus). Registered here with nprobe = ncells (full probe), which
+    exercises the entire IVF machinery — quantizer training, corpus
+    cell assignment, probe equi-join, per-query ranking — while being
+    provably identical to exact brute force, so the brute-force SQL
+    oracle is a valid hash check (tests/test_extensions.py asserts the
+    equivalence, and separately recall ≥ 0.8 on the pruned nprobe=3
+    path that production would run)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
-    return sim.ivf_topk_cosine(queries, emb, k=5, nprobe=3)
+    return sim.ivf_topk_cosine(queries, emb, k=5, nprobe=10, kmeans_k=10)
 
 
 @q(
@@ -1211,8 +1232,10 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates."""
     from .ops import aggregates as agg
 
+    from .ops.windows import epoch_seconds
+
     e = _t(spark, sf_dir, "events")
-    x = F.col("ts").cast("double") / 86400.0 - 10000
+    x = epoch_seconds(F.col("ts")) / 86400.0 - 10000
     return agg.trend_slope(e, ["event_type"], x, F.col("value"))
 
 
@@ -1474,14 +1497,16 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds — the session-gap profile that feeds session-window
     tuning. One shuffle on user_id shared by the window and the
     groupBy."""
+    from .ops.windows import epoch_seconds
+
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timestamp→double keeps fractional seconds on both engines
+    # epoch_seconds keeps fractional seconds on both engines
     # (unix_timestamp would truncate micros that DuckDB's epoch keeps).
-    gaps = e.withColumn(
-        "gap",
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
-    ).filter(F.col("gap").isNotNull())
+    t = epoch_seconds(F.col("ts"))
+    gaps = e.withColumn("gap", t - F.lag(t).over(w)).filter(
+        F.col("gap").isNotNull()
+    )
     return gaps.groupBy("user_id").agg(
         F.count("gap").cast("long").alias("n_gaps"),
         F.round(F.avg("gap"), 4).alias("avg_gap_s"),

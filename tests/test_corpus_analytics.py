@@ -306,7 +306,7 @@ def test_top_event_paths_orders_by_time_not_arrival(spark):
 # ------------------------------------------------------------------ rule_filter
 
 def test_rule_filter_attribution_columns(spark):
-    good = " ".join(["the"] + [f"w{i}" for i in range(30)])       # passes all
+    good = " ".join(["the"] + [f"word{i:02d}" for i in range(30)])  # passes all (mean wl ≈ 5.9)
     short = "the tiny one"                                        # fails len
     nostop = " ".join(f"w{i}" for i in range(30))                 # fails stopword
     repeat = " ".join(["the"] * 5 + ["spam"] * 45)                # fails repeat
