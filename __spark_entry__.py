@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # local full-surface mirror (tests/test_oracle_parity.py, all 155).
 _PRIORITY = [
     # §2.1 scans/sources/sinks
-    "form_scan", "batch_list_scan", "dir_poll_stream", "counts_tsv_sink",
+    "form_scan", "dir_poll_stream", "counts_tsv_sink",
     # §2.2 filters/projections
     "filter_not_chrm", "filter_tlen_range", "filter_mapped_flag",
     "filter_paired_flag_count", "project_tlen", "filter_jobfile_regex",
@@ -60,7 +60,8 @@ _PRIORITY = [
     "completion_poll", "stream_windowed_counts", "session_windows",
     # LLM-pipeline headliners (dedup / ANN / corpus / text quality)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_spans_exact", "dedup_embedding_cosine",
+    "dedup_clusters",
     "ann_topk_cosine", "ann_ivf_topk", "pack_sequences", "corpus_prepare",
     "rule_filter", "token_count", "text_quality_score", "tf_idf_top_terms",
 ]

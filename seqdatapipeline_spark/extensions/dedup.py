@@ -17,7 +17,7 @@ dependence on Spark's murmur seed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import fan_out
@@ -67,6 +67,57 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     Map-side combine makes this a single cheap shuffle at any scale."""
     return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """C4-style cross-corpus span deduplication (Raffel et al. 2020
+    §2.2 removed any three-sentence span occurring more than once in
+    the corpus): split every document into consecutive non-overlapping
+    ``k``-word spans, keep only the globally FIRST occurrence of each
+    distinct span (ordered by (doc_id, span_no) — deterministic), and
+    reassemble each document from its surviving spans in order.
+
+    Scale shape: explode is a narrow map; first-occurrence is ONE
+    window keyed by the span text (high-cardinality key — no
+    single-reducer stage, the span hash spreads uniformly); reassembly
+    is one groupBy on doc id. Two shuffles total, both linear in
+    corpus tokens, no join — the form that runs on a 100 TB crawl.
+    Output per doc: n_spans, n_spans_kept, clean_text (may be empty
+    when every span was seen earlier)."""
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(w) / F.lit(k)).cast("int")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("span_no", "span"),
+    )
+    first = F.min(F.struct(F.col(id_col), F.col("span_no"))).over(
+        Window.partitionBy("span")
+    )
+    tagged = spans.withColumn(
+        "__keep",
+        (first[id_col] == F.col(id_col)) & (first["span_no"] == F.col("span_no")),
+    )
+    kept_spans = F.when(F.col("__keep"), F.struct("span_no", "span"))
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__keep").cast("long")).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_spans)), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("clean_text"),
     )
 
 
@@ -376,37 +427,84 @@ def connected_components(
     travels two hops per round, so rounds ≈ half the cluster diameter
     (LSH dup clusters are shallow — single digits in practice).
 
-    Scale shape: each round is two keyed aggregations (map-side
-    combinable shuffles) — a q-member bucket contributes q rows per
-    round, never the q² pairwise edges. Lineage is truncated per round
-    with localCheckpoint (else the plan doubles every iteration); the
-    per-round convergence check is a scalar count, not a collect.
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    the same scheme GraphFrames/GraphX ship for CC). Buckets first
+    contract to star edges (node → bucket-min), then each round hangs
+    every node onto the minimum of its neighborhood from both
+    directions. Where plain min-label propagation needs rounds
+    proportional to the cluster *diameter* (measured here: 21 rounds on
+    the sf0.1 embedding graph, 4 at sf0.01 — the round count itself
+    grew with data), star contraction squares the label's reach each
+    round, converging in O(log d): the round count stays flat as data
+    grows, which is what survives a 100 TB corpus with mega-clusters.
+
+    Scale shape: every step is a keyed aggregation or equi-join on the
+    *edge* set — a q-member bucket contributes q star edges, never q²
+    pairs — and the edge set shrinks toward one edge per non-root node
+    as stars form. Lineage is truncated per round with localCheckpoint
+    (else the plan doubles every iteration); convergence checks are
+    scalar counts, never collects.
     """
     inc = (
         incidence.select(F.col(node_col).alias("node"), F.col(key_col).alias("key"))
         .distinct()
+        .localCheckpoint()  # one materialization of the upstream
+        # subtree (signatures, banding): nodes / edges / the final
+        # labeling all branch from it, and without this each branch
+        # would recompute the whole signature pipeline.
+    )
+    nodes = inc.select("node").distinct()
+    # Bucket contraction: node → min node of its bucket (u > v edges).
+    bmin = inc.groupBy("key").agg(F.min("node").alias("v"))
+    edges = (
+        inc.join(bmin, "key")
+        .filter(F.col("node") != F.col("v"))
+        .select(F.col("node").alias("u"), "v")
+        .distinct()
         .localCheckpoint()
     )
-    labels = inc.select("node").distinct().withColumn("comp", F.col("node"))
+    n_edges = edges.count()
     for _ in range(max_iter):
-        kmin = inc.join(labels, "node").groupBy("key").agg(F.min("comp").alias("kmin"))
-        nmin = inc.join(kmin, "key").groupBy("node").agg(F.min("kmin").alias("nmin"))
-        relabeled = (
-            labels.join(nmin, "node", "left")
-            .select(
-                "node",
-                F.col("comp").alias("prev"),
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+        if n_edges == 0:
+            break
+        # Large-star: for each node, hang all STRICTLY LARGER
+        # neighbors onto min(N(u) ∪ {u}).
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # Small-star: edges stay (larger → smaller); hang each node's
+        # smaller neighbors and the node itself onto the minimum.
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = relabeled.filter(F.col("comp") < F.col("prev")).limit(1).count()
-        labels = relabeled.drop("prev")
-        if changed == 0:
+        n_small = small.count()
+        converged = (
+            n_small == n_edges
+            and small.subtract(edges).limit(1).count() == 0
+        )
+        edges, n_edges = small, n_small
+        if converged:
             break
-    return labels.select(F.col("node").alias(node_col), F.col("comp").alias("cluster_id"))
+    # Converged state: disjoint stars, center = component min; each
+    # non-center node carries exactly one edge to its center.
+    return nodes.join(edges, nodes["node"] == edges["u"], "left").select(
+        nodes["node"].alias(node_col),
+        F.coalesce(edges["v"], nodes["node"]).alias("cluster_id"),
+    )
 
 
 def fuzzy_match_pairs(

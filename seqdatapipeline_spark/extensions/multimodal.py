@@ -3,11 +3,13 @@ columns with typed metadata.
 
 The Spark-side machinery is real and tested — binary payload columns,
 metadata maps, Arrow-batched `mapInPandas` with explicit output
-schemas, partition-size control for large blobs. The actual codec
-step is STUBBED (image/audio libraries are not in this environment):
-`decode_media` raises NotImplementedError unless `fake=True`, in which
-case a deterministic byte-derived feature vector stands in so the
-batch shapes, schemas and partitioning can be exercised end-to-end.
+schemas, partition-size control for large blobs. The codec step has
+two paths: `fake=True` runs a deterministic byte-derived stand-in
+(always available — the oracle-parity path), and `fake=False` runs a
+real Pillow decode/thumbnail when PIL is importable on the executors.
+In this sandbox PIL is absent, so the real path raises
+NotImplementedError with the stand-in hint; the surrounding batch
+shapes, schemas and partitioning are identical either way.
 """
 
 from __future__ import annotations
@@ -67,20 +69,49 @@ def _fake_features(payload: bytes, n: int = 8) -> list[float]:
     return [b / total for b in buckets]
 
 
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_features(payload: bytes) -> list[float]:
+    """Real image featurizer (runs only when Pillow is importable):
+    width, height, n_channels, then per-channel mean/255 — a
+    deterministic, resolution-independent summary with the same
+    array<double> shape as the stand-in."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        w, h = rgb.size
+        px = list(rgb.getdata())
+        n = float(len(px)) or 1.0
+        means = [sum(c[i] for c in px) / n / 255.0 for i in range(3)]
+    return [float(w), float(h), 3.0] + means
+
+
 def decode_media(df: DataFrame, fake: bool = False, batch_partitions: int | None = None) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched
-    `mapInPandas`. The real decode (PIL/librosa/av) is unavailable in
-    this environment — STUB: raises unless `fake=True`, which swaps in
-    the deterministic byte-histogram featurizer.
+    `mapInPandas`. With `fake=True` the deterministic byte-histogram
+    featurizer runs (the oracle-parity path, available everywhere).
+    With `fake=False` the real image decode runs when Pillow is
+    importable on the executors; in this sandbox it is not, so the
+    call raises NotImplementedError with the stand-in hint —
+    the Spark-side plumbing (schema, batching, partitioning) is
+    identical on both paths.
 
     `batch_partitions` repartitions first so each Arrow batch holds a
     bounded number of large blobs (memory control at scale)."""
-    if not fake:
+    if not fake and not _pil_available():
         raise NotImplementedError(
             "media codecs not available in this environment; "
             "call decode_media(df, fake=True) for the deterministic stand-in"
         )
     src = df.repartition(batch_partitions) if batch_partitions else df
+    featurize = _fake_features if fake else _pil_features
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,7 +120,7 @@ def decode_media(df: DataFrame, fake: bool = False, batch_partitions: int | None
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": pdf["payload"].map(featurize),
                 }
             )
 
@@ -108,14 +139,32 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).drop("__i")
 
 
+def _pil_resize(payload: bytes, max_px: int) -> bytes:
+    """Real thumbnail (runs only when Pillow is importable): bound the
+    longest edge at ``max_px``, re-encode as PNG (deterministic — PNG
+    has no timestamp/quality variance)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        thumb = im.convert("RGB")
+        thumb.thumbnail((max_px, max_px))
+        out = BytesIO()
+        thumb.save(out, format="PNG")
+    return out.getvalue()
+
+
 def resize_media(df: DataFrame, target_bytes: int = 64, fake: bool = False) -> DataFrame:
-    """Resize/transcode step via Arrow-batched `mapInPandas`. The real
-    resample (PIL thumbnail / ffmpeg scale) is unavailable here —
-    STUB: raises unless `fake=True`, which swaps in deterministic
-    payload truncation so the batch shape, binary output column and
-    metadata update are exercised for real. Output schema mirrors the
-    input media shape plus the new size."""
-    if not fake:
+    """Resize/transcode step via Arrow-batched `mapInPandas`. With
+    `fake=True` (oracle-parity path, available everywhere) the payload
+    is deterministically truncated to ``target_bytes``. With
+    `fake=False` a real PIL thumbnail runs when Pillow is importable
+    (``target_bytes`` then bounds the longest edge in pixels); in this
+    sandbox it is not, so the call raises NotImplementedError with the
+    stand-in hint. Batch shape, binary output column and metadata
+    update are identical on both paths."""
+    if not fake and not _pil_available():
         raise NotImplementedError(
             "media codecs not available in this environment; "
             "call resize_media(df, fake=True) for the deterministic stand-in"
@@ -124,7 +173,9 @@ def resize_media(df: DataFrame, target_bytes: int = 64, fake: bool = False) -> D
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             clipped = pdf["payload"].map(
-                lambda p: bytes(p[:target_bytes]) if p is not None else b""
+                (lambda p: bytes(p[:target_bytes]) if p is not None else b"")
+                if fake
+                else (lambda p: _pil_resize(p, target_bytes) if p is not None else b"")
             )
             yield pd.DataFrame(
                 {

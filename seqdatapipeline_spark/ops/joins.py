@@ -45,6 +45,84 @@ def pe_mate_join(
     return m1.join(m2, on=key, how="inner")
 
 
+def mate_pair_enumerate(
+    df: DataFrame,
+    key: str,
+    tag_col: str,
+    value_cols: list[str],
+    tag1=1,
+    tag2=2,
+) -> DataFrame:
+    """EXACT inner-join mate pairing from a single tagged source: per
+    key, collect both mate slices and enumerate their cross product —
+    bit-identical to ``pe_mate_join(slice1, slice2)`` including
+    duplicate-key pair explosion, but executed as one scan + one
+    map-side-combinable groupBy + explode instead of two scans + two
+    shuffles + a sort-merge join. No sort anywhere (hash aggregate),
+    which is what turned the measured super-linear SMJ curve flat; the
+    within-key pair enumeration is bounded by per-read mate
+    multiplicity (1 in well-formed data), never a table-level blowup.
+    Output: key, then ``<col>_1``/``<col>_2`` per value column."""
+    struct_cols = F.struct(*[F.col(c) for c in value_cols])
+    g = (
+        df.filter(F.col(tag_col).isin(tag1, tag2))
+        .groupBy(key)
+        .agg(
+            F.collect_list(F.when(F.col(tag_col) == tag1, struct_cols)).alias("__m1"),
+            F.collect_list(F.when(F.col(tag_col) == tag2, struct_cols)).alias("__m2"),
+        )
+    )
+    return (
+        g.select(key, F.explode("__m1").alias("__a"), "__m2")
+        .select(key, "__a", F.explode("__m2").alias("__b"))
+        .select(
+            key,
+            *[F.col(f"__a.{c}").alias(f"{c}_1") for c in value_cols],
+            *[F.col(f"__b.{c}").alias(f"{c}_2") for c in value_cols],
+        )
+    )
+
+
+def mate_pair_pivot(
+    df: DataFrame,
+    key: str,
+    tag_col: str,
+    value_cols: list[str],
+    tag1=1,
+    tag2=2,
+) -> DataFrame:
+    """Mate pairing when BOTH mates live in one source keyed by
+    (key, tag) — the overwhelmingly common layout (interleaved FASTQ,
+    one alignment table with a mate flag). Semantically the inner
+    equi-join of the tag1 slice against the tag2 slice, but executed
+    as one scan + one map-side-combinable groupBy pivot: vs the
+    two-scan self-join form this halves table IO, halves shuffle
+    volume, and the partial aggregate collapses each pair before the
+    exchange — the difference between 7× and linear growth measured at
+    10× data (SCALING.md pe_mate_join).
+
+    Valid when (key, tag) is unique — one record per read per mate,
+    which mate files guarantee; under duplicates use ``pe_mate_join``,
+    whose join semantics enumerate the pairs. Output columns:
+    key, then ``<col>_1``/``<col>_2`` per value column, inner-join
+    row set enforced via per-side presence flags (value columns may
+    be legitimately NULL)."""
+    aggs = [
+        F.max(F.when(F.col(tag_col) == tag1, 1)).alias("__p1"),
+        F.max(F.when(F.col(tag_col) == tag2, 1)).alias("__p2"),
+    ]
+    for c in value_cols:
+        aggs.append(F.max(F.when(F.col(tag_col) == tag1, F.col(c))).alias(f"{c}_1"))
+        aggs.append(F.max(F.when(F.col(tag_col) == tag2, F.col(c))).alias(f"{c}_2"))
+    out = (
+        df.filter(F.col(tag_col).isin(tag1, tag2))
+        .groupBy(key)
+        .agg(*aggs)
+        .filter(F.col("__p1").isNotNull() & F.col("__p2").isNotNull())
+    )
+    return out.drop("__p1", "__p2")
+
+
 def pe_mate_validate(r1: DataFrame, r2: DataFrame, key: str = "read_id") -> DataFrame:
     """Mate-consistency check: ids present on one side only
     (reference tools.py:746-751 mismatch error path). Empty ⇒ valid."""
@@ -168,13 +246,14 @@ def interval_count_binned(
     points: DataFrame,
     intervals: DataFrame,
     group_cols: list[str],
-    bin_size: int = 50,
+    bin_size: int | str = 50,
     point_chrom: str = "rname",
     point_pos: str = "pos",
     ivl_chrom: str = "chrom",
     ivl_start: str = "start",
     ivl_end: str = "end",
     count_col: str = "n",
+    target_points_per_bin: int = 273,
 ) -> DataFrame:
     """Count points per interval group **without materializing the
     point×interval pairs** — the scale form of htseq-count / coverage
@@ -192,9 +271,24 @@ def interval_count_binned(
       the expensive comparison touches ~2/span of the data.
 
     Equivalent to ``interval_join_binned(...).groupBy(group).count()``
-    (closed interval on both ends), checked in tests."""
+    (closed interval on both ends), checked in tests.
+
+    ``bin_size="auto"`` sizes bins from point density so
+    points-per-bin stays ≈ ``target_points_per_bin`` (the sf0.1 sweep
+    optimum) as depth grows. With a FIXED bin width the edge-bin exact
+    join does work ∝ intervals × points-per-bin — quadratic when both
+    sides grow over a fixed coordinate domain; adaptive width keeps it
+    linear. The two sizing inputs are a parquet-metadata row count and
+    a min/max over the interval dim — scalar jobs, not data collects.
+    The result is bit-identical for ANY bin size (the rewrite is exact
+    regardless); only the cost model moves."""
     from ..session import fan_out
 
+    if bin_size == "auto":
+        n_pts = points.count()
+        lo, hi = intervals.agg(F.min(ivl_start), F.max(ivl_end)).first()
+        domain = max(1.0, float(hi) - float(lo))
+        bin_size = max(1, round(target_points_per_bin * domain / max(n_pts, 1)))
     b = F.lit(bin_size)
     # Keyed fan-out on (chrom, bin): lifts map-side parallelism for
     # row-group-bound local inputs (no-op at scale) and pre-partitions

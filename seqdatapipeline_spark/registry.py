@@ -445,20 +445,52 @@ def q_filter_arity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pe_mate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mate pairing as an equi-join on read id (reference
-    tools.py:737-786 PE_check: id match + mate-1-first ordering)."""
-    li = _t(spark, sf_dir, "lineitem")
-    r1 = li.filter(F.col("l_linenumber") == 1).select(
+    """Mate pairing on read id (reference tools.py:737-786 PE_check:
+    id match + mate-1-first ordering). Both mates live in one source
+    here, so this runs the single-scan groupBy-enumerate form
+    (ops.joins.mate_pair_enumerate — one shuffle, hash agg, no sort,
+    exact join semantics incl. duplicate keys); the two-source
+    equi-join form remains ops.joins.pe_mate_join."""
+    li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("read_id"),
+        F.col("l_linenumber").alias("mate"),
         F.col("l_quantity").alias("qty"),
         F.col("l_partkey").alias("part"),
     )
-    r2 = li.filter(F.col("l_linenumber") == 2).select(
+    return jn.mate_pair_enumerate(
+        li, key="read_id", tag_col="mate", value_cols=["qty", "part"]
+    )
+
+
+@q(
+    "pe_mate_pivot",
+    """
+    SELECT read_id, qty_1, qty_2, part_1, part_2 FROM (
+      SELECT l_orderkey AS read_id,
+             max(CASE WHEN l_linenumber = 1 THEN 1 END) AS p1,
+             max(CASE WHEN l_linenumber = 2 THEN 1 END) AS p2,
+             max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qty_1,
+             max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS qty_2,
+             max(CASE WHEN l_linenumber = 1 THEN l_partkey END) AS part_1,
+             max(CASE WHEN l_linenumber = 2 THEN l_partkey END) AS part_2
+      FROM lineitem GROUP BY 1
+    ) WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+    """,
+)
+def q_pe_mate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-read mate pairing (ops.joins.mate_pair_pivot): the
+    (key, tag)-unique fast path — single scan, one map-side-combinable
+    groupBy pivot, no pair enumeration at all. The form a well-formed
+    mate table (one record per read per mate) should run at 100 TB;
+    under duplicate keys it collapses to max-per-side where
+    pe_mate_join enumerates pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("read_id"),
+        F.col("l_linenumber").alias("mate"),
         F.col("l_quantity").alias("qty"),
         F.col("l_partkey").alias("part"),
     )
-    return jn.pe_mate_join(r1, r2, key="read_id")
+    return jn.mate_pair_pivot(li, key="read_id", tag_col="mate", value_cols=["qty", "part"])
 
 
 @q(
@@ -490,10 +522,9 @@ def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 0.5).alias("start"),
         (F.col("p_retailprice") * 1.5).alias("end"),
     )
-    # bin≈interval_width/20 measured best at sf0.1 (swept 25-400 after
-    # the keyed fan-out landed): interior explode rows fall linearly
-    # with bin size while the edge-bin exact join grows with
-    # points-per-bin; 50 balances the two.
+    # bin=50: the sf0.1 sweep optimum (swept 25-400 after the keyed
+    # fan-out landed); re-swept at 10x data in round 4 (16/50/150/400)
+    # to check the optimum's drift with point density.
     return jn.interval_count_binned(li, part, group_cols=["p_brand"], bin_size=50)
 
 

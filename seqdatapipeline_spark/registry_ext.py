@@ -168,6 +168,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_spans_exact",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS span_no,
+             array_to_string(words[(i*5+1):(i*5+5)], ' ') AS span
+      FROM w, UNNEST(range(0, CAST(ceil(len(words)/5.0) AS BIGINT))) AS t(i)
+    ),
+    tagged AS (
+      SELECT doc_id, span_no, span,
+             (row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) = 1) AS keep
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+           coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_no), '')
+             AS clean_text
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus span dedup (extensions.dedup.span_dedup):
+    every duplicate k-word span beyond its first global occurrence is
+    cut, documents reassembled from survivors. Explode + one window on
+    the span key + one groupBy — two linear shuffles, no join."""
+    return dd.span_dedup(_t(spark, sf_dir, "documents"), k=5)
+
+
+@q(
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

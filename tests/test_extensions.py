@@ -112,8 +112,33 @@ def test_exact_dedup_counts(spark):
 
 def test_decode_media_stub_gate(spark):
     media = mm.to_media(_doc_df(spark, [(1, "abc")]), "doc_id", "text")
+    if mm._pil_available():
+        pytest.skip("Pillow installed: the real path runs instead of the gate")
     with pytest.raises(NotImplementedError):
         mm.decode_media(media)  # real codecs absent → explicit stub
+
+
+@pytest.mark.skipif(not mm._pil_available(), reason="Pillow not installed")
+def test_decode_media_real_pil_path(spark):
+    """When Pillow IS importable, fake=False decodes real image bytes:
+    a 4x2 solid-red PNG must featurize to [w, h, channels, R, G, B]."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    row = mm.decode_media(df).collect()[0]
+    assert row.features[:3] == [4.0, 2.0, 3.0]
+    assert abs(row.features[3] - 1.0) < 1e-6 and row.features[4] == 0.0
+
+    resized = mm.resize_media(df, target_bytes=2).collect()[0]
+    with Image.open(BytesIO(bytes(resized.payload))) as im:
+        assert max(im.size) <= 2
 
 
 def test_decode_media_fake_features(spark):
@@ -660,3 +685,18 @@ def test_srp_signature_is_deterministic_and_balanced(spark):
     b = {r.vec_id: r.srp for r in dd.srp_signature(df.repartition(7)).collect()}
     assert a == b  # partition-layout independent
     assert all(len(s) == 24 and set(s) <= {"0", "1"} for s in a.values())
+
+
+def test_span_dedup_c4_semantics(spark):
+    """Doc 20 repeats doc 10's first 5-word span; only its own novel
+    span survives, and the shared span stays with the lower doc id."""
+    shared = "alpha beta gamma delta epsilon"
+    novel = "zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(10, shared), (20, f"{shared} {novel}")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dd.span_dedup(df, k=5).collect()}
+    assert out[10].n_spans == 1 and out[10].n_spans_kept == 1
+    assert out[10].clean_text == shared
+    assert out[20].n_spans == 2 and out[20].n_spans_kept == 1
+    assert out[20].clean_text == novel

@@ -262,3 +262,39 @@ def test_asof_attach_prior_matches_naive(spark, rows):
         cands = [(ts2, i2) for k2, ts2, i2, r2, _ in data if r2 and k2 == k and ts2 <= ts]
         want = max(cands)[1] if cands else None
         assert got.get(i) == want, (i, got.get(i), want)
+
+
+# Filename fragments that stress the prefix≡first-block equivalence:
+# repeated "_R" tokens, digits adjacent to the mate number, stems that
+# embed the mate marker, and suffixes longer than the stem (where
+# SequenceMatcher's LONGEST block is the suffix, and only the
+# recursion's leftmost block equals the prefix).
+_NAME_FRAG = st.text(
+    alphabet="abR12_.-0", min_size=0, max_size=12
+)
+
+
+@given(stem=_NAME_FRAG, ext=_NAME_FRAG)
+@settings(**SETTINGS)
+def test_pair_key_matches_sequencematcher_first_block(spark, stem, ext):
+    """Documents the semantic-narrowing claim (SURVEY §2.8
+    common_prefix_pair_key): for mate-style name pairs
+    ``<stem>_R1<ext>`` / ``<stem>_R2<ext>`` — same stem, same suffix,
+    differing only in the mate digit — the reference's
+    ``SequenceMatcher.get_matching_blocks()[0]`` (mainScript.py:241-243)
+    is exactly the longest common prefix, so the Spark-side
+    higher-order-function implementation reproduces the reference key
+    byte-for-byte, including the ``_R`` → ``_paired`` rewrite."""
+    from difflib import SequenceMatcher
+    import re
+
+    from seqdatapipeline_spark.ops import strings as stx
+
+    a = f"{stem}_R1{ext}"
+    b = f"{stem}_R2{ext}"
+    i, j, n = SequenceMatcher(None, a, b).get_matching_blocks()[0]
+    ref_key = re.sub("_R$", "_paired", a[i : i + n])
+
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    got = df.select(stx.pair_key(F.col("a"), F.col("b")).alias("k")).collect()[0].k
+    assert got == ref_key, (a, b, got, ref_key)
