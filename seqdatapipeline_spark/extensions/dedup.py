@@ -70,6 +70,30 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def duplicate_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft dedup: keep every document but emit a loss weight 1/n for
+    content appearing n times — the alternative to hard removal when
+    duplicates carry signal (natural duplication correlates with
+    quality/popularity) and the training objective should see each
+    distinct content with total weight 1 regardless of copy count.
+
+    One window keyed by the content hash (high-cardinality key — no
+    single-reducer stage), one shuffle, no join; the weight column
+    rides next to the id so the training loader applies it without a
+    second lookup."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    n = F.count(F.lit(1)).over(w)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_copies"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -522,9 +522,12 @@ def q_feature_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 0.5).alias("start"),
         (F.col("p_retailprice") * 1.5).alias("end"),
     )
-    # bin=50: the sf0.1 sweep optimum (swept 25-400 after the keyed
-    # fan-out landed); re-swept at 10x data in round 4 (16/50/150/400)
-    # to check the optimum's drift with point density.
+    # bin=50: optimum of BOTH the sf0.1 sweep (25-400) and the 10x
+    # re-sweep (16: 8.0s, 50: 5.0s, 150: 9.6s on 10x data) — the
+    # optimum does not drift with density in the both-sides-grow
+    # regime, so fixed beats "auto" here; bin_size="auto" remains for
+    # the fixed-annotation case (reads grow, genes don't), where
+    # points-per-bin is the quantity to pin.
     return jn.interval_count_binned(li, part, group_cols=["p_brand"], bin_size=50)
 
 

@@ -168,6 +168,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_soft_weights",
+    """
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+           round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+    FROM documents
+    """,
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (extensions.dedup.duplicate_weights): every doc
+    kept, loss weight 1/n per n-times-duplicated content — total
+    weight 1 per distinct content. One content-hash window, no join."""
+    return dd.duplicate_weights(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "dedup_spans_exact",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

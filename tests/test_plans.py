@@ -269,3 +269,32 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
+
+
+def test_pe_mate_join_single_scan_no_join(spark, sf_dir, queries):
+    """The mate pairing runs as one scan + one hash groupBy + explode:
+    no join operator, no sort, and the mate filter reaches parquet."""
+    plan = _plan(queries["pe_mate_join"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_pe_mate_pivot_single_exchange(spark, sf_dir, queries):
+    """The (key,tag)-unique pivot form: one scan, one exchange, the
+    partial aggregate runs map-side before it."""
+    plan = _plan(queries["pe_mate_pivot"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan
+
+
+def test_span_dedup_no_join(spark, sf_dir, queries):
+    """C4 span dedup is explode + span-keyed window + doc groupBy —
+    no join anywhere, one corpus scan."""
+    plan = _plan(queries["dedup_spans_exact"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
