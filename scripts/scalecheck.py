@@ -69,6 +69,9 @@ OPS = [
     "apply_changelog",
     "embedding_normalize",
     "dedup_minhash_clusters",
+    "dedup_spans_exact",
+    "dedup_soft_weights",
+    "pe_mate_pivot",
     "decontaminate_ngram",
     "shuffle_shards",
     "fuzzy_match_pairs",

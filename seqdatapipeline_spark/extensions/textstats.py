@@ -96,6 +96,30 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: list[str] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group (typically language): chars per
+    BPE-ish token and tokens per whitespace word — the compression
+    stats multilingual data work tracks, since a tokenizer that
+    fragments a language inflates its effective token share and
+    training cost. One corpus scan, map-side-combinable sums; output
+    cardinality = group count."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_ws = F.size(F.split(t, r"\s+")).cast("long")
+    n_re = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long")
+    rows = fan_out(df).select(*group_cols, n_chars.alias("__c"), n_ws.alias("__w"), n_re.alias("__t"))
+    return rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        F.round(F.sum("__c") / F.sum("__t"), 6).alias("chars_per_token"),
+        F.round(F.sum("__t") / F.sum("__w"), 6).alias("tokens_per_word"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: minimum hash over word n-gram shingles
     (winnowing-lite / rolling-hash family). Equal fingerprints ⇒

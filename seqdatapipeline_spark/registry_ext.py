@@ -168,6 +168,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "tokenizer_fertility",
+    """
+    WITH d AS (
+      SELECT lang,
+             len(text) AS c,
+             len(string_split_regex(text, '\\s+')) AS w,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS t
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           round(sum(c) * 1.0 / sum(t), 6) AS chars_per_token,
+           round(sum(t) * 1.0 / sum(w), 6) AS tokens_per_word
+    FROM d GROUP BY 1
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (extensions.textstats.
+    tokenizer_fertility): chars/token + tokens/word — one scan,
+    group-count-sized output."""
+    return tx.tokenizer_fertility(_t(spark, sf_dir, "documents"), group_cols=["lang"])
+
+
+@q(
     "dedup_soft_weights",
     """
     SELECT doc_id,

@@ -24,6 +24,7 @@ REPRESENTATIVE = [
     "pack_sequences",
     "approx_ndv_kmv",
     "rollup_time_bucket",
+    "dedup_spans_exact",
     "interarrival_stats",
     "time_weighted_avg",
     "trend_slope",
