@@ -38,6 +38,9 @@ ALLOW = {
     "dq_violations": ("scans=", "each rule is an independent check (anti-join / group-having / filter) over its table; rule count is O(10) and fixed, not data-sized"),
     "fuzzy_match_pairs": ("double-scan", "blocked self-join: the table is both sides by definition"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
+    "dedup_spans_exact": ("double-scan", "span branch + arithmetic totals branch: the price of the skew-immune groupBy-min form (a single-scan window would single-task hot boilerplate spans)"),
+    "dedup_soft_weights": ("double-scan", "count branch + attribution probe: the skew-immune groupBy+join form (a content-keyed window would single-task viral duplicates; AQE skew-join splits the hot probe)"),
+    "tf_idf_top_terms": ("double-scan", "tf branch + df-count branch: the skew-immune groupBy+join form (a term-keyed window would single-task stopword partitions; the vocabulary-sized df side broadcasts)"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),
     "multimodal_meta": ("double-scan", "payload + metadata branches"),
     "dedup_embedding_cosine": ("double-scan", "per-block grouping reads blocks once; probe branch second"),

@@ -81,16 +81,26 @@ def duplicate_weights(
     quality/popularity) and the training objective should see each
     distinct content with total weight 1 regardless of copy count.
 
-    One window keyed by the content hash (high-cardinality key — no
-    single-reducer stage), one shuffle, no join; the weight column
-    rides next to the id so the training loader applies it without a
-    second lookup."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    n = F.count(F.lit(1)).over(w)
-    return docs.select(
-        F.col(id_col),
-        n.cast("long").alias("n_copies"),
-        F.round(F.lit(1.0) / n, 6).alias("weight"),
+    Executed as a map-side-combinable groupBy on the content hash
+    plus an equi-join back to attribute each doc its count — NOT a
+    content-keyed window: viral content duplicated 10⁸ times would
+    single-task a window partition, while the aggregate collapses hot
+    hashes before the exchange and AQE's skew-join splitting handles
+    the hot probe partitions on the way back. The weight column rides
+    next to the id so the training loader applies it without a second
+    lookup."""
+    h = F.md5(F.col(text_col))
+    counts = docs.groupBy(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return (
+        docs.select(F.col(id_col), h.alias("__h"))
+        .join(counts, "__h")
+        .select(
+            F.col(id_col),
+            F.col("n_copies"),
+            F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+        )
     )
 
 
@@ -107,13 +117,19 @@ def span_dedup(
     distinct span (ordered by (doc_id, span_no) — deterministic), and
     reassemble each document from its surviving spans in order.
 
-    Scale shape: explode is a narrow map; first-occurrence is ONE
-    window keyed by the span text (high-cardinality key — no
-    single-reducer stage, the span hash spreads uniformly); reassembly
-    is one groupBy on doc id. Two shuffles total, both linear in
-    corpus tokens, no join — the form that runs on a 100 TB crawl.
-    Output per doc: n_spans, n_spans_kept, clean_text (may be empty
-    when every span was seen earlier)."""
+    Scale shape: explode is a narrow map; first-occurrence is a
+    groupBy-min on the span hash, NOT a span-keyed window — a window
+    would route every occurrence of a hot boilerplate span (the exact
+    thing this step removes, 10⁸ copies at crawl scale) through one
+    reducer task, while the hash-keyed aggregate collapses hot keys
+    map-side before the exchange and its min-struct carries the
+    surviving (doc, position, text) out directly, so no join back to
+    the span stream is ever needed. Reassembly is one groupBy on doc
+    id over the *distinct* spans; per-doc totals come from arithmetic
+    on a second column-pruned scan (the price of skew immunity — an
+    extra linear scan instead of an unbounded hot partition). Output
+    per doc: n_spans, n_spans_kept, clean_text (empty when every span
+    was seen earlier)."""
     w = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(w) / F.lit(k)).cast("int")
     spans = docs.select(
@@ -125,23 +141,31 @@ def span_dedup(
             )
         ).alias("span_no", "span"),
     )
-    first = F.min(F.struct(F.col(id_col), F.col("span_no"))).over(
-        Window.partitionBy("span")
+    kept = (
+        spans.groupBy(F.md5(F.col("span")).alias("__h"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_no"), F.col("span"))).alias("__f"))
+        .select(
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.span_no").alias("span_no"),
+            F.col("__f.span").alias("span"),
+        )
     )
-    tagged = spans.withColumn(
-        "__keep",
-        (first[id_col] == F.col(id_col)) & (first["span_no"] == F.col("span_no")),
-    )
-    kept_spans = F.when(F.col("__keep"), F.struct("span_no", "span"))
-    return tagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("__keep").cast("long")).alias("n_spans_kept"),
+    kept_by_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(kept_spans)), lambda s: s["span"]
+                F.array_sort(F.collect_list(F.struct("span_no", "span"))),
+                lambda s: s["span"],
             ),
             " ",
         ).alias("clean_text"),
+    )
+    totals = docs.select(F.col(id_col), n_spans.cast("long").alias("n_spans"))
+    return totals.join(kept_by_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_spans",
+        F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 

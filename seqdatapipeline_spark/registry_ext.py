@@ -1608,8 +1608,14 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic salience scoring
     a corpus pipeline runs for keyword extraction / topic features.
-    One corpus scan feeds tf; df is a window over the tf aggregate
-    keyed by term (no second pass over text, no rejoin branch). N
+    df comes from a map-side-combinable groupBy(term) joined back on
+    term — NOT a term-keyed window, whose hot partitions would be
+    exactly the stopwords (a term in every doc puts |corpus| rows in
+    one window task; the aggregate collapses it to one row, the
+    vocabulary-sized dim side broadcasts, and at vocabularies past the
+    broadcast threshold AQE skew-join splits the hot probe). The tf
+    subtree is derived in both branches — a second linear scan, the
+    deliberate price of removing the unbounded hot-partition stall. N
     arrives as a literal from parquet row-group metadata
     (`docs.count()` reads footers, not data — a model-sized scalar,
     like the IVF centroid collect)."""
@@ -1619,12 +1625,10 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_w = Window.partitionBy("term")
-    scored = tf.withColumn(
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = tf.join(dfc, "term").withColumn(
         "tfidf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.count("*").over(df_w)), 6
-        ),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df")), 6),
     )
     rk_w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -291,10 +291,14 @@ def test_pe_mate_pivot_single_exchange(spark, sf_dir, queries):
     assert "partial_max" in plan
 
 
-def test_span_dedup_no_join(spark, sf_dir, queries):
-    """C4 span dedup is explode + span-keyed window + doc groupBy —
-    no join anywhere, one corpus scan."""
+def test_span_dedup_skew_safe_no_window(spark, sf_dir, queries):
+    """C4 span dedup must stay the skew-immune groupBy-min form: NO
+    span-keyed window (a hot boilerplate span would single-task it),
+    map-side partial aggregation on the span hash, and only the
+    doc-level reassembly join (never a join on the span stream)."""
     plan = _plan(queries["dedup_spans_exact"](spark, sf_dir))
-    assert "Join" not in plan
-    assert plan.count("Scan parquet") == 1
-    assert "Window" in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # span branch + totals branch
