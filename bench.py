@@ -78,6 +78,15 @@ def main() -> None:
     # against hours of execution), then time the steady-state run —
     # that is the number that extrapolates with data volume. Cold
     # first-run totals are reported alongside for transparency.
+    def drop_persisted() -> None:
+        # Free localCheckpoint blocks left by iterative operators
+        # (connected components) so heap pressure from earlier queries
+        # can't distort later timings in this single shared JVM.
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -91,6 +100,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        drop_persisted()
         warm = []
         for _ in range(5):  # min-of-5: r3 showed min-of-3 still lets
             # host-load noise move the total ~19% on identical code
@@ -98,6 +108,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             warm.append(time.perf_counter() - t0)
+            drop_persisted()
         timings[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)

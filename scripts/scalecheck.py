@@ -126,6 +126,17 @@ def build_scaled(spark) -> None:
         print(f"built {name} x{COPIES}", flush=True)
 
 
+def drop_persisted(spark) -> None:
+    """Free localCheckpoint / cache blocks left by iterative operators
+    (connected components checkpoints every round). Across a ~50-op
+    sweep in ONE local JVM those blocks accumulate into a heap OOM;
+    on a real cluster each job's session would come and go instead."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
+
+
 def time_op(fn, spark, sf_dir: str) -> float:
     best = None
     for _ in range(2):
@@ -136,7 +147,15 @@ def time_op(fn, spark, sf_dir: str) -> float:
         df.write.format("noop").mode("overwrite").save()
         t = time.perf_counter() - t0
         best = t if best is None else min(best, t)
+        drop_persisted(spark)
     return best
+
+
+# Recycle the JVM every N ops: a full sweep runs 3000+ stages in one
+# local session, and driver-side state that a per-job cluster session
+# never accumulates (broadcasts, AQE/codegen caches, listener state)
+# eventually OOMs a 16g heap even with checkpoint blocks unpersisted.
+SESSION_OPS = 12
 
 
 def main() -> None:
@@ -151,12 +170,19 @@ def main() -> None:
     queries = entrymod.queries()
     print(f"{'op':28s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>7s}")
     worst = 0.0
+    since_restart = 0
     for name in ops:
         fn = queries.get(name)
         if fn is None:
             continue
+        if since_restart >= SESSION_OPS:
+            spark.stop()
+            spark = get_spark(app_name="scalecheck")
+            spark.sparkContext.setLogLevel("ERROR")
+            since_restart = 0
         t1 = time_op(fn, spark, BASE)
         t10 = time_op(fn, spark, SCALED)
+        since_restart += 1
         ratio = t10 / t1 if t1 > 0 else float("inf")
         worst = max(worst, ratio)
         print(f"{name:28s} {t1:8.3f} {t10:8.3f} {ratio:6.1f}x", flush=True)

@@ -17,7 +17,7 @@ dependence on Spark's murmur seed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..session import fan_out
@@ -306,17 +306,41 @@ def simhash_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", band_bits: int = 4, max_bucket: int | None = None
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any simhash band
-    (Hamming-distance blocking) — same in-bucket pair generation as
-    MinHash LSH, grouped on (band index, band bits)."""
+    (Hamming-distance blocking). Blocked over DISTINCT signatures —
+    a band_bits-bit band has only 2^band_bits values, so doc-level
+    buckets grow with the corpus and explode quadratically, while the
+    signature universe is fixed (2^bits) and the qualifying signature
+    pairs expand to doc pairs through equi-joins, output-bound (same
+    structure as simhash_hamming_pairs; ``max_bucket`` caps the
+    signature-bucket size)."""
     n = 16  # matches simhash_signature default
+    usig = sig.select("simhash").distinct()
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(i)), F.substring("simhash", i * band_bits + 1, band_bits))
             for i in range(n // band_bits)
         ]
     )
-    keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
-    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
+    keyed = usig.select(F.col("simhash"), F.explode(bands).alias("band_key"))
+    spairs = _bucket_pairs(keyed, "simhash", "band_key", max_bucket).select(
+        F.col("doc_a").alias("__sa"), F.col("doc_b").alias("__sb")
+    )
+    a = sig.select(F.col("simhash").alias("__sa"), F.col(id_col).alias("__da"))
+    b = sig.select(F.col("simhash").alias("__sb"), F.col(id_col).alias("__db"))
+    cross = (
+        spairs.join(a, "__sa")
+        .join(b, "__sb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
+    )
+    same = (
+        a.join(b.withColumnRenamed("__sb", "__sa"), "__sa")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(F.col("__da").alias("doc_a"), F.col("__db").alias("doc_b"))
+    )
+    return cross.unionByName(same)
 
 
 def ngram_jaccard_pairs(
@@ -773,23 +797,66 @@ def simhash_hamming_pairs(
     most 3 of the 4 bands, so at least one band matches and the pair
     is generated — zero false negatives, no all-pairs scan.
 
-    The signature table is checkpointed once and feeds the band
-    pairing plus both sides of the distance join. Hamming distance
-    runs JVM-side as bit_count(xor) over the integer form of the
-    bit-string signature."""
+    Blocking runs over DISTINCT signatures, never over documents: a
+    b-bit band has only 2^band_bits values, so doc-level band buckets
+    grow with the corpus and their in-bucket pair generation is
+    O(n²/buckets) — it heap-OOMed at 10x data. Distinct signatures
+    are bounded by min(2^bits, n_docs) (a fixed universe, 65536 at 16
+    bits), the signature-pair candidate set is bounded by that
+    universe squared regardless of corpus size, and the qualifying
+    signature pairs expand back to doc pairs through equi-joins on
+    the signature — work proportional to the TRUE output (every
+    emitted doc pair is a result row), with duplicate-heavy corpora
+    collapsing into the signature groups instead of exploding the
+    buckets. Hamming distance runs JVM-side as bit_count(xor) over
+    the integer form of the bit-string signature."""
     sig = simhash_signature(docs, id_col, text_col, bits)
     sig = sig.localCheckpoint(eager=True)
-    pairs = simhash_candidate_pairs(sig, id_col, band_bits, max_bucket)
-    as_int = lambda c: F.conv(F.col(c), 2, 10).cast("long")
-    sa = sig.select(F.col(id_col).alias("doc_a"), as_int("simhash").alias("__ia"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), as_int("simhash").alias("__ib"))
-    ham = F.bit_count(F.col("__ia").bitwiseXOR(F.col("__ib"))).cast("long")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    usig = sig.select("simhash").distinct()
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(i)), F.substring("simhash", i * band_bits + 1, band_bits)
+            )
+            for i in range(bits // band_bits)
+        ]
     )
+    keyed = usig.select(F.col("simhash"), F.explode(bands).alias("band_key"))
+    spairs = _bucket_pairs(keyed, "simhash", "band_key", max_bucket).select(
+        F.col("doc_a").alias("__sa"), F.col("doc_b").alias("__sb")
+    )
+    as_int = lambda c: F.conv(c, 2, 10).cast("long")
+    ham = F.bit_count(as_int(F.col("__sa")).bitwiseXOR(as_int(F.col("__sb")))).cast("long")
+    squal = spairs.select("__sa", "__sb", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+    # Cross-signature doc pairs: one row per (member of sa) x (member
+    # of sb); each unordered doc pair maps to exactly one signature
+    # pair, so no distinct is needed.
+    a = sig.select(F.col("simhash").alias("__sa"), F.col(id_col).alias("__da"))
+    b = sig.select(F.col("simhash").alias("__sb"), F.col(id_col).alias("__db"))
+    cross = (
+        squal.join(a, "__sa")
+        .join(b, "__sb")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # Identical-signature doc pairs (Hamming 0): within-group (a < b).
+    same = (
+        a.join(
+            b.withColumnRenamed("__sb", "__sa"), "__sa"
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("doc_a"),
+            F.col("__db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def srp_signs(bits: int, dims: int) -> list[list[float]]:
