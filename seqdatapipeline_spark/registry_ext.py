@@ -208,9 +208,7 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_weights(_t(spark, sf_dir, "documents"))
 
 
-@q(
-    "dedup_spans_exact",
-    """
+_SPAN_DEDUP_SQL = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     spans AS (
       SELECT doc_id, CAST(i AS BIGINT) AS span_no,
@@ -228,14 +226,32 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_no), '')
              AS clean_text
     FROM tagged GROUP BY 1
-    """,
-)
+    """
+
+
+@q("dedup_spans_exact", _SPAN_DEDUP_SQL)
 def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-corpus span dedup (extensions.dedup.span_dedup):
     every duplicate k-word span beyond its first global occurrence is
-    cut, documents reassembled from survivors. Explode + one window on
-    the span key + one groupBy — two linear shuffles, no join."""
+    cut, documents reassembled from survivors. Explode + skew-immune
+    groupBy-min on the span hash + one doc groupBy."""
     return dd.span_dedup(_t(spark, sf_dir, "documents"), k=5)
+
+
+@q("stream_span_dedup", _SPAN_DEDUP_SQL)
+def q_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental C4 span dedup (streaming.neardup.merge_span_store):
+    the corpus drains in 3 ascending-id micro-batches, each anti-
+    joining its in-batch first occurrences against the persistent
+    span store before appending. The oracle is the ONE-SHOT batch
+    result — the identity (union of incremental outputs == batch
+    span_dedup) is the streaming path's correctness contract."""
+    import tempfile
+
+    from .streaming import neardup as nd
+
+    root = tempfile.mkdtemp(prefix="spandedup-")
+    return nd.replay_spans(_t(spark, sf_dir, "documents"), root, n_batches=3)
 
 
 @q(

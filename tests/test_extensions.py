@@ -700,3 +700,20 @@ def test_span_dedup_c4_semantics(spark):
     assert out[10].clean_text == shared
     assert out[20].n_spans == 2 and out[20].n_spans_kept == 1
     assert out[20].clean_text == novel
+
+
+def test_stream_span_dedup_cross_batch(spark, tmp_path):
+    """A span first seen in batch 1 must be dropped when batch 2
+    repeats it — the store carries first-occurrence across batches."""
+    from seqdatapipeline_spark.streaming import neardup as nd
+
+    shared = "alpha beta gamma delta epsilon"
+    novel = "zeta eta theta iota kappa"
+    state = str(tmp_path / "spans")
+    b1 = _doc_df(spark, [(1, shared)])
+    b2 = _doc_df(spark, [(2, f"{shared} {novel}")])
+    out1 = {r.doc_id: r for r in nd.merge_span_store(b1, state).collect()}
+    out2 = {r.doc_id: r for r in nd.merge_span_store(b2, state).collect()}
+    assert out1[1].n_spans_kept == 1 and out1[1].clean_text == shared
+    assert out2[2].n_spans == 2 and out2[2].n_spans_kept == 1
+    assert out2[2].clean_text == novel
