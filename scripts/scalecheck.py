@@ -68,6 +68,8 @@ OPS = [
     "dedup_embedding_clusters",
     "apply_changelog",
     "embedding_normalize",
+    "embedding_covariance",
+    "stream_span_dedup",
     "dedup_minhash_clusters",
     "dedup_spans_exact",
     "dedup_soft_weights",

@@ -370,3 +370,107 @@ def label_centroids(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.round(F.avg("x"), 6).alias("centroid"),
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of the embedding space as
+    (dim_i, dim_j, cov) rows — the model every whitening / PCA /
+    Mahalanobis step starts from.
+
+    Two passes, both scale-shaped like MLlib's RowMatrix Gramian: the
+    per-dimension means are a posexplode + map-side-combinable groupBy
+    (a 64-double model collected to the driver), then each Arrow batch
+    computes one centered X^T X with BLAS and emits dim² partial-sum
+    triplets — shuffle volume is dims² per batch, never per row, and
+    the final groupBy folds partials regardless of corpus size.
+    Output cardinality is dims², data-independent."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    v = fan_out(emb).select(F.col(vec_col).cast("array<double>").alias("__v"))
+    means_rows = (
+        v.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dims = len(means_rows)
+    n_total = means_rows[0]["n"] if means_rows else 0
+    mu = np.zeros(dims)
+    for r in means_rows:
+        mu[r["dim"]] = r["mu"]
+    bc = spark.sparkContext.broadcast(mu)
+
+    def partials(batches):
+        m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(row, dtype=np.float64) for row in pdf["__v"]]) - m
+            g = x.T @ x  # dims x dims centered Gramian for this batch
+            i, j = np.meshgrid(np.arange(dims), np.arange(dims), indexing="ij")
+            yield pd.DataFrame(
+                {"dim_i": i.ravel(), "dim_j": j.ravel(), "s": g.ravel()}
+            )
+
+    tri = v.mapInPandas(partials, schema="dim_i int, dim_j int, s double")
+    return tri.groupBy("dim_i", "dim_j").agg(
+        # + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) is -0.0
+        # in Spark but 0.0 in DuckDB — equal values, different hashes)
+        (F.round(F.sum("s") / F.lit(float(n_total)), ndigits) + F.lit(0.0)).alias("cov")
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components —
+    the dimensionality reduction / whitening step an embedding dedup
+    or ANN pipeline runs before indexing.
+
+    The covariance matrix (dims² doubles) is model-sized: collected to
+    the driver, eigendecomposed with numpy (exactly how MLlib PCA
+    fits), and the component matrix broadcasts into one Arrow matmul
+    pass over the corpus — training is two linear scans, serving is a
+    narrow map. Component signs are fixed deterministically (largest-
+    magnitude coordinate made positive) so reruns and engines agree.
+    Output: (id, components array<double> length k)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cov_rows = embedding_covariance(emb, vec_col, ndigits=12).collect()
+    dims = max(r["dim_i"] for r in cov_rows) + 1 if cov_rows else 0
+    cov = np.zeros((dims, dims))
+    for r in cov_rows:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    comp = vecs[:, ::-1][:, :k]  # top-k columns
+    for c in range(comp.shape[1]):  # deterministic sign convention
+        if comp[np.argmax(np.abs(comp[:, c])), c] < 0:
+            comp[:, c] = -comp[:, c]
+    bc = spark.sparkContext.broadcast(comp)
+
+    def project(batches):
+        w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(row, dtype=np.float64) for row in pdf[vec_col]])
+            p = x @ w
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "components": list(p)}
+            )
+
+    src = fan_out(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    return src.mapInPandas(project, schema=f"{id_col} long, components array<double>")

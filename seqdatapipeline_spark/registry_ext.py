@@ -238,6 +238,29 @@ def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(_t(spark, sf_dir, "documents"), k=5)
 
 
+@q(
+    "embedding_covariance",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS xi
+      FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           round(covar_pop(a.xi, b.xi), 6) + 0.0 AS cov
+    FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space covariance matrix (extensions.similarity.
+    embedding_covariance): mean pass + centered BLAS Gramian partials
+    per Arrow batch — shuffle volume dims² per batch, output dims²
+    regardless of corpus size. The model PCA/whitening/Mahalanobis
+    starts from (pca_project consumes it; eigendecomposition invariants
+    are pinned in tests/test_extensions.py)."""
+    return sim.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 @q("stream_span_dedup", _SPAN_DEDUP_SQL)
 def q_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental C4 span dedup (streaming.neardup.merge_span_store):

@@ -717,3 +717,28 @@ def test_stream_span_dedup_cross_batch(spark, tmp_path):
     assert out1[1].n_spans_kept == 1 and out1[1].clean_text == shared
     assert out2[2].n_spans == 2 and out2[2].n_spans_kept == 1
     assert out2[2].clean_text == novel
+
+
+def test_pca_project_invariants(spark, sf_dir):
+    """pca_project must behave like a real PCA: deterministic across
+    runs (sign convention), and per-component projected variance
+    descending and matching the covariance model's eigenvalues."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k = 4
+    p1 = {r[0]: list(r[1]) for r in sim.pca_project(emb, k=k).collect()}
+    p2 = {r[0]: list(r[1]) for r in sim.pca_project(emb, k=k).collect()}
+    assert p1 == p2  # deterministic incl. eigenvector signs
+
+    proj = np.array([p1[i] for i in sorted(p1)])
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))  # descending
+
+    cov_rows = sim.embedding_covariance(emb, ndigits=12).collect()
+    dims = max(r.dim_i for r in cov_rows) + 1
+    cov = np.zeros((dims, dims))
+    for r in cov_rows:
+        cov[r.dim_i, r.dim_j] = r.cov
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:k]
+    assert np.allclose(np.sort(var)[::-1], evals, rtol=1e-4, atol=1e-8)
