@@ -298,3 +298,72 @@ def test_pair_key_matches_sequencematcher_first_block(spark, stem, ext):
     df = spark.createDataFrame([(a, b)], "a string, b string")
     got = df.select(stx.pair_key(F.col("a"), F.col("b")).alias("k")).collect()[0].k
     assert got == ref_key, (a, b, got, ref_key)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=7).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_span_dedup_matches_naive(spark, docs):
+    """For ANY corpus, span_dedup must equal the naive reference:
+    first global occurrence of each k-word span (by doc id, then
+    position) survives; documents reassemble from survivors in
+    order."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    k = 2
+    rows = [(i, " ".join(doc)) for i, doc in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.clean_text)
+        for r in dd.span_dedup(df, k=k).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, text in rows:
+        words = text.split(" ")
+        spans = [
+            " ".join(words[j : j + k]) for j in range(0, len(words), k)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want[i] = (len(spans), len(kept), " ".join(kept))
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # key
+            st.integers(1, 3),  # tag (3 = neither mate)
+            st.integers(0, 9),  # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_mate_pair_enumerate_matches_join(spark, rows):
+    """mate_pair_enumerate must equal the two-sided inner join for ANY
+    tagged multiset — including duplicate (key, tag) rows, where both
+    enumerate the full per-key cross product."""
+    from seqdatapipeline_spark.ops import joins as jn
+
+    df = spark.createDataFrame(rows, "k long, tag long, v long")
+    got = sorted(
+        map(tuple, jn.mate_pair_enumerate(df, "k", "tag", ["v"]).collect())
+    )
+    r1 = [(k, v) for k, t, v in rows if t == 1]
+    r2 = [(k, v) for k, t, v in rows if t == 2]
+    want = sorted(
+        (k, v1, v2) for k, v1 in r1 for k2, v2 in r2 if k == k2
+    )
+    assert got == want
