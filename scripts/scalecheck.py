@@ -73,6 +73,7 @@ OPS = [
     "dedup_minhash_clusters",
     "dedup_spans_exact",
     "dedup_soft_weights",
+    "tokenizer_fertility",
     "pe_mate_pivot",
     "decontaminate_ngram",
     "shuffle_shards",
