@@ -46,6 +46,8 @@ HEADLINE = [
     "asof_latest_event",
     "dedup_clusters",
     "rollup_time_bucket",
+    "pagerank_iter",
+    "kmeans_assign",
 ]
 
 

@@ -58,6 +58,10 @@ ALLOW = {
     "lm_doc_score": ("BNLJ", "one-row vocab-size aggregate broadcast-crossed into the vocab-bounded context table: O(|vocab|) BNLJ by construction"),
     "mad_outliers": ("scans=", "exact two-level median (MAD = median of deviations from a median) is inherently multi-pass; each pass is a map-side-combinable groupBy whose key-sized result joins back broadcast — a per-group window would one-task each group"),
     "winsorize_stats": ("double-scan", "quantile pass + clipped re-aggregate: the scale-correct two-pass form (a per-group window would one-task each group)"),
+    "kmeans_assign": (("BNLJ", "double-scan"), "the 8-row seed model is a filtered projection of the corpus table (like ann_*); the assignment join broadcasts the model — O(k) BNLJ by construction"),
+    "approx_quantile_bins": (("BNLJ", "double-scan"), "min/max pass + bin pass: the documented two-pass histogram form; the 3-row probs table broadcast-crosses the BIN-sized cumulative table — O(1) BNLJ"),
+    "bm25_topk": (("BNLJ", "scans="), "tf/df wordcount branches over the corpus: the skew-immune groupBy+join form (like tf_idf); the 1-row (N, avgdl) stats aggregate broadcast-crosses O(1)"),
+    "pmi_bigrams": (("BNLJ", "scans="), "bigram/unigram/length wordcount branches over the corpus; the vocab-bounded unigram table joins twice (w1, w2); the 1-row totals aggregate broadcast-crosses O(1)"),
 }
 
 

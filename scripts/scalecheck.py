@@ -110,6 +110,12 @@ OPS = [
     "mad_outliers",
     "winsorize_stats",
     "top_event_paths",
+    "pagerank_iter",
+    "graph_degree_stats",
+    "kmeans_assign",
+    "approx_quantile_bins",
+    "bm25_topk",
+    "pmi_bigrams",
 ]
 
 

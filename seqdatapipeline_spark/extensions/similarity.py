@@ -474,3 +474,32 @@ def pca_project(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     return src.mapInPandas(project, schema=f"{id_col} long, components array<double>")
+
+
+def nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment step with the similarity kept: each
+    vector's best (max-cosine, tie → lower cell) centroid as
+    (id, cell, cos). The centroid side is model-sized and broadcast;
+    argmax is a max(struct) aggregate keyed by the vector id — a
+    map-side-combinable groupBy, never a window over the k-times
+    exploded join (whose per-id partitions would stall on hot ids at
+    scale). Zero Python: the cosine folds in Catalyst expressions."""
+    v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    scored = v.join(F.broadcast(centroids)).withColumn(
+        "__cos", cosine(F.col("__v"), F.col("centroid"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))
+        ).alias("__b")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("__b.__negcell")).cast("int").alias("cell"),
+        F.col("__b.__cos").alias("cos"),
+    )

@@ -310,3 +310,78 @@ def trend_slope(
             F.round(F.avg("__y") - slope * F.avg("__x"), 6),
         ).alias("intercept"),
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    bins: int = 1000,
+) -> DataFrame:
+    """One-histogram approximate quantiles — the 100 TB percentile
+    path. Exact `percentile` buffers every group value in the final
+    aggregate and `approx_percentile`'s t-digest is engine-specific
+    (no cross-engine oracle); this is the classic fixed-width
+    histogram estimator: two map-side-combinable scans (min/max/count,
+    then per-bin counts), a cumulative window over the BINNED table
+    (≤ `bins` rows per group, never the facts), and linear
+    interpolation inside the bin where the target rank lands.
+    Error is bounded by one bin width = (max-min)/bins; every
+    arithmetic step is plain double ops reproducible in any engine.
+
+    For target rank r = p·n: pick the first bin whose cumulative
+    count reaches r, estimate lo + (r - cum_before)/c · width.
+    Degenerate groups (max == min) report the constant."""
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    # n/mn/mx ride along through the bin aggregation (constant within a
+    # group) so the stats subtree is not re-joined — and re-scanned —
+    # downstream: the whole operator stays the documented two passes.
+    binned = (
+        df.join(F.broadcast(stats), group_cols)
+        .select(
+            *g,
+            F.col("__n"),
+            F.col("__mn"),
+            F.col("__mx"),
+            F.when(
+                F.col("__mx") > F.col("__mn"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((v - F.col("__mn")) / width).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("__b"),
+        )
+        .groupBy(*g, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__n").alias("__n"),
+            F.max("__mn").alias("__mn"),
+            F.max("__mx").alias("__mx"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__b")
+    cum = binned.withColumn("__cum", F.sum("__c").over(w))
+    pdf = df.sparkSession.createDataFrame([(float(p),) for p in probs], "p double")
+    cand = cum.join(F.broadcast(pdf)).filter(
+        F.col("__cum") >= F.col("p") * F.col("__n")
+    )
+    pick = Window.partitionBy(*group_cols, "p").orderBy("__b")
+    first = cand.withColumn("__rn", F.row_number().over(pick)).filter(F.col("__rn") == 1)
+    est = F.when(F.col("__mx") <= F.col("__mn"), F.col("__mn")).otherwise(
+        F.col("__mn")
+        + F.col("__b") * width
+        + (F.col("p") * F.col("__n") - (F.col("__cum") - F.col("__c")))
+        / F.col("__c")
+        * width
+    )
+    return first.select(*g, F.col("p"), F.round(est, 6).alias("q"))

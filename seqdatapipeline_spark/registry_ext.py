@@ -2734,3 +2734,310 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="neardup-")
     return nd.replay_batched(_t(spark, sf_dir, "documents"), root)
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics, ML primitives, sketch quantiles, retrieval scoring
+# ---------------------------------------------------------------------------
+
+from .extensions import graph as gr  # noqa: E402
+from .ops import aggregates as ag  # noqa: E402
+
+# Item co-order graph shared by the graph queries: parts linked when
+# they ship in the same order (the basket graph every recommender /
+# dedup-cluster audit starts from). Pair generation happens INSIDE a
+# collect_set bounded per order — never a fact self-join.
+_CO_ORDER_EDGES = """grp AS (
+      SELECT l_orderkey AS g, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    bounded AS (SELECT g, items FROM grp WHERE len(items) BETWEEN 2 AND 64),
+    ex AS (SELECT g, unnest(items) AS item FROM bounded),
+    edges AS (
+      SELECT DISTINCT a.item AS src, c.item AS dst
+      FROM ex a JOIN ex c USING (g) WHERE a.item <> c.item
+    )"""
+
+_PR_ITER = """c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS m
+      FROM edges e JOIN r{j} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nodes.node, (CAST(0.15 AS DOUBLE) / n + 0.85 * coalesce(m, 0)) AS rank
+      FROM nodes LEFT JOIN c{i} USING (node), nn
+    )"""
+
+
+@q(
+    "pagerank_iter",
+    f"""
+    WITH {_CO_ORDER_EDGES},
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+    {_PR_ITER.format(i=1, j=0)},
+    {_PR_ITER.format(i=2, j=1)},
+    {_PR_ITER.format(i=3, j=2)}
+    SELECT node, round(rank * n, 6) AS rank_norm FROM r3, nn
+    """,
+)
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 synchronous rounds, damping 0.85) over the item
+    co-order graph (extensions.graph.pagerank). Each round is one
+    equi-join + one map-side-combinable groupBy — the Pregel matvec
+    expressed declaratively; both join sides are pre-partitioned on
+    the node key so every round reuses one exchange. The undirected
+    edge set guarantees no dangling mass; the node count is the only
+    driver scalar. Output is mean-1 normalized so the fixed 6-dp
+    rounding keeps resolution at any graph size."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    pr = gr.pagerank(edges, iters=3, damping=0.85, normalize=True)
+    return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
+
+
+@q(
+    "graph_degree_stats",
+    f"""
+    WITH {_CO_ORDER_EDGES},
+    o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+    i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1)
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+    FROM o FULL JOIN i ON o.node = i.node
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree profile of the co-order graph
+    (extensions.graph.degree_stats): two wordcount aggregates merged
+    full-outer — the skew screen run before any iterative graph
+    algorithm (a hub node here is a hot key there)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    return gr.degree_stats(edges)
+
+
+@q(
+    "kmeans_assign",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cell, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      FROM scored
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_members, round(avg(cos), 6) AS mean_cos
+    FROM best WHERE rn = 1 GROUP BY 1
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment round (extensions.similarity.
+    nearest_centroid) with deterministic seeds — the 8 lowest-id
+    vectors, exactly how kmeans_cells seeds IVF training. The
+    centroid model broadcasts; argmax is a max(struct) aggregate (no
+    per-vector window); cluster sizes + mean member similarity are
+    the model-quality report a 100 TB clustering job emits per
+    round. Zero Python — the cosine folds in Catalyst."""
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = sim.nearest_centroid(e, seeds)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    )
+
+
+@q(
+    "approx_quantile_bins",
+    """
+    WITH stats AS (
+      SELECT event_type, count(*)::DOUBLE AS n, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN s.mx > s.mn
+                  THEN least(999, CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 1000.0)) AS INT))
+                  ELSE 0 END AS b,
+             count(*)::DOUBLE AS c
+      FROM events e JOIN stats s USING (event_type) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, b, c, sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+      FROM binned
+    ),
+    probs AS (SELECT CAST(x AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) t(x)),
+    cand AS (
+      SELECT c.event_type, p.p, c.b, c.c, c.cum, s.n, s.mn, s.mx,
+             row_number() OVER (PARTITION BY c.event_type, p.p ORDER BY c.b) AS rn
+      FROM cum c JOIN stats s USING (event_type) CROSS JOIN probs p
+      WHERE c.cum >= p.p * s.n
+    )
+    SELECT event_type, p,
+           round(CASE WHEN mx <= mn THEN mn
+                 ELSE mn + b * ((mx - mn) / 1000.0)
+                      + (p * n - (cum - c)) / c * ((mx - mn) / 1000.0) END, 6) AS q
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_approx_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (ops.aggregates.binned_quantiles) —
+    the percentile path that survives 100 TB where exact
+    `percentile` buffers whole groups: two map-side-combinable
+    scans, a cumulative window over ≤1000 BINNED rows per group, and
+    in-bin linear interpolation with a (max-min)/1000 error bound.
+    Unlike t-digest `approx_percentile`, every step is plain double
+    arithmetic — reproducible bit-for-bit in any engine, hence
+    SQL-oracled where the sketch version could only be rows-checked."""
+    e = _t(spark, sf_dir, "events")
+    return ag.binned_quantiles(e, ["event_type"], "value", [0.5, 0.9, 0.99], bins=1000)
+
+
+@q(
+    "bm25_topk",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+    nd AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    qt AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 3),
+    scored AS (
+      SELECT t.doc_id,
+             sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                  * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl)) ) AS score
+      FROM tf t JOIN qt USING (term) JOIN dl d USING (doc_id) CROSS JOIN nd
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-10 docs for the
+    query = the corpus's 3 highest-df terms, chosen in-plan (a
+    TakeOrdered over the vocabulary-sized df table — no collect).
+    tf/dl/df are wordcount-shaped aggregates; the 3-term query set
+    and the 2-scalar (N, avgdl) stats broadcast; the final top-10 is
+    TakeOrderedAndProject, never a global sort. Scores round to 6 dp
+    BEFORE ranking so the ordering is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    # dl rolls up from tf (sum of integer-valued term counts — exact,
+    # identical to counting tokens directly) so doc length re-uses the
+    # tf shuffle instead of re-scanning the corpus.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    nd = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qt = dfc.orderBy(F.col("df").desc(), "term").limit(3)
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    part = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+
+
+@q(
+    "pmi_bigrams",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT unnest(w) AS term FROM toks),
+    uc AS (SELECT term, count(*)::DOUBLE AS c FROM uni GROUP BY 1),
+    nu AS (SELECT sum(c) AS tu FROM uc),
+    allb AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM toks
+    ),
+    bc0 AS (SELECT gram, count(*)::DOUBLE AS cab FROM allb GROUP BY 1),
+    nb AS (SELECT sum(cab) AS tb FROM bc0),
+    bc AS (
+      SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2, cab
+      FROM bc0 WHERE cab >= 5
+    ),
+    j AS (
+      SELECT b.w1, b.w2, b.cab, a1.c AS ca, a2.c AS cb
+      FROM bc b JOIN uc a1 ON b.w1 = a1.term JOIN uc a2 ON b.w2 = a2.term
+    )
+    SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair,
+           round(ln((cab / tb) / ((ca / tu) * (cb / tu))), 6) AS pmi
+    FROM j, nb, nu
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs seen ≥5
+    times — the collocation scorer (phrase mining / tokenizer merge
+    candidates). Bigram and unigram tables are wordcount aggregates;
+    both totals are integer-valued doubles (exact under any
+    summation order); the two unigram joins hit the vocab-bounded
+    count table. One fact scan per table, no windows."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    hi = (F.size(w) - 1).cast("int")
+    idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )
+    allb = d.select(F.explode(gram).alias("gram"))
+    bc0 = allb.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("cab"))
+    uni = d.select(F.explode(w).alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # Both totals come from ONE slim per-doc aggregate: Σ(len-1) and
+    # Σ len are integer-valued sums — exact under any order, equal to
+    # summing the bigram/unigram count tables (what the oracle does)
+    # without re-deriving either wordcount branch.
+    tot = d.select(F.size(w).alias("__len")).agg(
+        F.sum(F.greatest(F.col("__len") - 1, F.lit(0))).cast("double").alias("tb"),
+        F.sum("__len").cast("double").alias("tu"),
+    )
+    bc = bc0.filter(F.col("cab") >= 5).select(
+        F.element_at(F.split(F.col("gram"), " "), 1).alias("w1"),
+        F.element_at(F.split(F.col("gram"), " "), 2).alias("w2"),
+        "cab",
+    )
+    ca = uc.select(F.col("term").alias("w1"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("term").alias("w2"), F.col("c").alias("cb"))
+    j = (
+        bc.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("cab") / F.col("tb"))
+        / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
+    )
+    return j.select(
+        "w1", "w2",
+        F.col("cab").cast("long").alias("n_pair"),
+        F.round(pmi, 6).alias("pmi"),
+    )

@@ -1,0 +1,246 @@
+"""Graph analytics + ML-primitive tests: PageRank against a numpy
+power-iteration reference, Lloyd assignment against numpy argmax,
+histogram quantiles against the true quantile with the bin-width
+error bound, and plan pins for the new operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from seqdatapipeline_spark.extensions import graph as gr
+from seqdatapipeline_spark.extensions import similarity as sim
+from seqdatapipeline_spark.ops import aggregates as ag
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # Directed graph with a hub; no dangling nodes (every node has an
+    # out-edge) to match the co-occurrence contract.
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (3, 1), (0, 3),
+        (4, 0), (0, 4),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank(df, iters=3, damping=0.85).collect()
+    }
+
+    n = 5
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in edges:
+            nxt[d] += 0.85 * r[s] / deg[s]
+        r = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    pr = gr.pagerank(edges, iters=3, damping=0.85)
+    row = pr.agg(F.sum("rank").alias("s"), F.count("*").alias("n")).collect()[0]
+    # Undirected edge set -> no dangling mass: total rank stays 1.
+    assert row["s"] == pytest.approx(1.0, abs=1e-9)
+    assert row["n"] > 0
+
+
+def test_co_occurrence_edges_symmetric_no_self_loops(spark):
+    facts = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 10), (3, 99)],
+        "g int, item int",
+    )
+    e = gr.co_occurrence_edges(facts, "g", "item").collect()
+    pairs = {(r["src"], r["dst"]) for r in e}
+    assert all(s != d for s, d in pairs)
+    assert pairs == {(a, b) for a, b in pairs if (b, a) in pairs}  # symmetric
+    # group 2 collapses to one distinct item (no pair), group 3 is a singleton
+    assert {10, 11, 12} == {s for s, _ in pairs}
+
+
+def test_co_occurrence_mega_group_dropped(spark):
+    rows = [(1, i) for i in range(80)] + [(2, 1), (2, 2)]
+    facts = spark.createDataFrame(rows, "g int, item int")
+    e = gr.co_occurrence_edges(facts, "g", "item", max_group=64)
+    assert e.count() == 2  # only group 2 survives the bound
+
+
+def test_pagerank_plan_no_cartesian(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    plan = _plan(gr.pagerank(edges, iters=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- nearest_centroid
+
+
+def test_nearest_centroid_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    rows = emb.select("vec_id", "embedding").collect()
+    seeds = sorted(rows, key=lambda r: r["vec_id"])[:4]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in s["embedding"]]) for i, s in enumerate(seeds)],
+        "cell int, centroid array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in sim.nearest_centroid(emb, cdf).collect()
+    }
+    cm = np.array([s["embedding"] for s in seeds], dtype=np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        cos = (v / np.linalg.norm(v)) @ cm.T
+        assert got[r["vec_id"]] == int(np.argmax(cos))
+
+
+def test_nearest_centroid_is_broadcast(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 64)], "cell int, centroid array<double>"
+    )
+    plan = _plan(sim.nearest_centroid(emb, cdf))
+    assert "SortMergeJoin" not in plan  # model side must broadcast
+
+
+# ---------------------------------------------------------- binned_quantiles
+
+
+def test_binned_quantiles_within_bin_width(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["event_type"], r["p"]): r["q"]
+        for r in ag.binned_quantiles(e, ["event_type"], "value", [0.5, 0.9]).collect()
+    }
+    pdf = e.select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        v = np.sort(grp["value"].to_numpy())
+        width = (v[-1] - v[0]) / 1000.0
+        for p in (0.5, 0.9):
+            # The histogram estimator's contract is the inverse-CDF
+            # order statistic (rank ceil(p*n)): it lands in that
+            # value's bin, so the error is bounded by one bin width.
+            # (numpy's interpolated quantile can sit a whole
+            # order-stat gap away in sparse tails — not the bound.)
+            true = float(v[min(len(v) - 1, int(np.ceil(p * len(v))) - 1)])
+            assert abs(got[(et, p)] - true) <= width + 1e-9, (et, p)
+
+
+def test_binned_quantiles_degenerate_group(spark):
+    df = spark.createDataFrame([("a", 7.0)] * 5, "g string, v double")
+    rows = ag.binned_quantiles(df, ["g"], "v", [0.5, 0.99]).collect()
+    assert {r["q"] for r in rows} == {7.0}
+
+
+def test_binned_quantiles_monotone_in_p(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ag.binned_quantiles(
+        e, ["event_type"], "value", [0.1, 0.5, 0.9, 0.99]
+    ).collect()
+    by_g: dict[str, dict[float, float]] = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], {})[r["p"]] = r["q"]
+    for qs in by_g.values():
+        ordered = [qs[p] for p in sorted(qs)]
+        assert ordered == sorted(ordered)
+
+
+# ----------------------------------------------------------------- bm25/pmi
+
+
+def test_bm25_scores_positive_and_bounded(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["bm25_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_pmi_matches_hand_computation(spark):
+    # 'a b' appears 6x, 'b a' 5x; unigrams a=7, b=7, tail c..
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "b a b a b a c"), (3, "a b a b b a c")],
+        "doc_id long, text string",
+    )
+    w = F.split(F.col("text"), " ")
+    # replicate the query body on the toy corpus via the registered fn
+    # bound to a fake sf_dir is impossible; recompute expected by hand:
+    # bigrams: each doc has 6 bigrams -> 18 total
+    # 'a b': doc1 3, doc2 2(?), count by hand below instead.
+    toks = [r["text"].split(" ") for r in docs.collect()]
+    big: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {}
+    for t in toks:
+        for x in t:
+            uni[x] = uni.get(x, 0) + 1
+        for x, y in zip(t, t[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    tb = sum(big.values())
+    tu = sum(uni.values())
+    expected = {
+        k: round(math.log((c / tb) / ((uni[k[0]] / tu) * (uni[k[1]] / tu))), 6)
+        for k, c in big.items()
+        if c >= 5
+    }
+    assert expected, "fixture must produce at least one >=5 bigram"
+
+    # run the same pipeline shape as q_pmi_bigrams on the toy docs
+    hi = (F.size(w) - 1).cast("int")
+    idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+    )
+    allb = docs.select(F.explode(gram).alias("gram"))
+    bc0 = allb.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("cab"))
+    nb = bc0.agg(F.sum("cab").alias("tb"))
+    unid = docs.select(F.explode(w).alias("term"))
+    uc = unid.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    nu = uc.agg(F.sum("c").alias("tu"))
+    bc = bc0.filter(F.col("cab") >= 5).select(
+        F.element_at(F.split(F.col("gram"), " "), 1).alias("w1"),
+        F.element_at(F.split(F.col("gram"), " "), 2).alias("w2"),
+        "cab",
+    )
+    ca = uc.select(F.col("term").alias("w1"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("term").alias("w2"), F.col("c").alias("cb"))
+    j = bc.join(ca, "w1").join(cb, "w2").crossJoin(nb).crossJoin(nu)
+    pmi = F.log(
+        (F.col("cab") / F.col("tb"))
+        / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
+    )
+    got = {
+        (r["w1"], r["w2"]): r["pmi"]
+        for r in j.select("w1", "w2", F.round(pmi, 6).alias("pmi")).collect()
+    }
+    assert got == expected
+
+
+def test_new_query_plans_no_bnlj(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["bm25_topk", "pmi_bigrams", "approx_quantile_bins", "kmeans_assign"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
