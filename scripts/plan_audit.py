@@ -62,6 +62,9 @@ ALLOW = {
     "approx_quantile_bins": (("BNLJ", "double-scan"), "min/max pass + bin pass: the documented two-pass histogram form; the 3-row probs table broadcast-crosses the BIN-sized cumulative table — O(1) BNLJ"),
     "bm25_topk": (("BNLJ", "scans="), "tf/df wordcount branches over the corpus: the skew-immune groupBy+join form (like tf_idf); the 1-row (N, avgdl) stats aggregate broadcast-crosses O(1)"),
     "pmi_bigrams": (("BNLJ", "scans="), "bigram/unigram/length wordcount branches over the corpus; the vocab-bounded unigram table joins twice (w1, w2); the 1-row totals aggregate broadcast-crosses O(1)"),
+    "triangle_count": ("BNLJ", "three 1-row census aggregates (nodes/edges/triangles) broadcast-crossed into one summary row: O(1) BNLJ by construction; the wedge join itself is equi-keyed over checkpointed edges"),
+    "item_cf_topk": ("scans=", "pair-count branch + degree branch over the same bounded-group table: the skew-immune groupBy+join form (caching the grouped table would pin order-cardinality arrays in memory at scale for no asymptotic win)"),
+    "rank_fusion_rrf": ("global-window", "both rankings are global order statistics over the part-level aggregate (dim-sized, never the fact table)"),
 }
 
 

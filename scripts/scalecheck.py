@@ -116,6 +116,9 @@ OPS = [
     "approx_quantile_bins",
     "bm25_topk",
     "pmi_bigrams",
+    "triangle_count",
+    "item_cf_topk",
+    "rank_fusion_rrf",
 ]
 
 

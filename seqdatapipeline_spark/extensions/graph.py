@@ -125,3 +125,132 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.sum("o").cast("long").alias("out_deg"),
         F.sum("i").cast("long").alias("in_deg"),
     )
+
+
+def undirected_edges(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 64,
+) -> DataFrame:
+    """Unique undirected co-occurrence edges (u < v), same bounded
+    in-group generation as `co_occurrence_edges`."""
+    items = (
+        facts.groupBy(group_col)
+        .agg(F.collect_set(F.col(item_col)).alias("__items"))
+        .filter(F.size("__items").between(2, max_group))
+    )
+    pairs = items.select(
+        F.explode(F.col("__items")).alias("u"), F.col("__items")
+    ).select(F.col("u"), F.explode(F.col("__items")).alias("v")).filter(
+        F.col("u") < F.col("v")
+    )
+    return pairs.distinct()
+
+
+def triangle_stats(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 64,
+) -> DataFrame:
+    """Triangle census of the co-occurrence graph: nodes, unique
+    edges, wedges (Σ d·(d-1)/2 from the degree table — never
+    enumerated), triangles (oriented wedge join: e1=(u,v), e2=(u,w)
+    with v<w, closed by probing (v,w) — each triangle counted exactly
+    once), and the global clustering coefficient 3·Δ/wedges.
+
+    The edge list is localCheckpoint-ed before the triple self-join so
+    the (collect_set → explode → distinct) derivation runs once, and
+    the join graph is three equi-joins over the materialized edges —
+    no cartesian anywhere. Wedge generation is the standard scale
+    cost (Σ deg²); the `max_group` bound caps it the same way it caps
+    pair explosion, and at 100 TB the orientation (v < w) halves the
+    candidate set."""
+    und = undirected_edges(facts, group_col, item_col, max_group).localCheckpoint()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+def item_cf_topk(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 5,
+    max_group: int = 64,
+) -> DataFrame:
+    """Item-item collaborative filtering: cosine over the group-item
+    incidence matrix — cos(a,b) = |groups with both| / √(|a|·|b|) —
+    top-k neighbors per item. Pair counts come from in-group
+    generation (bounded by `max_group`), degrees from one wordcount
+    aggregate joined back; ranking is a window keyed by item whose
+    partitions are degree-bounded. The classic basket recommender,
+    all equi-joins."""
+    from pyspark.sql import Window
+
+    items = (
+        facts.groupBy(group_col)
+        .agg(F.collect_set(F.col(item_col)).alias("__items"))
+        .filter(F.size("__items").between(2, max_group))
+    )
+    ex = items.select(F.explode(F.col("__items")).alias("item"), F.col("__items"))
+    pairc = (
+        ex.select(F.col("item").alias("u"), F.explode(F.col("__items")).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    deg = items.select(F.explode(F.col("__items")).alias("item")).groupBy("item").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    du = deg.select(F.col("item").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("item").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        pairc.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cnt",
+            F.round(F.col("cnt") / F.sqrt(F.col("du") * F.col("dv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cos").desc(), "v")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("u").alias("item"),
+            F.col("v").alias("neighbor"),
+            F.col("cnt").cast("long").alias("n_co"),
+            "cos",
+        )
+    )

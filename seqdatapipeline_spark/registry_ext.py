@@ -3041,3 +3041,138 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cab").cast("long").alias("n_pair"),
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+@q(
+    "triangle_count",
+    f"""
+    WITH grp AS (
+      SELECT l_orderkey AS g, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    bounded AS (SELECT g, items FROM grp WHERE len(items) BETWEEN 2 AND 64),
+    ex AS (SELECT g, unnest(items) AS item FROM bounded),
+    und AS (
+      SELECT DISTINCT a.item AS u, c.item AS v
+      FROM ex a JOIN ex c USING (g) WHERE a.item < c.item
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY 1
+    ),
+    nn AS (
+      SELECT count(*)::BIGINT AS n_nodes,
+             sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+    tris AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+           JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+    FROM nn, ne, tris
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the
+    co-order graph (extensions.graph.triangle_stats): oriented wedge
+    join over a localCheckpoint-ed edge list — three equi-joins, each
+    triangle counted once; wedges computed from the degree table,
+    never enumerated."""
+    li = _t(spark, sf_dir, "lineitem")
+    return gr.triangle_stats(li, "l_orderkey", "l_partkey", max_group=64)
+
+
+@q(
+    "item_cf_topk",
+    """
+    WITH grp AS (
+      SELECT l_orderkey AS g, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    bounded AS (SELECT g, items FROM grp WHERE len(items) BETWEEN 2 AND 64),
+    ex AS (SELECT g, unnest(items) AS item FROM bounded),
+    pairc AS (
+      SELECT a.item AS u, c.item AS v, count(*)::DOUBLE AS cnt
+      FROM ex a JOIN ex c USING (g) WHERE a.item <> c.item
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT item, count(*)::DOUBLE AS d FROM ex GROUP BY 1),
+    scored AS (
+      SELECT p.u, p.v, p.cnt, round(p.cnt / sqrt(du.d * dv.d), 6) AS cos
+      FROM pairc p JOIN deg du ON p.u = du.item JOIN deg dv ON p.v = dv.item
+    ),
+    rk AS (
+      SELECT u, v, cnt, cos,
+             row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rn
+      FROM scored
+    )
+    SELECT u AS item, v AS neighbor, CAST(cnt AS BIGINT) AS n_co, cos
+    FROM rk WHERE rn <= 5
+    """,
+)
+def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (extensions.graph.
+    item_cf_topk): cosine over the order-part incidence matrix,
+    top-5 neighbors per part. Pair counts from bounded in-group
+    generation; the ranking window partitions by item (degree-
+    bounded), never globally."""
+    li = _t(spark, sf_dir, "lineitem")
+    return gr.item_cf_topk(li, "l_orderkey", "l_partkey", k=5, max_group=64)
+
+
+@q(
+    "rank_fusion_rrf",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             count(DISTINCT l_orderkey)::BIGINT AS n_orders
+      FROM lineitem GROUP BY 1
+    ),
+    r1 AS (SELECT part, row_number() OVER (ORDER BY round(revenue, 2) DESC, part) AS rk FROM rev),
+    r2 AS (SELECT part, row_number() OVER (ORDER BY n_orders DESC, part) AS rk FROM rev),
+    fused AS (
+      SELECT r1.part,
+             round(1.0 / (60 + r1.rk) + 1.0 / (60 + r2.rk), 6) AS rrf,
+             r1.rk AS rank_revenue, r2.rk AS rank_orders
+      FROM r1 JOIN r2 USING (part)
+    )
+    SELECT part, rrf, rank_revenue, rank_orders
+    FROM fused ORDER BY rrf DESC, part LIMIT 20
+    """,
+)
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two part rankings — revenue
+    and order-count — the standard way to merge heterogeneous
+    retrieval/scoring signals (BM25 + embedding cosine in a corpus
+    pipeline; here two aggregate orderings of the same dim). Both
+    rankings are global windows over the PART-LEVEL aggregate
+    (dim-sized, like skew_profile's share window — never the fact
+    table); revenue is rounded to cents BEFORE ranking so float
+    summation order can't flip neighbors. Final top-20 is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+    w1 = Window.orderBy(F.round(F.col("revenue"), 2).desc(), "part")
+    w2 = Window.orderBy(F.col("n_orders").desc(), "part")
+    fused = rev.select(
+        "part",
+        F.row_number().over(w1).alias("rank_revenue"),
+        F.row_number().over(w2).alias("rank_orders"),
+    ).select(
+        "part",
+        F.round(
+            1.0 / (60 + F.col("rank_revenue")) + 1.0 / (60 + F.col("rank_orders")), 6
+        ).alias("rrf"),
+        "rank_revenue",
+        "rank_orders",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "part").limit(20)

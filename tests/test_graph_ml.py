@@ -244,3 +244,46 @@ def test_new_query_plans_no_bnlj(spark, sf_dir):
     for name in ["bm25_topk", "pmi_bigrams", "approx_quantile_bins", "kmeans_assign"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------- triangles / CF / fusion
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    # groups: {1,2,3} and {2,3,4} -> edges 12,13,23,24,34; triangles 123, 234
+    facts = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (2, 4)], "g int, item int"
+    )
+    row = gr.triangle_stats(facts, "g", "item").collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 5
+    # degrees: 1->2, 2->3, 3->3, 4->2 ; wedges = 1+3+3+1 = 8
+    assert row["n_wedges"] == 8
+    assert row["n_triangles"] == 2
+    assert row["global_clustering"] == pytest.approx(3 * 2 / 8, abs=1e-9)
+
+
+def test_item_cf_topk_matches_hand_computation(spark):
+    # item 1 co-occurs with 2 in two groups; deg(1)=2, deg(2)=3
+    facts = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (3, 9)], "g int, item int"
+    )
+    rows = gr.item_cf_topk(facts, "g", "item", k=5).collect()
+    got = {(r["item"], r["neighbor"]): (r["n_co"], r["cos"]) for r in rows}
+    assert got[(1, 2)] == (2, round(2 / math.sqrt(2 * 3), 6))
+    assert got[(2, 9)] == (1, round(1 / math.sqrt(3 * 1), 6))
+    # per-item neighbor lists are ranked by cos desc
+    for item in {r["item"] for r in rows}:
+        cs = [r["cos"] for r in rows if r["item"] == item]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_rank_fusion_rrf_shape(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["rank_fusion_rrf"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # rrf of rank-1 in both lists is the max achievable
+    assert all(s <= round(2 / 61, 6) + 1e-12 for s in scores)
