@@ -28,6 +28,11 @@ REPRESENTATIVE = [
     "interarrival_stats",
     "time_weighted_avg",
     "trend_slope",
+    # round-5 additions with float accumulation across shuffles
+    "pagerank_iter",
+    "kmeans_assign",
+    "item_cf_topk",
+    "approx_quantile_bins",
 ]
 
 
