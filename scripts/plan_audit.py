@@ -65,6 +65,7 @@ ALLOW = {
     "triangle_count": ("BNLJ", "three 1-row census aggregates (nodes/edges/triangles) broadcast-crossed into one summary row: O(1) BNLJ by construction; the wedge join itself is equi-keyed over checkpointed edges"),
     "item_cf_topk": ("scans=", "pair-count branch + degree branch over the same bounded-group table: the skew-immune groupBy+join form (caching the grouped table would pin order-cardinality arrays in memory at scale for no asymptotic win)"),
     "rank_fusion_rrf": ("global-window", "both rankings are global order statistics over the part-level aggregate (dim-sized, never the fact table)"),
+    "stream_quantile_sketch": (("BNLJ", "double-scan"), "quantile extraction reads the persisted grid-histogram STATE (bin-sized, not the stream) twice (totals + cumulative); the 3-row probs table broadcast-crosses O(1)"),
 }
 
 

@@ -119,6 +119,8 @@ OPS = [
     "triangle_count",
     "item_cf_topk",
     "rank_fusion_rrf",
+    "minhash_containment",
+    "stream_quantile_sketch",
 ]
 
 

@@ -941,3 +941,71 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def minhash_containment_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_n: int = 3,
+):
+    """Directional near-dup scoring: for every LSH candidate pair,
+    the estimated and true CONTAINMENT in both directions —
+    C(A in B) = |A∩B| / |A| — the statistic that separates "B quotes
+    all of A" (sub-document duplication: C(A in B) ≈ 1, Jaccard
+    small) from symmetric near-identity. Jaccard-threshold dedup
+    misses exactly these pairs; corpus pipelines drop the contained
+    side instead.
+
+    Estimated intersection from the MinHash Jaccard estimate:
+    I = J/(1+J) · (|A|+|B|) (inclusion-exclusion solved for I), then
+    C = I/|size|. Same physical shape as minhash_estimate_pairs:
+    checkpointed signature table feeds bands + both join sides; exact
+    shingle sets join only onto CANDIDATE pairs."""
+    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int") for j in range(num_hashes)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("__j")
+    )
+
+    sh_arr = fan_out(docs, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    ).localCheckpoint(eager=True)
+    shared = F.size(F.array_intersect("__sha", "__shb")).cast("double")
+    za = F.size("__sha").cast("double")
+    zb = F.size("__shb").cast("double")
+    est_i = F.col("__j") / (1 + F.col("__j")) * (za + zb)
+    return (
+        est.join(
+            sh_arr.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("__j", 6).alias("est_jaccard"),
+            F.round(F.least(est_i / za, F.lit(1.0)), 6).alias("est_cont_a_in_b"),
+            F.round(F.least(est_i / zb, F.lit(1.0)), 6).alias("est_cont_b_in_a"),
+            F.round(shared / za, 6).alias("true_cont_a_in_b"),
+            F.round(shared / zb, 6).alias("true_cont_b_in_a"),
+        )
+    )

@@ -3176,3 +3176,97 @@ def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_orders",
     )
     return fused.orderBy(F.col("rrf").desc(), "part").limit(20)
+
+
+def _mh_containment_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    agree = " + ".join(
+        f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_ctes(num_hashes, band_size)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b, ({agree}) / {num_hashes}.0 AS j
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, count(*)::DOUBLE AS shared
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, round(j, 6) AS est_jaccard,
+           round(least(j / (1 + j) * (za.n_sh + zb.n_sh) / za.n_sh, 1.0), 6) AS est_cont_a_in_b,
+           round(least(j / (1 + j) * (za.n_sh + zb.n_sh) / zb.n_sh, 1.0), 6) AS est_cont_b_in_a,
+           round(coalesce(s.shared, 0) / za.n_sh, 6) AS true_cont_a_in_b,
+           round(coalesce(s.shared, 0) / zb.n_sh, 6) AS true_cont_b_in_a
+    FROM est e
+    LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    """
+
+
+@q("minhash_containment", _mh_containment_oracle())
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment per LSH candidate pair
+    (extensions.dedup.minhash_containment_pairs): C(A in B) = |A∩B|/|A|
+    estimated from the MinHash Jaccard via inclusion-exclusion, next
+    to the exact value — catches sub-document duplication (quote
+    inclusion) that symmetric Jaccard thresholds miss. Signature
+    table checkpointed once; exact shingle sets join only candidate
+    pairs."""
+    return dd.minhash_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "stream_quantile_sketch",
+    """
+    WITH binned AS (
+      SELECT event_type, CAST(floor(value / 0.25) AS BIGINT) AS b, count(*)::DOUBLE AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(c) AS n FROM binned GROUP BY 1),
+    cum AS (
+      SELECT event_type, b, c, sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+      FROM binned
+    ),
+    probs AS (SELECT CAST(x AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) t(x)),
+    cand AS (
+      SELECT c.event_type, p.p, c.b, c.c, c.cum, t.n,
+             row_number() OVER (PARTITION BY c.event_type, p.p ORDER BY c.b) AS rn
+      FROM cum c JOIN tot t USING (event_type) CROSS JOIN probs p
+      WHERE c.cum >= p.p * t.n
+    )
+    SELECT event_type, p,
+           round(b * 0.25 + (p * n - (cum - c)) / c * 0.25, 6) AS q
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles (streaming.rollup.replay_grid_quantiles):
+    the event stream drains in 4 deterministic micro-batches, each
+    folding into a persistent FIXED-grid histogram (bin = floor(v /
+    0.25) — absolute grid, so bin counts are additive and the final
+    state is bit-identical to one-shot batch binning; a
+    min/max-scaled binning could never stream, because early batches
+    don't know the final extent). The oracle IS the one-shot batch
+    computation — the streaming ≡ batch identity is the correctness
+    contract, like stream_minhash_dedup. Error ≤ one grid step;
+    state is |groups| × occupied bins regardless of stream length."""
+    import tempfile
+
+    from .streaming import rollup as ru
+
+    root = tempfile.mkdtemp(prefix="gridq-")
+    e = _t(spark, sf_dir, "events")
+    return ru.replay_grid_quantiles(
+        e, root, ["event_type"], "value", "event_id", [0.5, 0.9, 0.99], grid=0.25
+    )

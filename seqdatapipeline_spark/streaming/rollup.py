@@ -88,3 +88,86 @@ def streaming_rollup(
     if once:
         q.awaitTermination()
     return q
+
+
+def merge_grid_histogram(
+    batch: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    grid: float,
+) -> DataFrame:
+    """Fold one micro-batch into a persistent fixed-grid histogram:
+    bin = floor(value / grid) on an ABSOLUTE grid, so bin counts are
+    additive across batches (merge = sum) and the final histogram is
+    bit-identical to binning the whole stream at once — the property
+    a range-relative binning (min/max-scaled) cannot give a stream,
+    because early batches don't know the final extent. State size is
+    |groups| × occupied bins, independent of stream length."""
+    partial = batch.groupBy(
+        *group_cols, F.floor(F.col(value_col) / F.lit(grid)).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return merge_rollup(partial, state_path, [*group_cols, "b"], {"c": "sum"})
+
+
+def grid_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    grid: float,
+) -> DataFrame:
+    """Quantile extraction from a fixed-grid histogram (as maintained
+    by merge_grid_histogram): cumulative window over the BINNED table
+    (never raw rows), linear interpolation inside the bin where rank
+    p·n lands. Error ≤ one grid step. Same estimator arithmetic as
+    ops.aggregates.binned_quantiles, minus the min/max pass the
+    absolute grid makes unnecessary."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    tot = hist.groupBy(*group_cols).agg(F.sum("c").alias("__n"))
+    w = Window.partitionBy(*group_cols).orderBy("b")
+    cum = hist.withColumn("__cum", F.sum("c").over(w)).join(
+        F.broadcast(tot), group_cols
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    cand = cum.join(F.broadcast(pdf)).filter(
+        F.col("__cum") >= F.col("p") * F.col("__n")
+    )
+    pick = Window.partitionBy(*group_cols, "p").orderBy("b")
+    first = cand.withColumn("__rn", F.row_number().over(pick)).filter(
+        F.col("__rn") == 1
+    )
+    est = (
+        F.col("b") * F.lit(grid)
+        + (F.col("p") * F.col("__n") - (F.col("__cum") - F.col("c")))
+        / F.col("c")
+        * F.lit(grid)
+    )
+    return first.select(*group_cols, F.col("p"), F.round(est, 6).alias("q"))
+
+
+def replay_grid_quantiles(
+    events: DataFrame,
+    state_root: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    probs: list[float],
+    grid: float = 0.25,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Deterministic micro-batch replay of the streaming quantile
+    sketch: split the stream by id hash, fold each batch into the
+    persistent grid histogram, extract quantiles from the FINAL
+    state. The additive grid makes the result provably equal to the
+    one-shot batch computation — which is exactly what the oracle
+    checks."""
+    import os
+
+    state = os.path.join(state_root, "grid_hist")
+    final: DataFrame | None = None
+    for i in range(n_batches):
+        batch = events.filter(F.pmod(F.col(id_col), F.lit(n_batches)) == i)
+        final = merge_grid_histogram(batch, state, group_cols, value_col, grid)
+    return grid_quantiles(final, group_cols, probs, grid)

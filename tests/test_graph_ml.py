@@ -287,3 +287,75 @@ def test_rank_fusion_rrf_shape(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     # rrf of rank-1 in both lists is the max achievable
     assert all(s <= round(2 / 61, 6) + 1e-12 for s in scores)
+
+
+# ------------------------------------ containment / streaming quantiles
+
+
+def test_minhash_containment_detects_subdocument(spark):
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sup = base + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    docs = spark.createDataFrame(
+        [(1, base), (2, sup)], "doc_id long, text string"
+    )
+    rows = dd.minhash_containment_pairs(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in got, "sub/superdoc pair must surface as LSH candidates"
+    r = got[(1, 2)]
+    # every shingle of doc 1 appears in doc 2
+    assert r["true_cont_a_in_b"] == pytest.approx(1.0)
+    assert r["true_cont_b_in_a"] < 0.5  # but not vice versa
+    assert 0.0 <= r["est_cont_a_in_b"] <= 1.0
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+def test_grid_quantiles_batch_stream_identity(spark, sf_dir, tmp_path):
+    """The additive fixed-grid makes the sketch replay-invariant:
+    2-batch and 4-batch drains and the one-shot batch all agree."""
+    from seqdatapipeline_spark.streaming import rollup as ru
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probs = [0.5, 0.9]
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    one_shot = ru.grid_quantiles(
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(0.25)).cast("long").alias("b"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("c")),
+        ["event_type"],
+        probs,
+        0.25,
+    )
+    two = ru.replay_grid_quantiles(
+        e, str(tmp_path / "s2"), ["event_type"], "value", "event_id", probs,
+        grid=0.25, n_batches=2,
+    )
+    four = ru.replay_grid_quantiles(
+        e, str(tmp_path / "s4"), ["event_type"], "value", "event_id", probs,
+        grid=0.25, n_batches=4,
+    )
+    assert rows_of(one_shot) == rows_of(two) == rows_of(four)
+
+
+def test_grid_quantiles_error_bound(spark, sf_dir):
+    from seqdatapipeline_spark.streaming import rollup as ru
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = e.groupBy(
+        "event_type", F.floor(F.col("value") / F.lit(0.25)).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    got = {
+        (r["event_type"], r["p"]): r["q"]
+        for r in ru.grid_quantiles(hist, ["event_type"], [0.5, 0.9], 0.25).collect()
+    }
+    pdf = e.select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        v = np.sort(grp["value"].to_numpy())
+        for p in (0.5, 0.9):
+            true = float(v[min(len(v) - 1, int(np.ceil(p * len(v))) - 1)])
+            assert abs(got[(et, p)] - true) <= 0.25 + 1e-9, (et, p)
