@@ -66,6 +66,7 @@ ALLOW = {
     "item_cf_topk": ("scans=", "pair-count branch + degree branch over the same bounded-group table: the skew-immune groupBy+join form (caching the grouped table would pin order-cardinality arrays in memory at scale for no asymptotic win)"),
     "rank_fusion_rrf": ("global-window", "both rankings are global order statistics over the part-level aggregate (dim-sized, never the fact table)"),
     "stream_quantile_sketch": (("BNLJ", "double-scan"), "quantile extraction reads the persisted grid-histogram STATE (bin-sized, not the stream) twice (totals + cumulative); the 3-row probs table broadcast-crosses O(1)"),
+    "setsim_prefix_join": (("global-window", "scans="), "the rarity ranking is a window over the VOCABULARY aggregate (vocab-sized, never the corpus); explode/size/verify branches all read the checkpointed token-array table, not the parquet source"),
 }
 
 

@@ -121,6 +121,7 @@ OPS = [
     "rank_fusion_rrf",
     "minhash_containment",
     "stream_quantile_sketch",
+    "setsim_prefix_join",
 ]
 
 

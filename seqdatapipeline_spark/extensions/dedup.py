@@ -17,7 +17,7 @@ dependence on Spark's murmur seed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import fan_out
@@ -1008,4 +1008,85 @@ def minhash_containment_pairs(
             F.round(shared / za, 6).alias("true_cont_a_in_b"),
             F.round(shared / zb, 6).alias("true_cont_b_in_a"),
         )
+    )
+
+
+def setsim_prefix_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family): all pairs with shingle-set Jaccard ≥ threshold,
+    ZERO false negatives — the complement to LSH, whose banding
+    trades recall for speed. The filter chain:
+
+    1. order every doc's shingles by GLOBAL rarity (frequency rank);
+    2. a pair with Jaccard ≥ t must share a token among each side's
+       first  l - ⌈t·l⌉ + 1  rarest tokens (the prefix) — candidates
+       come from an equi-join on PREFIX tokens only, and because
+       prefixes are built from the rarest tokens, bucket sizes are
+       the inverse-frequency tail, not stopword-sized;
+    3. length filter: min(|A|,|B|) ≥ t·max(|A|,|B|);
+    4. exact verification by array_intersect on the full sets —
+       only over surviving candidates.
+
+    The token-array table is checkpointed once and feeds the explode,
+    the size table, and both verify sides. The global rarity ranking
+    is a window over the VOCABULARY aggregate (vocab-sized, never the
+    corpus)."""
+    toks = fan_out(docs, id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__ts")
+    ).localCheckpoint(eager=True)
+    ex = toks.select(F.col(id_col), F.explode("__ts").alias("term"))
+    freq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("__f"))
+    rk = freq.select(
+        "term",
+        F.row_number().over(Window.orderBy("__f", "term")).alias("__r"),
+    )
+    ranked = ex.join(rk, "term").select(
+        F.col(id_col),
+        "term",
+        F.row_number()
+        .over(Window.partitionBy(id_col).orderBy("__r"))
+        .alias("__pos"),
+    )
+    sizes = toks.select(
+        F.col(id_col), F.size("__ts").cast("long").alias("__l"), F.col("__ts")
+    )
+    pref = (
+        ranked.join(sizes.select(id_col, "__l"), id_col)
+        .filter(
+            F.col("__pos")
+            <= F.col("__l") - F.ceil(F.lit(threshold) * F.col("__l")) + 1
+        )
+        .select(F.col(id_col), "term")
+    )
+    pa = pref.select(F.col(id_col).alias("doc_a"), "term")
+    pb = pref.select(F.col(id_col).alias("doc_b"), "term")
+    cand = (
+        pa.join(pb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("__l").alias("__la"), F.col("__ts").alias("__tsa")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("__l").alias("__lb"), F.col("__ts").alias("__tsb")
+    )
+    inter = F.size(F.array_intersect("__tsa", "__tsb")).cast("double")
+    jac = inter / (F.col("__la") + F.col("__lb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.least("__la", "__lb")
+            >= F.lit(threshold) * F.greatest("__la", "__lb")
+        )
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

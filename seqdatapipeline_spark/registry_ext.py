@@ -3270,3 +3270,56 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ru.replay_grid_quantiles(
         e, root, ["event_type"], "value", "event_id", [0.5, 0.9, 0.99], grid=0.25
     )
+
+
+@q(
+    "setsim_prefix_join",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+    freq AS (SELECT term, count(*)::BIGINT AS f FROM ex GROUP BY 1),
+    rk AS (SELECT term, row_number() OVER (ORDER BY f, term) AS r FROM freq),
+    ranked AS (
+      SELECT e.doc_id, e.term,
+             row_number() OVER (PARTITION BY e.doc_id ORDER BY rk.r) AS pos
+      FROM ex e JOIN rk USING (term)
+    ),
+    sizes AS (SELECT doc_id, len(ts)::BIGINT AS l, ts FROM toks),
+    pref AS (
+      SELECT r2.doc_id, r2.term
+      FROM ranked r2 JOIN sizes s USING (doc_id)
+      WHERE r2.pos <= s.l - ceil(0.7 * s.l) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    veri AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ts, sb.ts))::DOUBLE AS inter, sa.l AS la, sb.l AS lb
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE least(sa.l, sb.l) >= 0.7 * greatest(sa.l, sb.l)
+    )
+    SELECT doc_a, doc_b, round(inter / (la + lb - inter), 6) AS jaccard
+    FROM veri WHERE inter / (la + lb - inter) >= 0.7
+    """,
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold self-join with ZERO false negatives
+    (extensions.dedup.setsim_prefix_join) — AllPairs/PPJoin prefix
+    filtering: candidates must share one of each side's rarest
+    l-⌈t·l⌉+1 shingles, then a length filter, then exact
+    array_intersect verification over survivors only. The recall
+    guarantee LSH banding cannot give, at the cost of the prefix
+    index; rarity ordering keeps the prefix buckets on the
+    inverse-frequency tail, never stopword-sized."""
+    return dd.setsim_prefix_join(
+        _t(spark, sf_dir, "documents"), threshold=0.7, shingle_n=3
+    )

@@ -359,3 +359,32 @@ def test_grid_quantiles_error_bound(spark, sf_dir):
         for p in (0.5, 0.9):
             true = float(v[min(len(v) - 1, int(np.ceil(p * len(v))) - 1)])
             assert abs(got[(et, p)] - true) <= 0.25 + 1e-9, (et, p)
+
+
+def test_setsim_prefix_join_no_false_negatives(spark, sf_dir):
+    """Prefix filtering must find EVERY pair >= threshold: compare
+    against brute-force Jaccard over all doc pairs on a small slice."""
+    from itertools import combinations
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.setsim_prefix_join(docs, threshold=0.7).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    shingle = lambda t: {
+        " ".join(ws) for ws in zip(*(t.split(" ")[i:] for i in range(3)))
+    }
+    sets = {r["doc_id"]: shingle(r["text"]) for r in rows}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.7:
+            expected[(a, b)] = round(j, 6)
+    assert got == expected
