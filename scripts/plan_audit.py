@@ -67,6 +67,7 @@ ALLOW = {
     "rank_fusion_rrf": ("global-window", "both rankings are global order statistics over the part-level aggregate (dim-sized, never the fact table)"),
     "stream_quantile_sketch": (("BNLJ", "double-scan"), "quantile extraction reads the persisted grid-histogram STATE (bin-sized, not the stream) twice (totals + cumulative); the 3-row probs table broadcast-crosses O(1)"),
     "setsim_prefix_join": (("global-window", "scans="), "the rarity ranking is a window over the VOCABULARY aggregate (vocab-sized, never the corpus); explode/size/verify branches all read the checkpointed token-array table, not the parquet source"),
+    "ann_recall_report": (("BNLJ", "scans="), "calibration query BY DESIGN runs both the pruned IVF path and the exact brute-force path over the same table to compare them (query set + centroids broadcast; the BNLJ is the intentional broadcast scoring, as in ann_topk_cosine)"),
 }
 
 

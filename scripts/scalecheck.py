@@ -122,6 +122,7 @@ OPS = [
     "minhash_containment",
     "stream_quantile_sketch",
     "setsim_prefix_join",
+    "ann_recall_report",
 ]
 
 

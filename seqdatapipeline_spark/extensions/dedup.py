@@ -1023,46 +1023,50 @@ def setsim_prefix_join(
     ZERO false negatives — the complement to LSH, whose banding
     trades recall for speed. The filter chain:
 
-    1. order every doc's shingles by GLOBAL rarity (frequency rank);
+    1. impose a canonical global token order — md5(token): prefix
+       filtering is correct under ANY fixed total order, and the hash
+       order is computable INSIDE each row (array_sort over
+       (md5, token) structs — a narrow map), where a frequency-rank
+       order would cost a corpus-sized explode + vocab join + per-doc
+       window before candidates even exist. The hash behaves as a
+       random permutation, so prefix buckets stay near the mean token
+       frequency rather than the stopword head;
     2. a pair with Jaccard ≥ t must share a token among each side's
-       first  l - ⌈t·l⌉ + 1  rarest tokens (the prefix) — candidates
-       come from an equi-join on PREFIX tokens only, and because
-       prefixes are built from the rarest tokens, bucket sizes are
-       the inverse-frequency tail, not stopword-sized;
+       first  l - ⌈t·l⌉ + 1  tokens of that order (the prefix) —
+       candidates come from an equi-join on PREFIX tokens only, so
+       only ~(1-t) of each doc's tokens are ever exploded;
     3. length filter: min(|A|,|B|) ≥ t·max(|A|,|B|);
     4. exact verification by array_intersect on the full sets —
        only over surviving candidates.
 
-    The token-array table is checkpointed once and feeds the explode,
-    the size table, and both verify sides. The global rarity ranking
-    is a window over the VOCABULARY aggregate (vocab-sized, never the
-    corpus)."""
+    The token-array table is checkpointed once and feeds the prefix
+    explode, the size table, and both verify sides."""
+    keyed = F.array_sort(
+        F.transform(
+            F.col("__raw"),
+            lambda t: F.struct(F.md5(t).alias("h"), t.alias("term")),
+        )
+    )
     toks = fan_out(docs, id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__ts")
-    ).localCheckpoint(eager=True)
-    ex = toks.select(F.col(id_col), F.explode("__ts").alias("term"))
-    freq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("__f"))
-    rk = freq.select(
-        "term",
-        F.row_number().over(Window.orderBy("__f", "term")).alias("__r"),
-    )
-    ranked = ex.join(rk, "term").select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__raw")
+    ).select(
         F.col(id_col),
-        "term",
-        F.row_number()
-        .over(Window.partitionBy(id_col).orderBy("__r"))
-        .alias("__pos"),
-    )
+        F.col("__raw").alias("__ts"),
+        keyed.alias("__keyed"),
+    ).localCheckpoint(eager=True)
     sizes = toks.select(
         F.col(id_col), F.size("__ts").cast("long").alias("__l"), F.col("__ts")
     )
-    pref = (
-        ranked.join(sizes.select(id_col, "__l"), id_col)
-        .filter(
-            F.col("__pos")
-            <= F.col("__l") - F.ceil(F.lit(threshold) * F.col("__l")) + 1
-        )
-        .select(F.col(id_col), "term")
+    plen = (
+        F.size("__keyed")
+        - F.ceil(F.lit(threshold) * F.size("__keyed"))
+        + 1
+    ).cast("int")
+    pref = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.slice("__keyed", F.lit(1), plen), lambda s: s["term"])
+        ).alias("term"),
     )
     pa = pref.select(F.col(id_col).alias("doc_a"), "term")
     pb = pref.select(F.col(id_col).alias("doc_b"), "term")

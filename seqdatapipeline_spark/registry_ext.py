@@ -3281,19 +3281,16 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
       FROM documents
     ),
-    ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
-    freq AS (SELECT term, count(*)::BIGINT AS f FROM ex GROUP BY 1),
-    rk AS (SELECT term, row_number() OVER (ORDER BY f, term) AS r FROM freq),
+    ex AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks),
     ranked AS (
-      SELECT e.doc_id, e.term,
-             row_number() OVER (PARTITION BY e.doc_id ORDER BY rk.r) AS pos
-      FROM ex e JOIN rk USING (term)
+      SELECT doc_id, term, l,
+             row_number() OVER (PARTITION BY doc_id ORDER BY md5(term), term) AS pos
+      FROM ex
     ),
     sizes AS (SELECT doc_id, len(ts)::BIGINT AS l, ts FROM toks),
     pref AS (
-      SELECT r2.doc_id, r2.term
-      FROM ranked r2 JOIN sizes s USING (doc_id)
-      WHERE r2.pos <= s.l - ceil(0.7 * s.l) + 1
+      SELECT doc_id, term FROM ranked
+      WHERE pos <= l - ceil(0.7 * l) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3314,12 +3311,91 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard-threshold self-join with ZERO false negatives
     (extensions.dedup.setsim_prefix_join) — AllPairs/PPJoin prefix
-    filtering: candidates must share one of each side's rarest
-    l-⌈t·l⌉+1 shingles, then a length filter, then exact
-    array_intersect verification over survivors only. The recall
-    guarantee LSH banding cannot give, at the cost of the prefix
-    index; rarity ordering keeps the prefix buckets on the
-    inverse-frequency tail, never stopword-sized."""
+    filtering: candidates must share one of each side's first
+    l-⌈t·l⌉+1 shingles under the canonical md5 order (computed
+    map-side INSIDE each row — no corpus-sized rank join), then a
+    length filter, then exact array_intersect verification over
+    survivors only. The recall guarantee LSH banding cannot give."""
     return dd.setsim_prefix_join(
         _t(spark, sf_dir, "documents"), threshold=0.7, shingle_n=3
+    )
+
+
+@q(
+    "ann_recall_report",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    cd AS (SELECT label, i, avg(e[i]) AS mu FROM v CROSS JOIN dims GROUP BY 1, 2),
+    cent AS (SELECT label, list(mu ORDER BY i) AS c FROM cd GROUP BY 1),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, cent.c) DESC, cent.label
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 3
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(q2.qv, v.e), 6) DESC, v.vec_id
+               ) AS rk
+        FROM probe p JOIN v ON v.label = p.label JOIN q q2 ON q2.query_id = p.query_id
+      ) WHERE rk <= 5
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, v.e), 6) DESC, v.vec_id
+               ) AS rk
+        FROM q CROSS JOIN v
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT i.query_id, count(*)::BIGINT AS n_hits
+      FROM ivf i JOIN brute b
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0)::DOUBLE / 5.0 AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN calibration: recall@5 of the PRUNED IVF path (label cells,
+    nprobe=3 of 10) against exact brute force, per query — the
+    sketch-accuracy report for similarity search, the ANN analog of
+    minhash_jaccard_estimate. This is the number that tells you
+    whether nprobe is sized right before trusting the pruned index
+    at corpus scale. Both rankings round to 6 dp before ranking and
+    tie-break on id, so the comparison is engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    ivf = sim.ivf_topk_cosine(queries, emb, k=5, nprobe=3, cell_col="label")
+    brute = sim.brute_topk_cosine(queries, emb, k=5)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 5.0).alias("recall"),
+        )
     )
