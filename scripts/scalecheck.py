@@ -123,6 +123,7 @@ OPS = [
     "stream_quantile_sketch",
     "setsim_prefix_join",
     "ann_recall_report",
+    "setsim_clusters",
 ]
 
 

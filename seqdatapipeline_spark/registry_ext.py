@@ -3399,3 +3399,79 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 5.0).alias("recall"),
         )
     )
+
+
+@q(
+    "setsim_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks),
+    ranked AS (
+      SELECT doc_id, term, l,
+             row_number() OVER (PARTITION BY doc_id ORDER BY md5(term), term) AS pos
+      FROM ex
+    ),
+    sizes AS (SELECT doc_id, len(ts)::BIGINT AS l, ts FROM toks),
+    pref AS (
+      SELECT doc_id, term FROM ranked
+      WHERE pos <= l - ceil(0.7 * l) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    veri AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ts, sb.ts))::DOUBLE AS inter, sa.l AS la, sb.l AS lb
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE least(sa.l, sb.l) >= 0.7 * greatest(sa.l, sb.l)
+    ),
+    pr AS (
+      SELECT doc_a, doc_b FROM veri WHERE inter / (la + lb - inter) >= 0.7
+    ),
+    ed AS (
+      SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b AS a, doc_a AS b FROM pr
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN ed e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EXACT near-dup clustering: transitive closure over
+    the zero-false-negative setsim_prefix_join pairs — the cluster
+    assignment whose recall is a guarantee, not an LSH probability.
+    Pairs become 2-node buckets plus one identity bucket per doc (so
+    isolated docs label themselves), then the same star-contraction
+    connected components as dedup_clusters. Oracle recomputes the
+    fixpoint as a DuckDB recursive CTE — independent algorithm, same
+    semantics."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.setsim_prefix_join(d, threshold=0.7, shingle_n=3)
+    bucket = pairs.select(
+        F.col("doc_a").alias("node"),
+        F.concat_ws("|", F.col("doc_a"), F.col("doc_b")).alias("key"),
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("node"),
+            F.concat_ws("|", F.col("doc_a"), F.col("doc_b")).alias("key"),
+        )
+    )
+    ident = d.select(
+        F.col("doc_id").alias("node"),
+        F.concat(F.lit("self|"), F.col("doc_id")).alias("key"),
+    )
+    inc = bucket.unionByName(ident)
+    cc = dd.connected_components(inc)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
