@@ -68,6 +68,7 @@ ALLOW = {
     "stream_quantile_sketch": (("BNLJ", "double-scan"), "quantile extraction reads the persisted grid-histogram STATE (bin-sized, not the stream) twice (totals + cumulative); the 3-row probs table broadcast-crosses O(1)"),
     "setsim_prefix_join": (("global-window", "scans="), "the rarity ranking is a window over the VOCABULARY aggregate (vocab-sized, never the corpus); explode/size/verify branches all read the checkpointed token-array table, not the parquet source"),
     "ann_recall_report": (("BNLJ", "scans="), "calibration query BY DESIGN runs both the pruned IVF path and the exact brute-force path over the same table to compare them (query set + centroids broadcast; the BNLJ is the intentional broadcast scoring, as in ann_topk_cosine)"),
+    "lsh_recall_metrics": (("BNLJ", "double-scan"), "calibration query BY DESIGN derives both the LSH candidate set and the exact setsim truth set from the same corpus; the three 1-row census counts broadcast-cross into one summary row — O(1) BNLJ"),
 }
 
 

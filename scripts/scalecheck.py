@@ -124,6 +124,7 @@ OPS = [
     "setsim_prefix_join",
     "ann_recall_report",
     "setsim_clusters",
+    "lsh_recall_metrics",
 ]
 
 

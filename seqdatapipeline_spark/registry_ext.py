@@ -3475,3 +3475,84 @@ def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = bucket.unionByName(ident)
     cc = dd.connected_components(inc)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@q(
+    "lsh_recall_metrics",
+    f"""
+    WITH {_minhash_ctes(12, 2)},
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    toks2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
+      FROM documents
+    ),
+    ex2 AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks2),
+    ranked2 AS (
+      SELECT doc_id, term, l,
+             row_number() OVER (PARTITION BY doc_id ORDER BY md5(term), term) AS pos
+      FROM ex2
+    ),
+    sizes2 AS (SELECT doc_id, len(ts)::BIGINT AS l, ts FROM toks2),
+    pref2 AS (SELECT doc_id, term FROM ranked2 WHERE pos <= l - ceil(0.7 * l) + 1),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref2 a JOIN pref2 b ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    veri2 AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ts, sb.ts))::DOUBLE AS inter, sa.l AS la, sb.l AS lb
+      FROM cand2 c
+      JOIN sizes2 sa ON sa.doc_id = c.doc_a
+      JOIN sizes2 sb ON sb.doc_id = c.doc_b
+      WHERE least(sa.l, sb.l) >= 0.7 * greatest(sa.l, sb.l)
+    ),
+    truth AS (SELECT doc_a, doc_b FROM veri2 WHERE inter / (la + lb - inter) >= 0.7),
+    nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+    nl AS (SELECT count(*)::BIGINT AS n_lsh FROM lsh),
+    nh AS (
+      SELECT count(*)::BIGINT AS n_hit
+      FROM truth t JOIN lsh s ON s.doc_a = t.doc_a AND s.doc_b = t.doc_b
+    )
+    SELECT n_true, n_lsh, n_hit,
+           round(n_hit::DOUBLE / n_true, 6) AS recall,
+           round(n_hit::DOUBLE / n_lsh, 6) AS precision
+    FROM nt, nl, nh
+    """,
+)
+def q_lsh_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration against EXACT ground truth: the MinHash band
+    candidates (6 bands × 2 rows — collision threshold J ≈ 0.41)
+    measured against setsim_prefix_join's provably-complete J ≥ 0.7
+    pair set. Recall tells you whether the banding misses real
+    duplicates; precision tells you how much the verify stage pays
+    for low-J candidates — the two numbers that size (bands, rows,
+    threshold) before running dedup on 100 TB. Both pair sets are
+    equi-join derived; the three census counts broadcast-cross into
+    one summary row."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(d)
+    lsh = dd.lsh_candidate_pairs(sig)
+    truth = dd.setsim_prefix_join(d, threshold=0.7, shingle_n=3).select(
+        "doc_a", "doc_b"
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nh = truth.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(nl)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6).alias("precision"),
+        )
+    )
