@@ -125,6 +125,7 @@ OPS = [
     "ann_recall_report",
     "setsim_clusters",
     "lsh_recall_metrics",
+    "pagerank_weighted",
 ]
 
 

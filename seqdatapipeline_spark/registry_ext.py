@@ -3556,3 +3556,53 @@ def q_lsh_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6).alias("precision"),
         )
     )
+
+
+_WPR_ITER = """c{i} AS (
+      SELECT s.dst AS node, sum(r.rank * s.share) AS m
+      FROM sh s JOIN r{j} r ON s.src = r.node
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nodes.node, (CAST(0.15 AS DOUBLE) / n + 0.85 * coalesce(m, 0)) AS rank
+      FROM nodes LEFT JOIN c{i} USING (node), nn
+    )"""
+
+
+@q(
+    "pagerank_weighted",
+    f"""
+    WITH grp AS (
+      SELECT l_orderkey AS g, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    bounded AS (SELECT g, items FROM grp WHERE len(items) BETWEEN 2 AND 64),
+    ex AS (SELECT g, unnest(items) AS item FROM bounded),
+    we AS (
+      SELECT a.item AS src, c.item AS dst, count(*)::DOUBLE AS w
+      FROM ex a JOIN ex c USING (g) WHERE a.item <> c.item
+      GROUP BY 1, 2
+    ),
+    ws AS (SELECT src, sum(w) AS wsum FROM we GROUP BY 1),
+    sh AS (SELECT we.src, we.dst, we.w / ws.wsum AS share FROM we JOIN ws USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM we),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+    {_WPR_ITER.format(i=1, j=0)},
+    {_WPR_ITER.format(i=2, j=1)},
+    {_WPR_ITER.format(i=3, j=2)}
+    SELECT node, round(rank * n, 6) AS rank_norm FROM r3, nn
+    """,
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-order graph (extensions.graph.
+    weighted_pagerank): link strength = number of orders pairing the
+    two parts, rank distributed by weight share — the authority
+    ranking a recommender actually wants (repeat co-purchases count
+    more than one-off baskets). Same one-join-one-agg round shape and
+    exchange reuse as the uniform variant; the per-edge share is
+    precomputed once so rounds are pure multiply-sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = gr.co_occurrence_weighted_edges(li, "l_orderkey", "l_partkey", max_group=64)
+    pr = gr.weighted_pagerank(edges, iters=3, damping=0.85, normalize=True)
+    return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))

@@ -388,3 +388,33 @@ def test_setsim_prefix_join_no_false_negatives(spark, sf_dir):
         if j >= 0.7:
             expected[(a, b)] = round(j, 6)
     assert got == expected
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    # weighted edges: node 0 sends 3/4 of its rank to 1, 1/4 to 2
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 2.0), (2, 1, 2.0)]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.weighted_pagerank(df, iters=3, damping=0.85).collect()
+    }
+    n = 3
+    wsum = {0: 4.0, 1: 1.0, 2: 4.0}
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for s, d, w in edges:
+            nxt[d] += 0.85 * r[s] * (w / wsum[s])
+        r = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_equal_weights(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0)]
+    uw = spark.createDataFrame(edges, "src int, dst int")
+    ww = spark.createDataFrame([(s, d, 7.0) for s, d in edges], "src int, dst int, w double")
+    a = {r["node"]: r["rank"] for r in gr.pagerank(uw, iters=3).collect()}
+    b = {r["node"]: r["rank"] for r in gr.weighted_pagerank(ww, iters=3).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
