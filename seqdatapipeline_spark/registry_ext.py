@@ -3606,3 +3606,42 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = gr.co_occurrence_weighted_edges(li, "l_orderkey", "l_partkey", max_group=64)
     pr = gr.weighted_pagerank(edges, iters=3, damping=0.85, normalize=True)
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
+
+
+@q(
+    "stream_vocab_topk",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def q_stream_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k vocabulary (streaming.rollup.merge_rollup):
+    the corpus drains in 4 deterministic micro-batches, each folding
+    per-term counts into the persistent rollup (counts are additive —
+    merge = sum), top-50 extracted from the FINAL state with a
+    TakeOrdered over the vocab-sized table. The oracle is the
+    one-shot batch wordcount — streaming ≡ batch exactly, the same
+    identity contract as stream_quantile_sketch. State is
+    vocab-sized regardless of stream length; a true heavy-hitters
+    sketch (Misra-Gries) would bound state further but its contents
+    depend on arrival order — this form stays engine- and
+    order-independent."""
+    import tempfile
+
+    from .streaming import rollup as ru
+
+    root = tempfile.mkdtemp(prefix="vocabtk-")
+    state = os.path.join(root, "vocab")
+    d = _t(spark, sf_dir, "documents")
+    final = None
+    for i in range(4):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        partial = batch.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        ).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        final = ru.merge_rollup(partial, state, ["token"], {"n": "sum"})
+    return final.select("token", F.col("n").cast("long").alias("n")).orderBy(
+        F.col("n").desc(), "token"
+    ).limit(50)
