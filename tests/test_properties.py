@@ -367,3 +367,67 @@ def test_mate_pair_enumerate_matches_join(spark, rows):
         (k, v1, v2) for k, v1 in r1 for k2, v2 in r2 if k == k2
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=3, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(**SETTINGS)
+def test_setsim_prefix_join_equals_brute_force(spark, docs, threshold):
+    """Prefix filtering is exact: for arbitrary corpora and thresholds
+    the result equals all-pairs Jaccard over 3-shingle sets."""
+    from itertools import combinations
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.setsim_prefix_join(df, threshold=threshold).collect()
+    }
+    shingle = lambda t: {
+        " ".join(ws) for ws in zip(*(t.split(" ")[i:] for i in range(3)))
+    }
+    sets = {i: shingle(t) for i, t in enumerate(docs)}
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            expected[(a, b)] = round(j, 6)
+    assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=80,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9]),
+)
+@settings(**SETTINGS)
+def test_binned_quantiles_bounded_by_order_stat(spark, values, p):
+    """The histogram estimate always lands within one bin width of
+    the inverse-CDF order statistic."""
+    import math
+
+    df = spark.createDataFrame([("g", float(v)) for v in values], "g string, v double")
+    rows = agg.binned_quantiles(df, ["g"], "v", [p], bins=100).collect()
+    assert len(rows) == 1
+    q = rows[0]["q"]
+    s = sorted(values)
+    width = (s[-1] - s[0]) / 100.0
+    true = s[min(len(s) - 1, int(math.ceil(p * len(s))) - 1)]
+    assert abs(q - true) <= width + 1e-6
