@@ -126,6 +126,8 @@ OPS = [
     "setsim_clusters",
     "lsh_recall_metrics",
     "pagerank_weighted",
+    "stream_vocab_topk",
+    "dedup_keep_best",
 ]
 
 

@@ -3645,3 +3645,70 @@ def q_stream_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("token", F.col("n").cast("long").alias("n")).orderBy(
         F.col("n").desc(), "token"
     ).limit(50)
+
+
+@q(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    rk AS (
+      SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+      FROM j
+    ),
+    sz AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM j GROUP BY 1)
+    SELECT r.cluster_id, r.doc_id AS keep_id, s.n_members,
+           s.n_members - 1 AS n_dropped
+    FROM rk r JOIN sz s USING (cluster_id) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per duplicate cluster (same
+    transitive closure as dedup_clusters), keep the LONGEST member
+    (tie → lowest id) instead of blindly the lowest id — the policy
+    step between cluster assignment and the actual corpus delete.
+    Survivor = one map-side-combinable max(struct) per cluster; the
+    ranking never windows over raw docs, only the cluster-joined
+    (id, n_chars) projection."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__negid"))
+        ).alias("__b"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("__b.__negid")).cast("long").alias("keep_id"),
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
