@@ -69,6 +69,9 @@ ALLOW = {
     "setsim_prefix_join": (("global-window", "scans="), "the rarity ranking is a window over the VOCABULARY aggregate (vocab-sized, never the corpus); explode/size/verify branches all read the checkpointed token-array table, not the parquet source"),
     "ann_recall_report": (("BNLJ", "scans="), "calibration query BY DESIGN runs both the pruned IVF path and the exact brute-force path over the same table to compare them (query set + centroids broadcast; the BNLJ is the intentional broadcast scoring, as in ann_topk_cosine)"),
     "lsh_recall_metrics": (("BNLJ", "double-scan"), "calibration query BY DESIGN derives both the LSH candidate set and the exact setsim truth set from the same corpus; the three 1-row census counts broadcast-cross into one summary row — O(1) BNLJ"),
+    "dsir_importance_weights": (("global-window", "double-scan"), "distribution branch + per-doc scoring branch: the DSIR two-pass shape; the normalizing window runs over the 256-bucket aggregate (model-sized), and the log-ratio table broadcast-joins back"),
+    "semdedup_prune": (("BNLJ", "scans=", "double-scan"), "the 32-row seed model is a filtered projection of the corpus table (like kmeans_assign) and broadcasts — O(k) BNLJ; the within-cell pair join is the table on both sides by definition"),
+    "decontaminate_fuzzy": ("double-scan", "eval slice stands in for the separate benchmark table; the two scans hash DISJOINT doc slices (filter pushed below the signature pass), so total hashing work is one corpus pass"),
 }
 
 

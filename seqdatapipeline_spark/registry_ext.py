@@ -3712,3 +3712,247 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("n_members") - 1).cast("long").alias("n_dropped"),
     )
+
+
+@q(
+    "dsir_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bkt AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 6))::BIGINT % 256 AS b
+      FROM tok
+    ),
+    dist AS (
+      SELECT b, count(*)::DOUBLE AS cnt_raw,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS cnt_tgt
+      FROM bkt GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt_raw) AS tr, sum(cnt_tgt) AS tt FROM dist),
+    w AS (
+      SELECT b, ln((cnt_tgt + 0.5) / (tt + 128.0))
+               - ln((cnt_raw + 0.5) / (tr + 128.0)) AS w
+      FROM dist, tot
+    )
+    SELECT k.doc_id, round(sum(w.w), 6) + 0.0 AS dsir_logratio
+    FROM bkt k JOIN w USING (b) GROUP BY 1
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc
+    log-likelihood ratio of a hashed-unigram bag model fit on the
+    target slice (lang='en' as the stand-in for "looks like the
+    pretraining target") vs the raw corpus. Feature space is 256 md5
+    buckets, so both n-gram distributions are MODEL-sized: the
+    distribution build is one map-side-combinable groupBy(bucket)
+    over the exploded corpus, the per-bucket log-ratio table
+    broadcast-joins back, and per-doc weights are a second
+    map-side-combinable sum. Two corpus scans, zero windows, no
+    driver-side state — the exact plan DSIR sharding runs at 100 TB
+    (the reference's density_over_total is the same two-pass shape,
+    mainScript.py:604-615)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bkt = tok.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long") % 256).alias("b"),
+    )
+    dist = bkt.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double").alias("cnt_tgt"),
+    )
+    wall = Window.partitionBy()
+    w = dist.select(
+        "b",
+        (
+            F.log((F.col("cnt_tgt") + 0.5) / (F.sum("cnt_tgt").over(wall) + 128.0))
+            - F.log((F.col("cnt_raw") + 0.5) / (F.sum("cnt_raw").over(wall) + 128.0))
+        ).alias("w"),
+    )
+    return (
+        bkt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg((F.round(F.sum("w"), 6) + 0.0).alias("dsir_logratio"))
+    )
+
+
+@q(
+    "semdedup_prune",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 32
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      FROM scored
+    ),
+    a AS (
+      SELECT b.vec_id, b.cell, e.embedding::DOUBLE[] AS emb
+      FROM best b JOIN embeddings e USING (vec_id) WHERE rn = 1
+    ),
+    p AS (
+      SELECT y.vec_id, y.cell,
+             round(list_cosine_similarity(x.emb, y.emb), 6) AS c
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    )
+    SELECT vec_id, cell, round(max(c), 6) AS max_dup_cos
+    FROM p WHERE c >= 0.35 GROUP BY 1, 2
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning (Abbas et al. 2023): k-means-cluster the
+    embedding space (32 deterministic seed centroids, same seeding as
+    kmeans_assign/IVF), then flag any vector whose cosine to an
+    EARLIER same-cluster member clears the semantic-dup threshold.
+    The pairwise step is an equi-join on the cluster id — Σ per-cell
+    n², never global n² — which is exactly the SemDeDup recipe: k
+    grows with corpus size so cell population stays bounded, and the
+    "prune against any earlier member" rule keeps the policy
+    non-recursive (expressible without sequential per-cluster state).
+    Threshold compares the ROUNDED cosine so both engines agree at
+    the boundary."""
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(32)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    # Assignment with the vector carried through (max_by over the
+    # broadcast-scored candidates), so the pair join below reads ONE
+    # assignment subtree instead of re-joining embeddings back on.
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    scored = v.join(F.broadcast(seeds)).withColumn(
+        "__cos", dd.cosine(F.col("emb"), F.col("centroid"))
+    )
+    a = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cell", "emb"), F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))
+        ).alias("__b")
+    ).select("vec_id", F.col("__b.cell").alias("cell"), F.col("__b.emb").alias("emb"))
+    x, y = a.alias("x"), a.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("y.cell").alias("cell"),
+            F.round(dd.cosine(F.col("x.emb"), F.col("y.emb")), 6).alias("c"),
+        )
+        .where(F.col("c") >= 0.35)
+    )
+    return pairs.groupBy("vec_id", "cell").agg(
+        F.round(F.max("c"), 6).alias("max_dup_cos")
+    )
+
+
+@q(
+    "bpe_pair_merge",
+    """
+    WITH words AS (
+      SELECT tok, count(*)::BIGINT AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE len(tok) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(w.tok, CAST(i AS INT), 2) AS pair, w.f
+      FROM words w, UNNEST(range(1, len(w.tok))) AS t(i)
+    ),
+    agg AS (SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY 1)
+    SELECT pair, cnt FROM agg
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the inner loop of tokenizer
+    training: adjacent symbol-pair frequencies over the word-frequency
+    table (pair count = Σ word_freq × occurrences-in-word), top 50.
+    The corpus collapses to its VOCAB first (one map-side-combinable
+    groupBy), so the quadratic-ish pair explode runs over distinct
+    words only — at 100 TB the vocab table is millions of rows, not
+    trillions, and each BPE iteration is a vocab-sized job. All
+    whole-stage-codegen: split/explode/substring, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("cnt"))
+    return agg.orderBy(F.col("cnt").desc(), "pair").limit(50)
+
+
+@q(
+    "decontaminate_fuzzy",
+    f"""
+    WITH {_minhash_ctes()},
+    ev AS (SELECT doc_id, band_key FROM keyed WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, band_key FROM keyed WHERE doc_id % 10 <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_hits,
+           min(e.doc_id) AS first_eval_id
+    FROM tr t JOIN ev e USING (band_key)
+    GROUP BY 1
+    """,
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH band match
+    between the training corpus and the held-out eval slice
+    (doc_id % 10 = 0 stands in for the benchmark set), flagging every
+    training doc that shares an LSH band with any eval doc — the
+    near-dup analog of decontaminate_ngram's exact n-gram anti-join
+    (GPT-3 appendix-C style). Both sides come from ONE signature
+    pass; the contamination probe is an equi-join on band_key with
+    the eval side orders of magnitude smaller (broadcastable at any
+    corpus scale), so cost is one corpus scan + a broadcast semi
+    shape, never pairwise."""
+    d = _t(spark, sf_dir, "documents")
+
+    def _keyed(side: DataFrame) -> DataFrame:
+        return dd.lsh_band_incidence(
+            dd.minhash_signature(side, num_hashes=12, shingle_n=3),
+            num_hashes=12,
+            band_size=2,
+        )
+
+    # Filter BEFORE the signature pass: the two scans hash disjoint
+    # slices, so total signature work stays one corpus pass (in
+    # production the eval side is a separate benchmark table).
+    ev = _keyed(d.where(F.col("doc_id") % 10 == 0)).select(
+        F.col("doc_id").alias("eval_id"), "band_key"
+    )
+    tr = _keyed(d.where(F.col("doc_id") % 10 != 0))
+    return (
+        tr.join(F.broadcast(ev), "band_key")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").cast("long").alias("n_eval_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )

@@ -33,6 +33,12 @@ REPRESENTATIVE = [
     "kmeans_assign",
     "item_cf_topk",
     "approx_quantile_bins",
+    # round-4 data-selection additions (float log-ratio sums, max_by
+    # assignment, band joins)
+    "dsir_importance_weights",
+    "semdedup_prune",
+    "bpe_pair_merge",
+    "decontaminate_fuzzy",
 ]
 
 

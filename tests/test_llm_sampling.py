@@ -1,0 +1,92 @@
+"""Behavior-level tests for the round-4 data-selection operators
+(DSIR importance weights, SemDeDup pruning, BPE merge counting,
+fuzzy decontamination) — the semantic invariants the DuckDB parity
+pass doesn't isolate: target-slice separation, brute-force pruning
+agreement, hand-counted merge frequencies, eval-slice disjointness."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return entrymod.queries()[name]
+
+
+# ---------------------------------------------------- dsir_importance_weights
+
+def test_dsir_weights_separate_target_slice(spark):
+    """The log-ratio is fit ON the lang='en' slice, so en docs must
+    average a higher weight than the rest — the selection signal DSIR
+    sharding thresholds on."""
+    w = {r.doc_id: r.dsir_logratio for r in _q("dsir_importance_weights")(spark, SF).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang").collect()
+    }
+    en = [w[i] for i in w if langs[i] == "en"]
+    rest = [w[i] for i in w if langs[i] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_weights_cover_every_doc(spark):
+    out = _q("dsir_importance_weights")(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out.count() == n_docs
+
+
+# ------------------------------------------------------------- semdedup_prune
+
+def test_semdedup_prune_matches_bruteforce(spark):
+    """Replicate cluster assignment + earlier-member rule in numpy and
+    require the identical pruned id set."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = Xn[:32]
+    cells = (Xn @ cents.T).argmax(axis=1)  # ties → lower cell via argmax
+    expect = set()
+    for c in np.unique(cells):
+        members = np.where(cells == c)[0]
+        for pos, j in enumerate(members):
+            sims = np.round(Xn[members[:pos]] @ Xn[j], 6)
+            if len(sims) and sims.max() >= 0.35:
+                expect.add(int(ids[j]))
+    got = {r.vec_id for r in _q("semdedup_prune")(spark, SF).collect()}
+    assert got == expect
+
+
+# -------------------------------------------------------------- bpe_pair_merge
+
+def test_bpe_pair_merge_matches_hand_count(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    freq: dict[str, int] = {}
+    for r in docs:
+        for tok in r.text.split(" "):
+            if len(tok) >= 2:
+                freq[tok] = freq.get(tok, 0) + 1
+    counts: dict[str, int] = {}
+    for tok, f in freq.items():
+        for i in range(len(tok) - 1):
+            counts[tok[i : i + 2]] = counts.get(tok[i : i + 2], 0) + f
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r.pair, r.cnt) for r in _q("bpe_pair_merge")(spark, SF).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+# -------------------------------------------------------- decontaminate_fuzzy
+
+def test_decontaminate_fuzzy_never_flags_eval_docs(spark):
+    rows = _q("decontaminate_fuzzy")(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # the sf0.01 corpus has near-dup groups crossing the mod-10 line
+    for r in rows:
+        assert r.doc_id % 10 != 0
+        assert r.first_eval_id % 10 == 0
+        assert r.n_eval_hits >= 1
