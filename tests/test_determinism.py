@@ -39,6 +39,9 @@ REPRESENTATIVE = [
     "semdedup_prune",
     "bpe_pair_merge",
     "decontaminate_fuzzy",
+    "incremental_ingest_dedup",
+    "late_event_rate",
+    "quality_features_vector",
 ]
 
 

@@ -90,3 +90,62 @@ def test_decontaminate_fuzzy_never_flags_eval_docs(spark):
         assert r.doc_id % 10 != 0
         assert r.first_eval_id % 10 == 0
         assert r.n_eval_hits >= 1
+
+
+# ------------------------------------------------- incremental_ingest_dedup
+
+def test_incremental_ingest_dedup_flags_only_new_batch(spark):
+    rows = _q("incremental_ingest_dedup")(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.01/documents.parquet").collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.doc_id % 5 == 4          # only new-batch docs are flagged
+        assert r.match_id % 5 != 4        # matches point into the corpus
+        assert r.doc_id not in seen       # exact/near verdicts are disjoint
+        seen.add(r.doc_id)
+        if r.dup_kind == "exact":
+            assert texts[r.doc_id] == texts[r.match_id]
+
+
+# ------------------------------------------------------------ late_event_rate
+
+def test_late_event_rate_matches_bruteforce(spark):
+    ev = _q("late_event_rate")(spark, SF).collect()
+    import collections
+
+    raw = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: r.event_id,
+    )
+    per = collections.defaultdict(lambda: [0, 0, None])  # n, late, high_wm (s)
+    for r in raw:
+        st = per[r.user_id]
+        st[0] += 1
+        ts = r.ts  # nanos-as-long or timestamp; truncate to micros like the engine
+        sec = (ts // 1000) / 1e6 if isinstance(ts, int) else ts.timestamp()
+        if st[2] is not None and st[2] - sec > 300.0:
+            st[1] += 1
+        st[2] = sec if st[2] is None else max(st[2], sec)
+    got = {r.user_id: (r.n_events, r.n_late) for r in ev}
+    expect = {u: (st[0], st[1]) for u, st in per.items()}
+    assert got == expect
+
+
+# ----------------------------------------------------- quality_features_vector
+
+def test_quality_features_vector_shape_and_values(spark):
+    rows = _q("quality_features_vector")(spark, SF).collect()
+    docs = {r.doc_id: r for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert len(r.features) == 5
+        d = docs[r.doc_id]
+        toks = d.text.split(" ")
+        assert r.features[0] == float(d.n_chars)
+        assert r.features[1] == float(len(toks))
+        assert abs(r.features[3] - round(len(set(toks)) / len(toks), 6)) < 1e-9
+        assert 0.0 <= r.features[4] <= 1.0
