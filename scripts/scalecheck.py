@@ -135,6 +135,7 @@ OPS = [
     "incremental_ingest_dedup",
     "late_event_rate",
     "quality_features_vector",
+    "stream_late_monitor",
 ]
 
 

@@ -486,3 +486,39 @@ def top_event_paths(
         .groupBy("path")
         .agg(F.countDistinct(key_col).cast("long").alias("n_users"))
     )
+
+
+def lateness_flags(
+    events: DataFrame,
+    tolerance_s: float = 300.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    prev_wm_col: str | None = None,
+) -> DataFrame:
+    """Per-event lateness against the running per-key event-time high
+    watermark: an event is LATE when it arrives (order = arrival_col)
+    more than ``tolerance_s`` behind the max event time already seen
+    for its key. ``prev_wm_col`` (epoch seconds, nullable) carries a
+    watermark in from earlier micro-batches so the streaming rollup
+    reproduces the batch answer exactly. Returns
+    (key, __t, __wm, late) — one keyed window, one shuffle, shared
+    with whatever aggregation follows."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = epoch_seconds(F.col(ts_col))
+    prev = (
+        F.coalesce(F.col(prev_wm_col), F.lit(float("-inf")))
+        if prev_wm_col
+        else F.lit(float("-inf"))
+    )
+    wm = F.greatest(F.coalesce(F.max(t).over(w), F.lit(float("-inf"))), prev)
+    return events.select(
+        key_col,
+        t.alias("__t"),
+        wm.alias("__wm"),
+        F.when(wm - t > tolerance_s, 1).otherwise(0).alias("late"),
+    )

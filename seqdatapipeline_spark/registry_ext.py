@@ -4056,26 +4056,14 @@ def q_late_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user event-time high watermark — the metric that sizes
     `withWatermark` tolerances before turning on a streaming job. The
     running max is a keyed window (one shuffle on user_id, shared
-    with the final groupBy); nothing global, nothing collected."""
-    from .ops.windows import epoch_seconds
+    with the final groupBy); nothing global, nothing collected. (On
+    the synthetic events table arrival order equals event-time order,
+    so rates are legitimately 0 — tests/test_pipeline_streaming.py
+    drives ops.windows.lateness_flags with out-of-order input.)"""
+    from .ops.windows import lateness_flags
 
     e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wm = e.select("user_id", "ts", F.max("ts").over(w).alias("high_wm"))
-    late = wm.select(
-        "user_id",
-        F.when(
-            F.col("high_wm").isNotNull()
-            & (epoch_seconds(F.col("high_wm")) - epoch_seconds(F.col("ts")) > 300.0),
-            1,
-        )
-        .otherwise(0)
-        .alias("late"),
-    )
+    late = lateness_flags(e, tolerance_s=300.0)
     return late.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("late").cast("long").alias("n_late"),
@@ -4126,4 +4114,80 @@ def q_quality_features_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6),
             F.round(stop / n_tok, 6),
         ).alias("features"),
+    )
+
+
+@q(
+    "stream_late_monitor",
+    """
+    WITH wm AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_wm
+      FROM events
+    ),
+    lateness AS (
+      SELECT user_id,
+             CASE WHEN high_wm IS NOT NULL
+                   AND epoch(high_wm) - epoch(ts) > 300.0 THEN 1 ELSE 0 END AS late
+      FROM wm
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           round(sum(late)::DOUBLE / count(*), 6) AS late_rate
+    FROM lateness GROUP BY 1
+    """,
+)
+def q_stream_late_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of late_event_rate: the event stream drains in
+    4 CONTIGUOUS event_id-range micro-batches; per batch, each
+    user's lateness is judged against the carried-in per-user
+    high-watermark state (joined into the batch window), and the
+    per-user (n, n_late, high_wm) state merges additively
+    (sum/sum/max) — so streaming ≡ batch exactly, the identity
+    contract of stream_vocab_topk/stream_quantile_sketch. State is
+    user-cardinality-sized regardless of stream length. The single
+    max(event_id) collect that fixes batch boundaries is a 1-scalar
+    probe (a real deployment gets boundaries from the source's
+    offsets, not the data)."""
+    import tempfile
+
+    from .ops.windows import lateness_flags
+    from .streaming import rollup as ru
+
+    root = tempfile.mkdtemp(prefix="latemon-")
+    state_path = os.path.join(root, "late_state")
+    e = _t(spark, sf_dir, "events")
+    max_id = e.agg(F.max("event_id")).collect()[0][0]
+    step = (max_id + 4) // 4
+    final = None
+    for i in range(4):
+        batch = e.filter(
+            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+        )
+        try:
+            prev = spark.read.parquet(state_path).select(
+                "user_id", F.col("high_wm").alias("__prev_wm")
+            )
+            batch = batch.join(prev, "user_id", "left")
+        except Exception:
+            batch = batch.withColumn("__prev_wm", F.lit(None).cast("double"))
+        scored = lateness_flags(batch, tolerance_s=300.0, prev_wm_col="__prev_wm")
+        partial = scored.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+            F.max(F.greatest("__t", "__wm")).alias("high_wm"),
+        )
+        final = ru.merge_rollup(
+            partial,
+            state_path,
+            ["user_id"],
+            {"n_events": "sum", "n_late": "sum", "high_wm": "max"},
+        )
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round(F.col("n_late") / F.col("n_events"), 6).alias("late_rate"),
     )

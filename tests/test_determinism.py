@@ -42,6 +42,7 @@ REPRESENTATIVE = [
     "incremental_ingest_dedup",
     "late_event_rate",
     "quality_features_vector",
+    "stream_late_monitor",
 ]
 
 

@@ -351,3 +351,54 @@ def test_streaming_neardup_cross_batch_pairs(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in
              spark.read.parquet(str(tmp_path / "pairs")).collect()}
     assert (1, 2) in pairs
+
+
+def test_stream_late_monitor_equals_batch(spark):
+    """The 4-batch carried-watermark drain must reproduce the one-shot
+    batch lateness accounting exactly (cross-batch lateness can only
+    come from the persisted high-wm state)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    batch = {r.user_id: (r.n_events, r.n_late, r.late_rate)
+             for r in qs["late_event_rate"](spark, sf).collect()}
+    stream = {r.user_id: (r.n_events, r.n_late, r.late_rate)
+              for r in qs["stream_late_monitor"](spark, sf).collect()}
+    assert stream == batch
+
+
+def test_lateness_flags_on_out_of_order_arrivals(spark):
+    """The synthetic events table is perfectly ordered (0 late by
+    construction), so drive the lateness kernel directly with a
+    shuffled replay: arrival order disagrees with event time and the
+    watermark must flag exactly the events that fell > tolerance
+    behind the running max."""
+    import datetime as dt
+
+    from seqdatapipeline_spark.ops.windows import lateness_flags
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id = arrival order, user, ts offset seconds)
+        (0, 1, 0),
+        (1, 1, 1000),    # wm 0 -> not late (moves wm to 1000)
+        (2, 1, 400),     # 1000-400=600 > 300 -> LATE
+        (3, 1, 900),     # 1000-900=100 -> not late
+        (4, 1, 2000),    # new max
+        (5, 1, 100),     # 2000-100 -> LATE
+        (6, 2, 500),
+        (7, 2, 450),     # 500-450=50 -> not late
+    ]
+    df = spark.createDataFrame(
+        [(eid, u, base + dt.timedelta(seconds=s)) for eid, u, s in rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        (r["user_id"], r["__t"]): r["late"]
+        for r in lateness_flags(df, tolerance_s=300.0).collect()
+    }
+    epoch = base.timestamp()
+    assert got[(1, epoch + 400)] == 1
+    assert got[(1, epoch + 100)] == 1
+    assert sum(got.values()) == 2
