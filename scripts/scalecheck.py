@@ -136,6 +136,7 @@ OPS = [
     "late_event_rate",
     "quality_features_vector",
     "stream_late_monitor",
+    "quality_percentile_by_source",
 ]
 
 

@@ -4191,3 +4191,88 @@ def q_stream_late_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_late").cast("long").alias("n_late"),
         F.round(F.col("n_late") / F.col("n_events"), 6).alias("late_rate"),
     )
+
+
+@q(
+    "quality_percentile_by_source",
+    """
+    WITH sc AS (
+      SELECT doc_id, source,
+             round(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+                 + 0.4 * least(len(list_filter(string_split(text, ' '),
+                       w -> lower(w) IN ('the','a','and','of','to','in','is','it')))
+                       / len(string_split(text, ' ')) * 1.0 * 5.0, 1.0)
+                 + 0.2 * (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / length(text) * 1.0 * 10.0, 1.0)), 6) AS q_score
+      FROM documents
+    ),
+    st AS (
+      SELECT source, count(*)::DOUBLE AS n, min(q_score) AS mn, max(q_score) AS mx
+      FROM sc GROUP BY 1
+    ),
+    b AS (
+      SELECT sc.doc_id, sc.source, sc.q_score, st.n,
+             CASE WHEN st.mx > st.mn
+                  THEN least(999, CAST(floor((sc.q_score - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT))
+                  ELSE 0 END AS bin
+      FROM sc JOIN st USING (source)
+    ),
+    c AS (SELECT source, bin, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bin,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+      FROM c
+    )
+    SELECT b.doc_id, b.source, b.q_score,
+           round(coalesce(cum.below, 0.0) / b.n, 6) + 0.0 AS pct_in_source
+    FROM b JOIN cum USING (source, bin)
+    """,
+)
+def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: each doc's quality score
+    mapped to its PERCENTILE within its source, so a threshold like
+    "keep the top 40%" means the same thing for a clean source and a
+    noisy one. The rank comes from the two-pass histogram (per-source
+    min/max + 1000-bin counts + a cumulative window over the BIN
+    table), never percent_rank over raw docs — a per-source window
+    would one-task each source at 100 TB, while every piece here is
+    either map-side-combinable or source×bin-sized (broadcastable)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sc = tx.quality_features(d).select("doc_id", "source", "q_score")
+    st = sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min("q_score").alias("mn"),
+        F.max("q_score").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / 1000.0
+    b = sc.join(F.broadcast(st), "source").select(
+        "doc_id",
+        "source",
+        "q_score",
+        "n",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(999),
+                F.floor((F.col("q_score") - F.col("mn")) / width).cast("int"),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+    )
+    c = b.groupBy("source", "bin").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = c.select("source", "bin", F.sum("cnt").over(wcum).alias("below"))
+    return b.join(F.broadcast(cum), ["source", "bin"]).select(
+        "doc_id",
+        "source",
+        "q_score",
+        (F.round(F.coalesce(F.col("below"), F.lit(0.0)) / F.col("n"), 6) + 0.0).alias(
+            "pct_in_source"
+        ),
+    )

@@ -43,6 +43,7 @@ REPRESENTATIVE = [
     "late_event_rate",
     "quality_features_vector",
     "stream_late_monitor",
+    "quality_percentile_by_source",
 ]
 
 

@@ -149,3 +149,25 @@ def test_quality_features_vector_shape_and_values(spark):
         assert r.features[1] == float(len(toks))
         assert abs(r.features[3] - round(len(set(toks)) / len(toks), 6)) < 1e-9
         assert 0.0 <= r.features[4] <= 1.0
+
+
+# ---------------------------------------------- quality_percentile_by_source
+
+def test_quality_percentile_is_monotone_within_source(spark):
+    rows = _q("quality_percentile_by_source")(spark, "/root/testdata/sf0.01").collect()
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.pct_in_source < 1.0
+        by_src[r.source].append((r.q_score, r.pct_in_source))
+    for src, pairs in by_src.items():
+        pairs.sort()
+        # percentile never decreases as the score increases
+        for (s1, p1), (s2, p2) in zip(pairs, pairs[1:]):
+            if s2 > s1:
+                assert p2 >= p1, (src, s1, p1, s2, p2)
+        # equal scores get equal percentiles (same bin by construction)
+        seen = {}
+        for s, p in pairs:
+            assert seen.setdefault(s, p) == p
