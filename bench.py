@@ -48,6 +48,10 @@ HEADLINE = [
     "rollup_time_bucket",
     "pagerank_iter",
     "kmeans_assign",
+    "dsir_importance_weights",
+    "semdedup_prune",
+    "incremental_ingest_dedup",
+    "quality_percentile_by_source",
 ]
 
 

@@ -137,6 +137,8 @@ OPS = [
     "quality_features_vector",
     "stream_late_monitor",
     "quality_percentile_by_source",
+    "dedup_threshold_sweep",
+    "dow_seasonality",
 ]
 
 

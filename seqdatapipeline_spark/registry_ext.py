@@ -4276,3 +4276,134 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             "pct_in_source"
         ),
     )
+
+
+def _mh_est_ctes(num_hashes: int = 12, band_size: int = 2) -> str:
+    """CTE chain ending at est(doc_a, doc_b, est_jaccard) — the
+    signature-agreement estimate over LSH candidate pairs, shared by
+    the calibration report and the threshold-sweep policy query."""
+    agree = " + ".join(
+        f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(num_hashes)
+    )
+    return f"""{_minhash_ctes(num_hashes, band_size)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    )"""
+
+
+@q(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_mh_est_ctes()},
+    t(x) AS (SELECT * FROM (VALUES (0.5), (0.7), (0.9))),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT t.x AS threshold,
+           CAST(count(e.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT e.doc_b) AS BIGINT) AS n_docs_removed,
+           round(count(DISTINCT e.doc_b) / tot.n, 6) + 0.0 AS pct_removed
+    FROM t LEFT JOIN est e ON e.est_jaccard >= t.x, tot
+    GROUP BY t.x, tot.n
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy calibration: for candidate thresholds 0.5/0.7/0.9,
+    how many LSH candidate pairs clear the MinHash-estimated Jaccard
+    bar and how much of the corpus a keep-lowest-id policy would
+    delete — the number a data lead looks at BEFORE choosing the
+    production threshold. One signature pass (checkpointed, reused by
+    banding and both estimate sides); the threshold probe is a 3-row
+    broadcast against the candidate-pair table (never the corpus), so
+    sweep cost is O(candidate pairs), not O(docs x thresholds)."""
+    d = _t(spark, sf_dir, "documents")
+    num_hashes = 12
+    sig = dd.minhash_signature(d, num_hashes=num_hashes, shingle_n=3).localCheckpoint(
+        eager=True
+    )
+    keyed = dd.lsh_band_incidence(sig, num_hashes=num_hashes, band_size=2)
+    pairs = dd._bucket_pairs(keyed, "doc_id", "band_key")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int") for j in range(num_hashes)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"))
+    )
+    thresholds = spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "threshold double")
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    swept = F.broadcast(thresholds).join(
+        est, est.est_jaccard >= F.col("threshold"), "left"
+    )
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.count("doc_a").cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_removed"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_removed",
+            (F.round(F.col("n_docs_removed") / F.col("n"), 6) + 0.0).alias("pct_removed"),
+        )
+    )
+
+
+@q(
+    "dow_seasonality",
+    """
+    WITH per AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             count(*)::BIGINT AS n, avg(value) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, sum(n * avg_val) / sum(n) AS overall
+      FROM per GROUP BY 1
+    )
+    SELECT p.event_type, p.dow, p.n,
+           round(p.avg_val, 6) AS avg_val,
+           round(p.avg_val / b.overall, 6) AS dow_index
+    FROM per p JOIN base b USING (event_type)
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume, mean
+    value, and the seasonal index (day mean / overall mean) that a
+    gap-fill or anomaly job divides out before thresholding. ONE fact
+    scan: facts collapse to type x 7 rows in a map-side-combinable
+    aggregate, and the overall mean is a type-keyed window over that
+    aggregate (7 rows per key) — never a second fact pass."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("avg_val"),
+    )
+    wt = Window.partitionBy("event_type")
+    overall = F.sum(F.col("n") * F.col("avg_val")).over(wt) / F.sum("n").over(wt)
+    return per.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round("avg_val", 6).alias("avg_val"),
+        F.round(F.col("avg_val") / overall, 6).alias("dow_index"),
+    )

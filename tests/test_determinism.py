@@ -44,6 +44,8 @@ REPRESENTATIVE = [
     "quality_features_vector",
     "stream_late_monitor",
     "quality_percentile_by_source",
+    "dedup_threshold_sweep",
+    "dow_seasonality",
 ]
 
 

@@ -171,3 +171,35 @@ def test_quality_percentile_is_monotone_within_source(spark):
         seen = {}
         for s, p in pairs:
             assert seen.setdefault(s, p) == p
+
+
+# -------------------------------------------------------- dedup_threshold_sweep
+
+def test_dedup_threshold_sweep_is_monotone(spark):
+    rows = sorted(
+        _q("dedup_threshold_sweep")(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.7, 0.9]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs          # stricter bar, fewer pairs
+        assert hi.n_docs_removed <= lo.n_docs_removed
+    for r in rows:
+        assert 0.0 <= r.pct_removed <= 1.0
+    assert rows[0].n_pairs > 0  # the corpus has near-dups at J>=0.5
+
+
+# --------------------------------------------------------------- dow_seasonality
+
+def test_dow_seasonality_index_averages_to_one(spark):
+    rows = _q("dow_seasonality")(spark, "/root/testdata/sf0.01").collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        assert 1 <= r.dow <= 7
+        per[r.event_type].append((r.n, r.dow_index))
+    for typ, xs in per.items():
+        tot = sum(n for n, _ in xs)
+        wmean = sum(n * ix for n, ix in xs) / tot
+        assert abs(wmean - 1.0) < 1e-3, (typ, wmean)
