@@ -3781,29 +3781,119 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "semdedup_prune",
-    """
-    WITH seeds AS (
+# Adaptive-k HIERARCHICAL cell assignment: deterministic seed
+# centroids (the lowest-id vectors, k = max(32, N/16) so cell
+# population stays bounded as the corpus grows), assigned in two
+# levels IVF-style — first the best of ceil(sqrt(k)) coarse
+# centroids (the first k1 seeds), then the best fine seed among
+# those mapped to that coarse cell. Flat argmax over k seeds is
+# O(N*k) = O(N^2/16) once k tracks N (measured 9.3x wall at 10x
+# data); two levels cost O(N*sqrt(k)). Coarse centroid i is fine
+# seed i, so coarse(i) = i (self-cosine 1) and every coarse cell's
+# fine candidate set is non-empty. Ends at a(vec_id, cell, emb).
+_CELL_ASSIGN_CTES = """seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
       FROM embeddings ORDER BY vec_id
       LIMIT greatest(32, (SELECT count(*) FROM embeddings) // 16)
     ),
-    scored AS (
-      SELECT e.vec_id, s.cell,
-             list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
-      FROM embeddings e CROSS JOIN seeds s
+    k1 AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS v FROM seeds),
+    coarse AS (SELECT cell AS ccell, centroid AS ccent FROM seeds, k1 WHERE cell < k1.v),
+    s2c AS (
+      SELECT cell, ccell FROM (
+        SELECT s.cell, c.ccell,
+               row_number() OVER (PARTITION BY s.cell
+                 ORDER BY list_cosine_similarity(s.centroid, c.ccent) DESC, c.ccell) AS rn
+        FROM seeds s CROSS JOIN coarse c
+      ) WHERE rn = 1
     ),
-    best AS (
-      SELECT vec_id, cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
-      FROM scored
+    vcoarse AS (
+      SELECT vec_id, ccell FROM (
+        SELECT e.vec_id, c.ccell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ccent) DESC, c.ccell) AS rn
+        FROM embeddings e CROSS JOIN coarse c
+      ) WHERE rn = 1
     ),
     a AS (
-      SELECT b.vec_id, b.cell, e.embedding::DOUBLE[] AS emb
-      FROM best b JOIN embeddings e USING (vec_id) WHERE rn = 1
-    ),
+      SELECT vec_id, cell, emb FROM (
+        SELECT v.vec_id, s.cell, e.embedding::DOUBLE[] AS emb,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) DESC, s.cell) AS rn
+        FROM vcoarse v
+        JOIN s2c m ON m.ccell = v.ccell
+        JOIN seeds s ON s.cell = m.cell
+        JOIN embeddings e ON e.vec_id = v.vec_id
+      ) WHERE rn = 1
+    )"""
+
+
+def _adaptive_cell_assign(e: DataFrame) -> DataFrame:
+    """Spark twin of _CELL_ASSIGN_CTES: the two-level IVF-style
+    assignment. The seed and coarse models broadcast (model-sized);
+    each argmax is a max_by aggregate, never a window over facts. Per
+    vector the candidate count is ~2*sqrt(k) instead of k."""
+    import math
+
+    k = max(32, e.count() // 16)
+    k1 = math.ceil(math.sqrt(k))
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    coarse = seeds.where(F.col("cell") < k1).select(
+        F.col("cell").alias("ccell"), F.col("centroid").alias("ccent")
+    )
+    # fine seed -> coarse cell (model x model, broadcast both sides)
+    s2c = (
+        seeds.join(F.broadcast(coarse))
+        .withColumn("__cos", dd.cosine(F.col("centroid"), F.col("ccent")))
+        .groupBy("cell")
+        .agg(
+            F.max_by("ccell", F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n"))).alias(
+                "ccell"
+            )
+        )
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    vcoarse = (
+        v.join(F.broadcast(coarse))
+        .withColumn("__cos", dd.cosine(F.col("emb"), F.col("ccent")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("ccell", "emb"),
+                F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n")),
+            ).alias("__b")
+        )
+        .select("vec_id", F.col("__b.ccell").alias("ccell"), F.col("__b.emb").alias("emb"))
+    )
+    cand = F.broadcast(
+        s2c.join(F.broadcast(seeds), "cell").select("ccell", "cell", "centroid")
+    )
+    return (
+        vcoarse.join(cand, "ccell")
+        .withColumn("__cos", dd.cosine(F.col("emb"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "emb"),
+                F.struct(F.col("__cos"), (-F.col("cell")).alias("__n")),
+            ).alias("__b")
+        )
+        .select("vec_id", F.col("__b.cell").alias("cell"), F.col("__b.emb").alias("emb"))
+    )
+
+
+@q(
+    "semdedup_prune",
+    f"""
+    WITH {_CELL_ASSIGN_CTES},
     p AS (
       SELECT y.vec_id, y.cell,
              round(list_cosine_similarity(x.emb, y.emb), 6) AS c
@@ -3829,29 +3919,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic (measured 15.4x wall at 10x data before this; the
     count() driving k is a single scalar, the one collect this
     operator makes)."""
-    e = _t(spark, sf_dir, "embeddings")
-    k = max(32, e.count() // 16)
-    w = Window.orderBy("vec_id")
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell"),
-            F.col("embedding").cast("array<double>").alias("centroid"),
-        )
-    )
-    # Assignment with the vector carried through (max_by over the
-    # broadcast-scored candidates), so the pair join below reads ONE
-    # assignment subtree instead of re-joining embeddings back on.
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    scored = v.join(F.broadcast(seeds)).withColumn(
-        "__cos", dd.cosine(F.col("emb"), F.col("centroid"))
-    )
-    a = scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.struct("cell", "emb"), F.struct(F.col("__cos"), (-F.col("cell")).alias("__negcell"))
-        ).alias("__b")
-    ).select("vec_id", F.col("__b.cell").alias("cell"), F.col("__b.emb").alias("emb"))
+    a = _adaptive_cell_assign(_t(spark, sf_dir, "embeddings"))
     x, y = a.alias("x"), a.alias("y")
     pairs = (
         x.join(
@@ -4406,4 +4474,143 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("avg_val", 6).alias("avg_val"),
         F.round(F.col("avg_val") / overall, 6).alias("dow_index"),
+    )
+
+
+@q(
+    "lang_id_ngram_model",
+    """
+    WITH tri AS (
+      SELECT doc_id, lang,
+             substr(text, CAST(i AS INT), 3) AS tg
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+    ),
+    prof AS (
+      SELECT lang, tg, count(*)::DOUBLE AS c
+      FROM tri WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+    ),
+    ltot AS (SELECT lang, sum(c) AS tot FROM prof GROUP BY 1),
+    v AS (SELECT count(DISTINCT tg)::DOUBLE AS nv FROM prof),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    test AS (SELECT doc_id, lang AS true_lang, tg FROM tri WHERE doc_id % 3 = 0),
+    scored AS (
+      SELECT t.doc_id, t.true_lang, l.lang AS cand,
+             sum(ln((coalesce(p.c, 0.0) + 0.5) / (lt.tot + 0.5 * v.nv))) AS score
+      FROM test t
+      CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.tg = t.tg
+      JOIN ltot lt ON lt.lang = l.lang
+      CROSS JOIN v
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_lang_id_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID, trained and evaluated in one
+    job: per-language trigram profiles fit on the doc_id%3!=0 slice
+    (add-0.5 smoothing over the joint trigram vocabulary), held-out
+    docs scored by summed log-likelihood per candidate language,
+    argmax prediction, output as the (true, pred) confusion matrix —
+    the classic n-gram langid (textcat/fastText ancestry) as pure
+    DataFrame algebra. The profile is MODEL-sized (langs x trigram
+    vocab) and broadcasts; scoring is one explode + broadcast join +
+    two map-side-combinable aggregates. The per-doc argmax window
+    runs over |langs| rows per doc, bounded by construction."""
+    d = _t(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tg"),
+    )
+    train = tri.where(F.col("doc_id") % 3 != 0)
+    prof = train.groupBy("lang", "tg").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wl = Window.partitionBy("lang")
+    # profile with per-lang totals attached (window over the model-sized table)
+    profw = prof.select("lang", "tg", "c", F.sum("c").over(wl).alias("tot"))
+    nv = prof.agg(F.countDistinct("tg").cast("double").alias("nv"))
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    ltot = profw.select("lang", "tot").distinct().withColumnRenamed("lang", "cand")
+    test = tri.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tg"
+    )
+    scored = (
+        test.join(F.broadcast(langs))
+        .join(
+            F.broadcast(profw.select(F.col("lang").alias("cand"), "tg", "c")),
+            ["cand", "tg"],
+            "left",
+        )
+        .join(F.broadcast(ltot), "cand")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0.0)) + 0.5)
+                    / (F.col("tot") + 0.5 * F.col("nv"))
+                )
+            ).alias("score")
+        )
+    )
+    best = scored.groupBy("doc_id", "true_lang").agg(
+        F.max_by("cand", F.struct(F.col("score"), F.col("cand"))).alias("pred_lang")
+    )
+    return best.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@q(
+    "knn_graph",
+    f"""
+    WITH {_CELL_ASSIGN_CTES},
+    p AS (
+      SELECT x.vec_id AS src_id, y.vec_id AS nbr_id,
+             round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ),
+    r AS (
+      SELECT src_id, nbr_id, cos,
+             CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
+      FROM p
+    )
+    SELECT src_id, nbr_id, cos, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph construction (k=3 neighbors): per-vector top
+    neighbors by cosine within its ADAPTIVE-k cell (same blocking
+    stage as semdedup_prune — cells stay ~16 vectors as the corpus
+    grows, so the candidate join is linear in N, not per-block
+    quadratic; the first cut of this used the fixed label column and
+    measured 6.8x wall at 10x data). The building block for graph ANN
+    indexes and graph-based SemDeDup. The per-source ranking window
+    partitions on src_id and never exceeds the cell size; ranking
+    orders the ROUNDED cosine with nbr_id tie-break — deterministic
+    on any layout and engine."""
+    a = _adaptive_cell_assign(_t(spark, sf_dir, "embeddings"))
+    x, y = a.alias("x"), a.alias("y")
+    p = x.join(
+        y,
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("src_id"),
+        F.col("y.vec_id").alias("nbr_id"),
+        F.round(dd.cosine(F.col("x.emb"), F.col("y.emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "nbr_id")
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("src_id", "nbr_id", "cos", "rank")
     )

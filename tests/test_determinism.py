@@ -46,6 +46,8 @@ REPRESENTATIVE = [
     "quality_percentile_by_source",
     "dedup_threshold_sweep",
     "dow_seasonality",
+    "lang_id_ngram_model",
+    "knn_graph",
 ]
 
 

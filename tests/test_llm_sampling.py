@@ -43,15 +43,34 @@ def test_dsir_weights_cover_every_doc(spark):
 
 # ------------------------------------------------------------- semdedup_prune
 
+def _hier_cells(Xn: "np.ndarray") -> "np.ndarray":
+    """Numpy replica of the two-level adaptive-k cell assignment
+    (registry_ext._adaptive_cell_assign): coarse argmax over the
+    first ceil(sqrt(k)) seeds, fine argmax over the seeds mapped to
+    that coarse cell."""
+    import math
+
+    n = len(Xn)
+    k = max(32, n // 16)
+    k1 = math.ceil(math.sqrt(k))
+    seeds = Xn[:k]
+    s2c = (seeds @ seeds[:k1].T).argmax(axis=1)  # fine seed -> coarse
+    vc = (Xn @ seeds[:k1].T).argmax(axis=1)      # vector -> coarse
+    cells = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        cand = np.where(s2c == vc[i])[0]
+        cells[i] = cand[(Xn[i] @ seeds[cand].T).argmax()]
+    return cells
+
+
 def test_semdedup_prune_matches_bruteforce(spark):
-    """Replicate cluster assignment + earlier-member rule in numpy and
-    require the identical pruned id set."""
+    """Replicate the hierarchical cluster assignment + earlier-member
+    rule in numpy and require the identical pruned id set."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in emb])
     X = np.array([r.embedding for r in emb], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    cents = Xn[:32]
-    cells = (Xn @ cents.T).argmax(axis=1)  # ties → lower cell via argmax
+    cells = _hier_cells(Xn)
     expect = set()
     for c in np.unique(cells):
         members = np.where(cells == c)[0]
@@ -203,3 +222,54 @@ def test_dow_seasonality_index_averages_to_one(spark):
         tot = sum(n for n, _ in xs)
         wmean = sum(n * ix for n, ix in xs) / tot
         assert abs(wmean - 1.0) < 1e-3, (typ, wmean)
+
+
+# ------------------------------------------------------------ lang_id_ngram_model
+
+def test_lang_id_ngram_model_beats_chance(spark):
+    """Confusion matrix covers only held-out docs, and the trigram
+    model must beat the 1/|langs| chance diagonal by a wide margin on
+    this synthetic-but-lang-correlated corpus."""
+    rows = _q("lang_id_ngram_model")(spark, "/root/testdata/sf0.01").collect()
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.true_lang == r.pred_lang)
+    n_langs = len({r.true_lang for r in rows})
+    assert total == sum(
+        1
+        for r in spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if r.doc_id % 3 == 0
+    )
+    # The synthetic corpus carries only faint language signal (a few
+    # marker stopwords in otherwise shared vocabulary), so demand a
+    # modest-but-real margin over the 1/|langs| chance rate, not
+    # real-corpus accuracy.
+    assert diag / total > 1.0 / n_langs + 0.03
+
+
+# ----------------------------------------------------------------- knn_graph
+
+def test_knn_graph_matches_numpy_within_cells(spark):
+    """Replicate the hierarchical cell assignment + within-cell top-3
+    ranking in numpy and require the identical edge set."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in emb]
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cells = _hier_cells(Xn)
+    import collections
+
+    by_cell = collections.defaultdict(list)
+    for pos, c in enumerate(cells):
+        by_cell[c].append(pos)
+    expect = set()
+    for members in by_cell.values():
+        for i in members:
+            sims = [
+                (-round(float(Xn[i] @ Xn[j]), 6), ids[j]) for j in members if j != i
+            ]
+            for rank, (_, oid) in enumerate(sorted(sims)[:3], 1):
+                expect.add((ids[i], oid, rank))
+    got = {(r.src_id, r.nbr_id, r.rank) for r in _q("knn_graph")(spark, SF).collect()}
+    assert got == expect
