@@ -58,12 +58,17 @@ _PRIORITY = [
     # §2.6/2.7/2.9
     "sort_by_coordinate", "union_inputs", "param_set_union",
     "completion_poll", "stream_windowed_counts", "session_windows",
-    # LLM-pipeline headliners (dedup / ANN / corpus / text quality)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_spans_exact", "dedup_embedding_cosine",
+    # LLM-pipeline headliners (dedup / ANN / corpus / text quality /
+    # round-4 data selection). Displaced-but-locally-mirrored close
+    # relatives: dedup_simhash (simhash_hamming_pairs stays covered via
+    # the local mirror), dedup_ngram_jaccard, dedup_spans_exact,
+    # tf_idf_top_terms.
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "dedup_clusters",
     "ann_topk_cosine", "ann_ivf_topk", "pack_sequences", "corpus_prepare",
-    "rule_filter", "token_count", "text_quality_score", "tf_idf_top_terms",
+    "rule_filter", "token_count", "text_quality_score",
+    "dsir_importance_weights", "semdedup_prune",
+    "incremental_ingest_dedup", "decontaminate_fuzzy",
 ]
 
 

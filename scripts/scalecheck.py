@@ -141,6 +141,8 @@ OPS = [
     "dow_seasonality",
     "lang_id_ngram_model",
     "knn_graph",
+    "lsh_index_stats",
+    "cluster_top_terms",
 ]
 
 

@@ -4614,3 +4614,115 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("src_id", "nbr_id", "cos", "rank")
     )
+
+
+@q(
+    "lsh_index_stats",
+    f"""
+    WITH {_minhash_ctes()},
+    buckets AS (
+      SELECT band_key, count(*)::BIGINT AS sz FROM keyed GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_entries,
+           round(avg(sz), 6) AS avg_bucket,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+           CAST(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_mega,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets
+    """,
+)
+def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index capacity report: bucket-count/size distribution, the
+    number of colliding and MEGA (>100 member) buckets, and the total
+    candidate-pair volume Σ sz·(sz−1)/2 the band join would emit —
+    the number that decides whether the configured (bands, rows)
+    survive the corpus BEFORE running the join (mega-buckets are what
+    the max_bucket guard drops). One signature pass + two map-side
+    combinable aggregates; output is one row."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = dd.lsh_band_incidence(
+        dd.minhash_signature(d, num_hashes=12, shingle_n=3),
+        num_hashes=12,
+        band_size=2,
+    )
+    buckets = keyed.groupBy("band_key").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_entries"),
+        F.round(F.avg("sz"), 6).alias("avg_bucket"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("long").alias("n_colliding"),
+        F.sum(F.when(F.col("sz") > 100, 1).otherwise(0)).cast("long").alias("n_mega"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+    )
+
+
+@q(
+    "cluster_top_terms",
+    """
+    WITH tok AS (
+      SELECT e.label, unnest(string_split(d.text, ' ')) AS term
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    tf AS (SELECT label, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents)
+      GROUP BY 1
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    scored AS (
+      SELECT tf.label, tf.term,
+             round(tf.tf * ln(n.nd / df.df), 6) AS score
+      FROM tf JOIN df USING (term), n
+    ),
+    r AS (
+      SELECT label, term, score,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY score DESC, term) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT label, term, score, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster topic labeling (corpus-cartography style): for each
+    embedding cluster, the 3 most DISTINCTIVE member terms by
+    cluster-tf x corpus-idf — the human-readable name a map of a
+    100 TB corpus shows per region. Fact work collapses to
+    (cluster x term) and (term) aggregates, both map-side combinable;
+    the idf side is vocab-sized and broadcasts; the ranking window
+    partitions per cluster over its term aggregate, never raw docs."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    tok = d.join(e, "doc_id").select(
+        "label", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("label", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "label",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("nd") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("label", "term", "score", "rank")
+    )

@@ -48,6 +48,8 @@ REPRESENTATIVE = [
     "dow_seasonality",
     "lang_id_ngram_model",
     "knn_graph",
+    "lsh_index_stats",
+    "cluster_top_terms",
 ]
 
 

@@ -273,3 +273,39 @@ def test_knn_graph_matches_numpy_within_cells(spark):
                 expect.add((ids[i], oid, rank))
     got = {(r.src_id, r.nbr_id, r.rank) for r in _q("knn_graph")(spark, SF).collect()}
     assert got == expect
+
+
+# ------------------------------------------------------------- lsh_index_stats
+
+def test_lsh_index_stats_consistency(spark):
+    r = _q("lsh_index_stats")(spark, "/root/testdata/sf0.01").collect()[0]
+    n_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert r.n_entries == 6 * n_docs          # 6 bands per doc, distinct keys
+    assert r.n_colliding <= r.n_buckets
+    assert r.max_bucket >= 2                  # dup groups collide somewhere
+    assert abs(r.avg_bucket - r.n_entries / r.n_buckets) < 1e-6
+    # candidate volume must cover at least every colliding bucket's pairs
+    assert r.n_candidate_pairs >= r.n_colliding
+
+
+# ----------------------------------------------------------- cluster_top_terms
+
+def test_cluster_top_terms_shape(spark):
+    rows = _q("cluster_top_terms")(spark, "/root/testdata/sf0.01").collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.label].append((r.rank, r.score))
+    labels = {
+        r.label
+        for r in spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    assert set(per) == labels                 # every cluster gets a name
+    for label, xs in per.items():
+        xs.sort()
+        assert [rk for rk, _ in xs] == [1, 2, 3]
+        assert xs[0][1] >= xs[1][1] >= xs[2][1]  # scores ranked descending
