@@ -143,6 +143,7 @@ OPS = [
     "knn_graph",
     "lsh_index_stats",
     "cluster_top_terms",
+    "stream_session_windows",
 ]
 
 

@@ -4726,3 +4726,139 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("label", "term", "score", "rank")
     )
+
+
+@q(
+    "stream_session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of session_windows: the event stream drains in 4
+    contiguous EVENT-TIME ranges; each batch sessionizes locally
+    (F.session_window), then reconciles with the carried per-user OPEN
+    session — the batch's first session absorbs it when the gap is
+    within 30 min, otherwise the open session closes and is emitted.
+    The last session per user becomes the new open state. Closed rows
+    union across batches (localCheckpoint bounds lineage); streaming ≡
+    batch exactly — the identity the oracle checks. State is one open
+    session per active user; the two min/max(ts) scalars that fix
+    batch boundaries stand in for source offsets."""
+    from .ops.windows import epoch_seconds
+
+    GAP = 1800.0
+    e = _t(spark, sf_dir, "events")
+    lo, hi = e.agg(
+        F.min(epoch_seconds(F.col("ts"))), F.max(epoch_seconds(F.col("ts")))
+    ).collect()[0]
+    step = (hi - lo) / 4 + 1e-6
+    state = None  # (user_id, o_start, o_last, o_n, o_val)
+    closed = None
+    for i in range(4):
+        b = e.where(
+            (epoch_seconds(F.col("ts")) >= lo + i * step)
+            & (epoch_seconds(F.col("ts")) < lo + (i + 1) * step)
+        )
+        sess = (
+            b.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("val"))
+            .select(
+                "user_id",
+                epoch_seconds(F.col("session_window.start")).alias("start_s"),
+                (epoch_seconds(F.col("session_window.end")) - GAP).alias("last_s"),
+                "n",
+                "val",
+            )
+        )
+        wu = Window.partitionBy("user_id").orderBy("start_s")
+        cnt = Window.partitionBy("user_id")
+        sess = sess.select(
+            "*",
+            F.row_number().over(wu).alias("__rn"),
+            F.count(F.lit(1)).over(cnt).alias("__cnt"),
+        )
+        if state is not None:
+            st = state.select(
+                "user_id",
+                F.col("o_start").alias("__os"),
+                F.col("o_last").alias("__ol"),
+                F.col("o_n").alias("__on"),
+                F.col("o_val").alias("__ov"),
+            )
+            sess = sess.join(st, "user_id", "left")
+            merged = F.col("__os").isNotNull() & (
+                F.col("start_s") - F.col("__ol") <= GAP
+            )
+            first = F.col("__rn") == 1
+            sess = sess.select(
+                "user_id",
+                F.when(first & merged, F.col("__os")).otherwise(F.col("start_s")).alias("start_s"),
+                "last_s",
+                F.when(first & merged, F.col("n") + F.col("__on")).otherwise(F.col("n")).alias("n"),
+                F.when(first & merged, F.col("val") + F.col("__ov")).otherwise(F.col("val")).alias("val"),
+                "__rn",
+                "__cnt",
+                "__os",
+                "__ol",
+                "__on",
+                "__ov",
+            )
+            # open state closes when its user has batch rows that do NOT merge
+            closing = (
+                sess.where(first & F.col("__os").isNotNull() & ~merged)
+                .select(
+                    "user_id",
+                    F.col("__os").alias("start_s"),
+                    F.col("__on").alias("n"),
+                    F.col("__ov").alias("val"),
+                )
+            )
+            closed = closing if closed is None else closed.unionByName(closing)
+            # users untouched this batch keep their open session
+            carried = state.join(sess.select("user_id").distinct(), "user_id", "left_anti")
+        else:
+            carried = None
+        batch_closed = sess.where(F.col("__rn") < F.col("__cnt")).select(
+            "user_id", "start_s", "n", "val"
+        )
+        closed = batch_closed if closed is None else closed.unionByName(batch_closed)
+        new_open = sess.where(F.col("__rn") == F.col("__cnt")).select(
+            "user_id",
+            F.col("start_s").alias("o_start"),
+            F.col("last_s").alias("o_last"),
+            F.col("n").alias("o_n"),
+            F.col("val").alias("o_val"),
+        )
+        state = new_open if carried is None else new_open.unionByName(carried)
+        state = state.localCheckpoint(eager=True)
+        closed = closed.localCheckpoint(eager=True)
+    final = closed.unionByName(
+        state.select(
+            "user_id",
+            F.col("o_start").alias("start_s"),
+            F.col("o_n").alias("n"),
+            F.col("o_val").alias("val"),
+        )
+    )
+    return final.select(
+        "user_id",
+        F.floor("start_s").cast("long").alias("session_start"),
+        F.col("n").cast("long").alias("n"),
+        F.round("val", 4).alias("total_value"),
+    )

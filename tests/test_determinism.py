@@ -50,6 +50,7 @@ REPRESENTATIVE = [
     "knn_graph",
     "lsh_index_stats",
     "cluster_top_terms",
+    "stream_session_windows",
 ]
 
 

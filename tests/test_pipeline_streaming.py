@@ -402,3 +402,22 @@ def test_lateness_flags_on_out_of_order_arrivals(spark):
     assert got[(1, epoch + 400)] == 1
     assert got[(1, epoch + 100)] == 1
     assert sum(got.values()) == 2
+
+
+def test_stream_session_windows_equals_batch(spark):
+    """The 4-batch event-time drain with carried open-session state
+    must reproduce the one-shot F.session_window result exactly —
+    cross-batch sessions only survive via the state handoff."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(
+        map(tuple, qs["session_windows"](spark, sf).collect())
+    )
+    stream = sorted(
+        map(tuple, qs["stream_session_windows"](spark, sf).collect())
+    )
+    assert stream == batch
+    # sessions genuinely straddle batch boundaries at this sf
+    assert len(batch) > 100
