@@ -144,6 +144,7 @@ OPS = [
     "lsh_index_stats",
     "cluster_top_terms",
     "stream_session_windows",
+    "embedding_pq_codes",
 ]
 
 

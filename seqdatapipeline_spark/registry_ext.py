@@ -4862,3 +4862,84 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("val", 4).alias("total_value"),
     )
+
+
+@q(
+    "embedding_pq_codes",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cb0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
+      FROM v ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+    cb AS (
+      SELECT s.sub, c.cent, c.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
+      FROM cb0 c CROSS JOIN subs s
+    ),
+    vs AS (
+      SELECT v.vec_id, s.sub, v.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS svec
+      FROM v CROSS JOIN subs s
+    ),
+    scored AS (
+      SELECT vs.vec_id, vs.sub, cb.cent, list_distance(vs.svec, cb.cvec) AS dist
+      FROM vs JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, cent, dist,
+             row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cent) AS rn
+      FROM scored
+    )
+    SELECT vec_id,
+           list(cent ORDER BY sub) AS codes,
+           round(sum(dist), 6) + 0.0 AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): the 64-dim
+    embedding splits into 8 subspaces of 8 dims; each subvector maps
+    to its nearest of 16 per-subspace codebook centroids (deterministic
+    seeds — the first 16 vectors' subvectors, IVF-style), yielding an
+    8-byte code per vector plus the summed reconstruction distance.
+    PQ is what makes billion-vector ANN fit in RAM (64 doubles → 8
+    bytes, 64x); the codebook is MODEL-sized (8x16 subvectors) and
+    broadcasts, encode is one scan exploded 8x, and the per-(vector,
+    subspace) argmin is a max_by aggregate, never a window over the
+    scored rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    w = Window.orderBy("vec_id")
+    cb0 = (
+        v.orderBy("vec_id")
+        .limit(16)
+        .select((F.row_number().over(w) - 1).alias("cent"), "emb")
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+    cb = cb0.crossJoin(F.broadcast(subs)).select(
+        "sub", "cent", F.expr("slice(emb, sub * 8 + 1, 8)").alias("cvec")
+    )
+    vs = v.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub", F.expr("slice(emb, sub * 8 + 1, 8)").alias("svec")
+    )
+    sq = F.aggregate(
+        F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "cent", F.sqrt(sq).alias("dist")
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.max_by(
+            F.struct("cent", "dist"),
+            F.struct((-F.col("dist")).alias("__nd"), (-F.col("cent")).alias("__nc")),
+        ).alias("__b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", F.col("__b.cent").alias("cent")))),
+            lambda s: s["cent"],
+        ).alias("codes"),
+        (F.round(F.sum("__b.dist"), 6) + 0.0).alias("recon_err"),
+    )

@@ -51,6 +51,7 @@ REPRESENTATIVE = [
     "lsh_index_stats",
     "cluster_top_terms",
     "stream_session_windows",
+    "embedding_pq_codes",
 ]
 
 

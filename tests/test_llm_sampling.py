@@ -309,3 +309,29 @@ def test_cluster_top_terms_shape(spark):
         xs.sort()
         assert [rk for rk, _ in xs] == [1, 2, 3]
         assert xs[0][1] >= xs[1][1] >= xs[2][1]  # scores ranked descending
+
+
+# ----------------------------------------------------------- embedding_pq_codes
+
+def test_embedding_pq_codes_matches_numpy(spark):
+    """Replicate the per-subspace nearest-centroid encode in numpy and
+    require identical codes and reconstruction distances."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in emb]
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    seeds = X[:16]
+    expect = {}
+    for i, vid in enumerate(ids):
+        codes, err = [], 0.0
+        for s in range(8):
+            sv = X[i, s * 8 : s * 8 + 8]
+            d = np.linalg.norm(seeds[:, s * 8 : s * 8 + 8] - sv, axis=1)
+            c = int(d.argmin())  # argmin takes the lowest index on ties
+            codes.append(c)
+            err += float(d[c])
+        expect[vid] = (tuple(codes), round(err, 6))
+    got = {
+        r.vec_id: (tuple(r.codes), r.recon_err)
+        for r in _q("embedding_pq_codes")(spark, SF).collect()
+    }
+    assert got == expect
