@@ -73,6 +73,7 @@ ALLOW = {
     "semdedup_prune": (("BNLJ", "scans=", "double-scan"), "the 32-row seed model is a filtered projection of the corpus table (like kmeans_assign) and broadcasts — O(k) BNLJ; the within-cell pair join is the table on both sides by definition"),
     "decontaminate_fuzzy": ("double-scan", "eval slice stands in for the separate benchmark table; the two scans hash DISJOINT doc slices (filter pushed below the signature pass), so total hashing work is one corpus pass"),
     "cluster_top_terms": (("BNLJ", "scans=", "global-window"), "tf / df / doc-count branches over the corpus: the skew-immune groupBy+join form (like tf_idf); the 1-row doc count broadcast-crosses the vocab-sized score table O(1); the ranking window runs over each cluster's TERM aggregate, never raw docs"),
+    "pq_ann_topk": (("BNLJ", "scans="), "codebook and query distance tables are filtered projections of the corpus table and broadcast (like ann_*); the ADC lookup join is equi-keyed on (subspace, centroid); corpus touched once per branch by construction"),
     "embedding_pq_codes": (("BNLJ", "double-scan"), "the 16-row codebook is a filtered projection of the corpus table (like kmeans_assign) and broadcast-crosses the 8-row subspace list — O(k*m) BNLJ by construction; encode reads the corpus once"),
     "knn_graph": (("BNLJ", "scans=", "double-scan"), "like semdedup_prune: the seed/coarse models are filtered projections of the corpus table and broadcast (O(sqrt k) BNLJ scoring by construction); the cell-keyed self-join reads the assignment subtree on both sides by definition"),
     "lang_id_ngram_model": (("BNLJ", "scans=", "global-window"), "the 5-row language list and 1-row vocab size broadcast-cross O(1); train/test branches read DISJOINT doc slices and the profile/total branches reread the MODEL-sized trigram profile (langs x vocab), never the corpus; the per-lang totals window also runs over that model table"),

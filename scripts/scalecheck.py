@@ -145,6 +145,7 @@ OPS = [
     "cluster_top_terms",
     "stream_session_windows",
     "embedding_pq_codes",
+    "pq_ann_topk",
 ]
 
 

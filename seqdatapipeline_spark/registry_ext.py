@@ -4882,7 +4882,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v CROSS JOIN subs s
     ),
     scored AS (
-      SELECT vs.vec_id, vs.sub, cb.cent, list_distance(vs.svec, cb.cvec) AS dist
+      SELECT vs.vec_id, vs.sub, cb.cent,
+             sqrt(list_sum(list_transform(list_zip(vs.svec, cb.cvec), p -> (p[1] - p[2])^2))) AS dist
       FROM vs JOIN cb USING (sub)
     ),
     best AS (
@@ -4942,4 +4943,103 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["cent"],
         ).alias("codes"),
         (F.round(F.sum("__b.dist"), 6) + 0.0).alias("recon_err"),
+    )
+
+
+@q(
+    "pq_ann_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cb0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
+      FROM v ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+    cb AS (
+      SELECT s.sub, c.cent, c.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
+      FROM cb0 c CROSS JOIN subs s
+    ),
+    vs AS (
+      SELECT v.vec_id, s.sub, v.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS svec
+      FROM v CROSS JOIN subs s
+    ),
+    codes AS (
+      SELECT vec_id, sub, cent FROM (
+        SELECT vs.vec_id, vs.sub, cb.cent,
+               row_number() OVER (PARTITION BY vs.vec_id, vs.sub
+                                  ORDER BY list_sum(list_transform(list_zip(vs.svec, cb.cvec), p -> (p[1] - p[2])^2)), cb.cent) AS rn
+        FROM vs JOIN cb USING (sub)
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT q.vec_id AS query_id, q.sub, cb.cent,
+             list_sum(list_transform(list_zip(q.svec, cb.cvec), p -> (p[1] - p[2])^2)) AS d2
+      FROM vs q JOIN cb USING (sub) WHERE q.vec_id < 8
+    ),
+    approx AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id,
+             round(sqrt(sum(d.d2)), 6) AS adc_dist
+      FROM codes c JOIN dtab d ON d.sub = c.sub AND d.cent = c.cent
+      WHERE c.vec_id <> d.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+    FROM approx QUALIFY rank <= 5
+    """,
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over PQ codes via asymmetric distance computation
+    (ADC, Jégou et al. 2011): each query precomputes its 8x16
+    subspace-distance table (model-sized, broadcast); a database
+    vector's approximate distance is then 8 table lookups summed —
+    no float vector is ever touched at search time, which is the
+    whole point at billion-vector scale. The lookup join is equi-keyed
+    on (subspace, centroid); per-query ranking windows run over the
+    candidate aggregate. Query set = vec_id < 8, as in
+    ann_topk_cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    w = Window.orderBy("vec_id")
+    cb0 = (
+        v.orderBy("vec_id")
+        .limit(16)
+        .select((F.row_number().over(w) - 1).alias("cent"), "emb")
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+    cb = cb0.crossJoin(F.broadcast(subs)).select(
+        "sub", "cent", F.expr("slice(emb, sub * 8 + 1, 8)").alias("cvec")
+    )
+    vs = v.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub", F.expr("slice(emb, sub * 8 + 1, 8)").alias("svec")
+    )
+    sq = F.aggregate(
+        F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "cent", F.sqrt(sq).alias("dist"), sq.alias("d2")
+    )
+    codes = scored.groupBy("vec_id", "sub").agg(
+        F.max_by(
+            "cent",
+            F.struct((-F.col("dist")).alias("__nd"), (-F.col("cent")).alias("__nc")),
+        ).alias("cent")
+    )
+    dtab = scored.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "sub", "cent", "d2"
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["sub", "cent"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

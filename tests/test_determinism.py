@@ -52,6 +52,7 @@ REPRESENTATIVE = [
     "cluster_top_terms",
     "stream_session_windows",
     "embedding_pq_codes",
+    "pq_ann_topk",
 ]
 
 

@@ -335,3 +335,41 @@ def test_embedding_pq_codes_matches_numpy(spark):
         for r in _q("embedding_pq_codes")(spark, SF).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------- pq_ann_topk
+
+def test_pq_ann_topk_matches_numpy_adc(spark):
+    """Replicate encode + asymmetric-distance search in numpy and
+    require the identical ranked neighbor lists."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in emb]
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    seeds = X[:16]
+    codes = {}
+    for i, vid in enumerate(ids):
+        codes[vid] = [
+            int(np.linalg.norm(seeds[:, s * 8 : s * 8 + 8] - X[i, s * 8 : s * 8 + 8], axis=1).argmin())
+            for s in range(8)
+        ]
+    expect = {}
+    for qi, qid in enumerate(ids):
+        if qid >= 8:
+            continue
+        dt = [
+            ((seeds[:, s * 8 : s * 8 + 8] - X[qi, s * 8 : s * 8 + 8]) ** 2).sum(axis=1)
+            for s in range(8)
+        ]
+        cand = []
+        for vi, vid in enumerate(ids):
+            if vid == qid:
+                continue
+            d = round(float(np.sqrt(sum(dt[s][codes[vid][s]] for s in range(8)))), 6)
+            cand.append((d, vid))
+        for rank, (d, vid) in enumerate(sorted(cand)[:5], 1):
+            expect[(qid, vid)] = (d, rank)
+    got = {
+        (r.query_id, r.neighbor_id): (r.adc_dist, r.rank)
+        for r in _q("pq_ann_topk")(spark, SF).collect()
+    }
+    assert got == expect
