@@ -146,6 +146,7 @@ OPS = [
     "stream_session_windows",
     "embedding_pq_codes",
     "pq_ann_topk",
+    "ivf_pq_topk",
 ]
 
 

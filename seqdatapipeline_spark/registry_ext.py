@@ -5043,3 +5043,151 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+@q(
+    "ivf_pq_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    coarse AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccell, emb AS ccent
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    vassign AS (
+      SELECT vec_id, ccell FROM (
+        SELECT e.vec_id, c.ccell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.ccent) DESC, c.ccell) AS rn
+        FROM v e CROSS JOIN coarse c
+      ) WHERE rn = 1
+    ),
+    cb0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
+      FROM v ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+    cb AS (
+      SELECT s.sub, c.cent, c.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS cvec
+      FROM cb0 c CROSS JOIN subs s
+    ),
+    vs AS (
+      SELECT e.vec_id, s.sub, e.emb[s.sub * 8 + 1 : s.sub * 8 + 8] AS svec
+      FROM v e CROSS JOIN subs s
+    ),
+    codes AS (
+      SELECT vec_id, sub, cent FROM (
+        SELECT vs.vec_id, vs.sub, cb.cent,
+               row_number() OVER (PARTITION BY vs.vec_id, vs.sub
+                 ORDER BY list_sum(list_transform(list_zip(vs.svec, cb.cvec), p -> (p[1] - p[2])^2)), cb.cent) AS rn
+        FROM vs JOIN cb USING (sub)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, ccell FROM (
+        SELECT q.vec_id AS query_id, c.ccell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.emb, c.ccent) DESC, c.ccell) AS rn
+        FROM v q CROSS JOIN coarse c WHERE q.vec_id < 8
+      ) WHERE rn <= 2
+    ),
+    dtab AS (
+      SELECT q.vec_id AS query_id, q.sub, cb.cent,
+             list_sum(list_transform(list_zip(q.svec, cb.cvec), p -> (p[1] - p[2])^2)) AS d2
+      FROM vs q JOIN cb USING (sub) WHERE q.vec_id < 8
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN vassign a USING (ccell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    approx AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             round(sqrt(sum(d.d2)), 6) AS adc_dist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN dtab d ON d.query_id = c.query_id AND d.sub = k.sub AND d.cent = k.cent
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+    FROM approx QUALIFY rank <= 5
+    """,
+)
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-vector layout, IVF + PQ combined
+    (FAISS IVFxx,PQ8): vectors partition into 8 coarse inverted lists
+    and store only 8-byte PQ codes; a query probes its top-2 coarse
+    cells and ADC-scores just those lists — compute touches
+    n_probe/n_cells of the codes and zero full-precision vectors. All
+    models (coarse centroids, PQ codebook, per-query distance tables)
+    broadcast; candidate selection and code lookup are equi-joins on
+    (ccell) and (subspace, centroid). The recall/cost dial is
+    (n_probe, n_cells) — ann_recall_report shows how to calibrate it
+    against the exact path."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    w = Window.orderBy("vec_id")
+    coarse = (
+        v.orderBy("vec_id")
+        .limit(8)
+        .select((F.row_number().over(w) - 1).alias("ccell"), F.col("emb").alias("ccent"))
+    )
+    cscore = v.join(F.broadcast(coarse)).withColumn(
+        "__cos", dd.cosine(F.col("emb"), F.col("ccent"))
+    )
+    vassign = cscore.groupBy("vec_id").agg(
+        F.max_by("ccell", F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n"))).alias("ccell")
+    )
+    cb0 = (
+        v.orderBy("vec_id")
+        .limit(16)
+        .select((F.row_number().over(w) - 1).alias("cent"), "emb")
+    )
+    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+    cb = cb0.crossJoin(F.broadcast(subs)).select(
+        "sub", "cent", F.expr("slice(emb, sub * 8 + 1, 8)").alias("cvec")
+    )
+    vs = v.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub", F.expr("slice(emb, sub * 8 + 1, 8)").alias("svec")
+    )
+    sq = F.aggregate(
+        F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vs.join(F.broadcast(cb), "sub").select("vec_id", "sub", "cent", sq.alias("d2"))
+    codes = scored.groupBy("vec_id", "sub").agg(
+        F.max_by(
+            "cent", F.struct((-F.col("d2")).alias("__nd"), (-F.col("cent")).alias("__nc"))
+        ).alias("cent")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "ccell")
+    probes = (
+        cscore.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "ccell", "__cos")
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= 2)
+        .select("query_id", "ccell")
+    )
+    dtab = scored.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "sub", "cent", "d2"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(vassign, "ccell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "cent"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -53,6 +53,7 @@ REPRESENTATIVE = [
     "stream_session_windows",
     "embedding_pq_codes",
     "pq_ann_topk",
+    "ivf_pq_topk",
 ]
 
 

@@ -373,3 +373,38 @@ def test_pq_ann_topk_matches_numpy_adc(spark):
         for r in _q("pq_ann_topk")(spark, SF).collect()
     }
     assert got == expect
+
+
+# ----------------------------------------------------------------- ivf_pq_topk
+
+def test_ivf_pq_topk_is_subset_of_full_adc(spark):
+    """IVF pruning only restricts the candidate set: every (query,
+    neighbor) the combined index returns must carry the same ADC
+    distance the unpruned PQ search assigns, and neighbors must all
+    come from the query's 2 probed coarse cells."""
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in _q("pq_ann_topk")(spark, SF).collect()
+    }
+    # recompute full ADC for pairs the top-5 cut dropped
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in emb]
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    seeds = X[:16]
+    codes = {
+        vid: [
+            int(np.linalg.norm(seeds[:, s * 8 : s * 8 + 8] - X[i, s * 8 : s * 8 + 8], axis=1).argmin())
+            for s in range(8)
+        ]
+        for i, vid in enumerate(ids)
+    }
+    got = _q("ivf_pq_topk")(spark, SF).collect()
+    assert got
+    for r in got:
+        qi = ids.index(r.query_id)
+        dt = [
+            ((seeds[:, s * 8 : s * 8 + 8] - X[qi, s * 8 : s * 8 + 8]) ** 2).sum(axis=1)
+            for s in range(8)
+        ]
+        d = round(float(np.sqrt(sum(dt[s][codes[r.neighbor_id][s]] for s in range(8)))), 6)
+        assert abs(r.adc_dist - d) < 1e-9

@@ -302,3 +302,39 @@ def test_span_dedup_skew_safe_no_window(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 2  # span branch + totals branch
+
+
+def test_dsir_distribution_model_broadcasts(spark, sf_dir, queries):
+    """The 256-bucket log-ratio model must broadcast back onto the
+    corpus — a shuffle join against a 256-row table means the plan
+    lost the model-sized guarantee."""
+    plan = _plan(queries["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_equi_keyed(spark, sf_dir, queries):
+    """The within-cell pair step must be an equi-join on the cell key
+    (SortMerge or Hash), never a nested loop over vectors."""
+    plan = _plan(queries["semdedup_prune"](spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_lookup_is_equi_join_no_vectors(spark, sf_dir, queries):
+    """ADC search scores codes via an equi-keyed lookup join; the
+    plan must not fall back to a cartesian over codes x queries."""
+    plan = _plan(queries["pq_ann_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the (subspace, centroid) lookup
+
+
+def test_incremental_ingest_prunes_slices_before_hashing(spark, sf_dir, queries):
+    """The new/old slice filters must sit below the signature pass in
+    the scan (DataFilters carry the doc_id % 5 predicate), so each
+    scan hashes a disjoint slice."""
+    plan = _plan(queries["incremental_ingest_dedup"](spark, sf_dir))
+    assert "% 5) = 4" in plan and "% 5) = 4)" in plan
+    assert "CartesianProduct" not in plan
