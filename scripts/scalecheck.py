@@ -147,6 +147,8 @@ OPS = [
     "embedding_pq_codes",
     "pq_ann_topk",
     "ivf_pq_topk",
+    "assoc_rules",
+    "rfm_segments",
 ]
 
 

@@ -5191,3 +5191,189 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+@q(
+    "assoc_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM b),
+    ic AS (SELECT l_partkey, count(*)::DOUBLE AS cnt FROM b GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS item_a, b2.l_partkey AS item_b, count(*)::DOUBLE AS cnt
+      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    rules AS (
+      SELECT p.item_a, p.item_b, CAST(p.cnt AS BIGINT) AS n_pairs,
+             round(p.cnt / n.n_orders, 6) AS support,
+             round(p.cnt / ia.cnt, 6) AS confidence,
+             round(p.cnt * n.n_orders / (ia.cnt * ib.cnt), 6) AS lift
+      FROM pc p
+      JOIN ic ia ON ia.l_partkey = p.item_a
+      JOIN ic ib ON ib.l_partkey = p.item_b
+      CROSS JOIN n
+    )
+    SELECT * FROM rules ORDER BY lift DESC, item_a, item_b LIMIT 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: pair
+    support / confidence / lift, top 20 by lift — the
+    recommendation-seeding classic. Pair counts come from
+    ops.aggregates.cooccurrence_counts (pairs generated INSIDE each
+    order's bounded item array — TPC-H orders hold <=7 items — never
+    a line-item self-join); the item-count side is dimension-sized
+    and broadcasts, the 1-row order count broadcast-crosses O(1)."""
+    from .ops import aggregates as agg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    pc = (
+        agg.cooccurrence_counts(li, "l_orderkey", "l_partkey", max_group=50)
+        .withColumnRenamed("n_groups", "__c")
+        .where(F.col("__c") >= 2)
+    )
+    rules = (
+        pc.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("item_a"), F.col("cnt").alias("__ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("item_b"), F.col("cnt").alias("__cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("__c").cast("long").alias("n_pairs"),
+            F.round(F.col("__c") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("__c") / F.col("__ca"), 6).alias("confidence"),
+            F.round(F.col("__c") * F.col("n_orders") / (F.col("__ca") * F.col("__cb")), 6).alias("lift"),
+        )
+    )
+    return rules.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(20)
+
+
+def _rfm_metric_sql(metric: str, score: str) -> str:
+    """CTE fragment scoring one RFM metric into quintiles via the
+    1000-bin histogram rank (shared shape with
+    quality_percentile_by_source)."""
+    m = metric
+    return f"""
+    st_{m} AS (SELECT min({m}) AS mn, max({m}) AS mx FROM per),
+    b_{m} AS (
+      SELECT user_id,
+             CASE WHEN st.mx > st.mn
+                  THEN least(999, CAST(floor(({m} - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT))
+                  ELSE 0 END AS bin
+      FROM per, st_{m} st
+    ),
+    c_{m} AS (SELECT bin, count(*)::DOUBLE AS c FROM b_{m} GROUP BY 1),
+    cum_{m} AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+      FROM c_{m}
+    ),
+    s_{m} AS (
+      SELECT b.user_id,
+             CAST(least(4, CAST(floor(coalesce(cum.below, 0.0) / n.n * 5) AS INT)) + 1 AS INT) AS {score}
+      FROM b_{m} b JOIN cum_{m} cum USING (bin), n
+    )"""
+
+
+@q(
+    "rfm_segments",
+    f"""
+    WITH per AS (
+      SELECT user_id, max(epoch(ts)) AS last_s,
+             count(*)::DOUBLE AS freq, sum(value)::DOUBLE AS mon
+      FROM events GROUP BY 1
+    ),
+    n AS (SELECT count(*)::DOUBLE AS n FROM per),
+    {_rfm_metric_sql("last_s", "r_score")},
+    {_rfm_metric_sql("freq", "f_score")},
+    {_rfm_metric_sql("mon", "m_score")}
+    SELECT per.user_id, CAST(per.freq AS BIGINT) AS frequency,
+           round(per.mon, 4) AS monetary,
+           r.r_score, f.f_score, m.m_score,
+           CAST(r.r_score * 100 + f.f_score * 10 + m.m_score AS INT) AS rfm
+    FROM per
+    JOIN s_last_s r USING (user_id)
+    JOIN s_freq f USING (user_id)
+    JOIN s_mon m USING (user_id)
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: each user's recency (event-time of last
+    event), frequency and monetary total scored into quintiles, fused
+    into the classic 3-digit RFM code. The per-user profile is
+    checkpointed ONCE (the materialized users table every warehouse
+    keeps), and each quintile comes from the 1000-bin histogram rank —
+    never percent_rank over the user table, whose global sort would
+    single-reduce billions of users; every histogram intermediate is
+    bin-sized and broadcasts."""
+    from .ops.windows import epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(epoch_seconds(F.col("ts"))).alias("last_s"),
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            F.sum("value").cast("double").alias("mon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = per.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def score(df: DataFrame, metric: str, out: str) -> DataFrame:
+        st = per.agg(F.min(metric).alias("mn"), F.max(metric).alias("mx"))
+        binned = per.select("user_id", metric).crossJoin(F.broadcast(st)).select(
+            "user_id",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.lit(999),
+                    F.floor((F.col(metric) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 1000.0)).cast("int"),
+                ),
+            )
+            .otherwise(0)
+            .alias("bin"),
+        )
+        cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("double").alias("c"))
+        wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        cum = cnts.select("bin", F.sum("c").over(wb).alias("below"))
+        scored = (
+            binned.join(F.broadcast(cum), "bin")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "user_id",
+                (
+                    F.least(
+                        F.lit(4),
+                        F.floor(F.coalesce(F.col("below"), F.lit(0.0)) / F.col("n") * 5).cast("int"),
+                    )
+                    + 1
+                )
+                .cast("int")
+                .alias(out),
+            )
+        )
+        return df.join(scored, "user_id")
+
+    out = per.select(
+        "user_id",
+        F.col("freq").cast("long").alias("frequency"),
+        F.round("mon", 4).alias("monetary"),
+    )
+    out = score(out, "last_s", "r_score")
+    out = score(out, "freq", "f_score")
+    out = score(out, "mon", "m_score")
+    return out.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm"),
+    )

@@ -54,6 +54,8 @@ REPRESENTATIVE = [
     "embedding_pq_codes",
     "pq_ann_topk",
     "ivf_pq_topk",
+    "assoc_rules",
+    "rfm_segments",
 ]
 
 

@@ -408,3 +408,61 @@ def test_ivf_pq_topk_is_subset_of_full_adc(spark):
         ]
         d = round(float(np.sqrt(sum(dt[s][codes[r.neighbor_id][s]] for s in range(8)))), 6)
         assert abs(r.adc_dist - d) < 1e-9
+
+
+# ----------------------------------------------------------------- assoc_rules
+
+def test_assoc_rules_values_hand_checked(spark):
+    rows = _q("assoc_rules")(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    import collections
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = collections.defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item = collections.Counter()
+    pair = collections.Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        item.update(s)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair[(a, b)] += 1
+    n = len(baskets)
+    for r in rows:
+        c = pair[(r.item_a, r.item_b)]
+        assert r.n_pairs == c and c >= 2
+        assert abs(r.support - round(c / n, 6)) < 1e-9
+        assert abs(r.confidence - round(c / item[r.item_a], 6)) < 1e-9
+        assert abs(r.lift - round(c * n / (item[r.item_a] * item[r.item_b]), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- rfm_segments
+
+def test_rfm_segments_quintiles_are_sane(spark):
+    rows = _q("rfm_segments")(spark, "/root/testdata/sf0.01").collect()
+    n_users = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_users
+    import collections
+
+    f_by_score = collections.defaultdict(list)
+    for r in rows:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 5
+        assert r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score
+        f_by_score[r.f_score].append(r.frequency)
+    # higher f_score quintiles hold higher frequencies
+    scores = sorted(f_by_score)
+    for lo, hi in zip(scores, scores[1:]):
+        assert max(f_by_score[lo]) <= min(f_by_score[hi])
