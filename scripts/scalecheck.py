@@ -149,6 +149,7 @@ OPS = [
     "ivf_pq_topk",
     "assoc_rules",
     "rfm_segments",
+    "takedown_promote",
 ]
 
 

@@ -5377,3 +5377,91 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm"),
     )
+
+
+@q(
+    "takedown_promote",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             CASE WHEN d.doc_id % 13 = 0 THEN 1 ELSE 0 END AS deleted
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    old_keep AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j
+      ) WHERE rn = 1
+    ),
+    new_keep AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j WHERE deleted = 0
+      ) WHERE rn = 1
+    )
+    SELECT o.cluster_id, o.keep_id AS old_keep, n.keep_id AS new_keep,
+           CAST((SELECT count(*) FROM j WHERE j.cluster_id = o.cluster_id AND j.deleted = 1) AS BIGINT) AS n_deleted
+    FROM old_keep o
+    LEFT JOIN new_keep n USING (cluster_id)
+    WHERE o.keep_id % 13 = 0
+    """,
+)
+def q_takedown_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown compliance with dedup interplay: when a deletion
+    request (doc_id % 13 = 0 stands in for the takedown list) hits a
+    duplicate cluster's KEPT representative, the best surviving member
+    must be promoted — otherwise honoring the request silently drops
+    content the corpus meant to keep once. Output: every cluster whose
+    representative is deleted, its promoted survivor (NULL = the whole
+    cluster dies) and the deletion count. Same transitive closure as
+    dedup_keep_best; both selections are max(struct) aggregates over
+    the cluster-joined projection, never windows over raw docs."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 13 == 0, 1).otherwise(0).alias("deleted"),
+    )
+    rank = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__negid"))
+    agg_all = j.groupBy("cluster_id").agg(
+        F.max_by("doc_id", rank).alias("old_keep"),
+        F.sum("deleted").cast("long").alias("n_deleted"),
+    )
+    agg_surv = (
+        j.where(F.col("deleted") == 0)
+        .groupBy("cluster_id")
+        .agg(F.max_by("doc_id", rank).alias("new_keep"))
+    )
+    return (
+        agg_all.where(F.col("old_keep") % 13 == 0)
+        .join(agg_surv, "cluster_id", "left")
+        .select("cluster_id", "old_keep", "new_keep", "n_deleted")
+    )

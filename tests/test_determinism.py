@@ -56,6 +56,7 @@ REPRESENTATIVE = [
     "ivf_pq_topk",
     "assoc_rules",
     "rfm_segments",
+    "takedown_promote",
 ]
 
 

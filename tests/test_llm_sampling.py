@@ -466,3 +466,16 @@ def test_rfm_segments_quintiles_are_sane(spark):
     scores = sorted(f_by_score)
     for lo, hi in zip(scores, scores[1:]):
         assert max(f_by_score[lo]) <= min(f_by_score[hi])
+
+
+# ------------------------------------------------------------ takedown_promote
+
+def test_takedown_promote_invariants(spark):
+    rows = _q("takedown_promote")(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # the mod-13 list hits at least one cluster representative
+    for r in rows:
+        assert r.old_keep % 13 == 0              # only clusters losing their rep
+        if r.new_keep is not None:
+            assert r.new_keep % 13 != 0          # promoted survivor is not deleted
+            assert r.new_keep != r.old_keep
+        assert r.n_deleted >= 1
