@@ -150,6 +150,7 @@ OPS = [
     "assoc_rules",
     "rfm_segments",
     "takedown_promote",
+    "corpus_datacard",
 ]
 
 

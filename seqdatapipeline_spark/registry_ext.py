@@ -5465,3 +5465,57 @@ def q_takedown_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(agg_surv, "cluster_id", "left")
         .select("cluster_id", "old_keep", "new_keep", "n_deleted")
     )
+
+
+@q(
+    "corpus_datacard",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS exact_dup_rate,
+           round(avg(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+               + 0.4 * least(len(list_filter(string_split(text, ' '),
+                     w -> lower(w) IN ('the','a','and','of','to','in','is','it')))
+                     / len(string_split(text, ' ')) * 1.0 * 5.0, 1.0)
+               + 0.2 * (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / length(text) * 1.0 * 10.0, 1.0))), 6) AS mean_quality,
+           round(quantile_cont(n_chars, 0.5), 1) AS p50_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (Datasheets for Datasets-style): doc
+    and token counts, source/language diversity, the exact-duplicate
+    rate, mean quality score, and the length distribution envelope —
+    the summary a data release ships next to the shards. ONE scan,
+    one map-side-combinable aggregate (the distinct counts and exact
+    percentile are the only shuffle-bearing parts; at 100 TB swap
+    count(DISTINCT md5) for approx_count_distinct and percentile for
+    percentile_approx — same row, sketch-merged)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin("the", "a", "and", "of", "to", "in", "is", "it"))
+    )
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    q_score = (
+        0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + 0.4 * F.least(stop / n_tok * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct / F.length("text") * 10.0, F.lit(1.0)))
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok.cast("long")).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(1.0 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6).alias("exact_dup_rate"),
+        F.round(F.avg(q_score), 6).alias("mean_quality"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("p50_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

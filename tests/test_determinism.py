@@ -57,6 +57,7 @@ REPRESENTATIVE = [
     "assoc_rules",
     "rfm_segments",
     "takedown_promote",
+    "corpus_datacard",
 ]
 
 

@@ -479,3 +479,20 @@ def test_takedown_promote_invariants(spark):
             assert r.new_keep % 13 != 0          # promoted survivor is not deleted
             assert r.new_keep != r.old_keep
         assert r.n_deleted >= 1
+
+
+# --------------------------------------------------------------- corpus_datacard
+
+def test_corpus_datacard_hand_checked(spark):
+    r = _q("corpus_datacard")(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert r.n_docs == len(docs)
+    assert r.n_tokens == sum(len(d.text.split(" ")) for d in docs)
+    assert r.n_sources == len({d.source for d in docs})
+    assert r.n_langs == len({d.lang for d in docs})
+    import hashlib
+
+    uniq = len({hashlib.md5(d.text.encode()).hexdigest() for d in docs})
+    assert abs(r.exact_dup_rate - round(1.0 - uniq / len(docs), 6)) < 1e-9
+    assert 0.0 <= r.mean_quality <= 1.0
+    assert r.min_chars <= r.p50_chars <= r.max_chars
