@@ -151,6 +151,7 @@ OPS = [
     "rfm_segments",
     "takedown_promote",
     "corpus_datacard",
+    "dedup_keep_priority",
 ]
 
 

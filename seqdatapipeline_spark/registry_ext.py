@@ -5519,3 +5519,73 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@q(
+    "dedup_keep_priority",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.source, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    rk AS (
+      SELECT cluster_id, doc_id, source,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY source, n_chars DESC, doc_id) AS rn
+      FROM j
+    ),
+    sz AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM j GROUP BY 1)
+    SELECT r.cluster_id, r.doc_id AS keep_id, r.source AS keep_source, s.n_members
+    FROM rk r JOIN sz s USING (cluster_id) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority survivor selection: per duplicate cluster, keep
+    the member from the most TRUSTED source (lexicographic source
+    rank stands in for a curated priority list; tie → longest → lowest
+    id) — the policy a mixed-provenance corpus wants when the same
+    text arrives from both a licensed feed and a crawl. One
+    min(struct) aggregate per cluster (source asc, -n_chars, id) —
+    the entire 3-level tie-break rides a single map-side-combinable
+    min, no windows over raw docs."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                F.col("source"), (-F.col("n_chars")).alias("__nl"), F.col("doc_id")
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("__b.doc_id").alias("keep_id"),
+        F.col("__b.source").alias("keep_source"),
+        "n_members",
+    )

@@ -58,6 +58,7 @@ REPRESENTATIVE = [
     "rfm_segments",
     "takedown_promote",
     "corpus_datacard",
+    "dedup_keep_priority",
 ]
 
 
