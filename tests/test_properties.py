@@ -431,3 +431,73 @@ def test_binned_quantiles_bounded_by_order_stat(spark, values, p):
     width = (s[-1] - s[0]) / 100.0
     true = s[min(len(s) - 1, int(math.ceil(p * len(s))) - 1)]
     assert abs(q - true) <= width + 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=100000), # ts offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    tol=st.sampled_from([60.0, 300.0, 3600.0]),
+)
+@settings(**SETTINGS)
+def test_lateness_flags_matches_naive(spark, rows, tol):
+    """lateness_flags == a per-user sequential walk for arbitrary
+    arrival orders and tolerances (the synthetic events table never
+    exercises lateness, so random streams must)."""
+    import datetime as dt
+
+    from seqdatapipeline_spark.ops.windows import lateness_flags
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["__t"]): r["late"]
+        for r in lateness_flags(df, tolerance_s=tol).collect()
+    }
+    # naive walk in arrival (event_id) order
+    wm: dict[int, float] = {}
+    n_late_expect = 0
+    for i, (u, s) in enumerate(rows):
+        t = (base + dt.timedelta(seconds=s)).timestamp()
+        late = 1 if (u in wm and wm[u] - t > tol) else 0
+        n_late_expect += late
+        wm[u] = max(wm.get(u, t), t)
+    assert sum(got.values()) == n_late_expect
+
+
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_cooccurrence_pairs_match_naive(spark, baskets):
+    """The in-group pair generator equals the self-join formulation
+    for arbitrary baskets (duplicates inside a basket collapse)."""
+    from seqdatapipeline_spark.ops import aggregates as agg2
+
+    rows = [(g, i) for g, items in enumerate(baskets) for i in items]
+    df = spark.createDataFrame(rows, "g long, item long").distinct()
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in agg2.cooccurrence_counts(df, "g", "item", max_group=50).collect()
+    }
+    import collections
+
+    expect = collections.Counter()
+    for items in baskets:
+        s = sorted(set(items))
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                expect[(a, b)] += 1
+    assert got == dict(expect)
