@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # archive_move_sink, email_sink, trim_report_sink, filter_nonzero_size,
 # sort_names, limit_first_record, anti_join_missing_forms,
 # reject_except) stay registered below the fold and remain green in the
-# local full-surface mirror (tests/test_oracle_parity.py, all 155).
+# local full-surface mirror (tests/test_oracle_parity.py, all 203).
 _PRIORITY = [
     # §2.1 scans/sources/sinks
     "form_scan", "dir_poll_stream", "counts_tsv_sink",
