@@ -152,6 +152,7 @@ OPS = [
     "takedown_promote",
     "corpus_datacard",
     "dedup_keep_priority",
+    "shard_balance_report",
 ]
 
 

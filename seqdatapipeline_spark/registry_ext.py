@@ -5589,3 +5589,50 @@ def q_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__b.source").alias("keep_source"),
         "n_members",
     )
+
+
+@q(
+    "shard_balance_report",
+    """
+    WITH h AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+             CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 16 AS INT) AS shard
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM h GROUP BY 1
+    )
+    SELECT shard, n_docs, n_tokens,
+           round(n_tokens / (sum(n_tokens) OVER ()) * 1.0, 6) AS token_share,
+           round(n_tokens / (avg(n_tokens) OVER ()) * 1.0, 6) AS balance_ratio
+    FROM per
+    """,
+)
+def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard load balance: per shard (the same seeded md5
+    assignment shuffle_shards emits), document and token counts plus
+    each shard's share and ratio-to-mean — the check that catches a
+    skewed shard before it becomes the straggler of every training
+    epoch. One scan + a 16-row aggregate; the normalizing windows run
+    over the shard table (16 rows), never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))), 1, 14), 16, 10)
+        .cast("long") % 16
+    ).cast("int")
+    per = d.select(
+        shard.alias("shard"), F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(wall), 6).alias("token_share"),
+        F.round(F.col("n_tokens") / F.avg("n_tokens").over(wall), 6).alias("balance_ratio"),
+    )

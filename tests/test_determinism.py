@@ -59,6 +59,7 @@ REPRESENTATIVE = [
     "takedown_promote",
     "corpus_datacard",
     "dedup_keep_priority",
+    "shard_balance_report",
 ]
 
 

@@ -514,3 +514,22 @@ def test_dedup_keep_priority_prefers_trusted_source(spark):
     # its cluster is implied by the oracle hash match; here check the
     # keeper is a real member and clusters partition the corpus
     assert sum(r.n_members for r in rows) == len(docs)
+
+
+# ------------------------------------------------------- shard_balance_report
+
+def test_shard_balance_report_consistency(spark):
+    rows = _q("shard_balance_report")(spark, "/root/testdata/sf0.01").collect()
+    assert {r.shard for r in rows} == set(range(16))
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    mean = sum(r.n_tokens for r in rows) / 16
+    for r in rows:
+        assert abs(r.balance_ratio - round(r.n_tokens / mean, 6)) < 1e-6
+    # shards must agree with shuffle_shards' assignment
+    assign = {
+        r.doc_id: r.shard for r in _q("shuffle_shards")(spark, "/root/testdata/sf0.01").collect()
+    }
+    import collections
+
+    cnt = collections.Counter(assign.values())
+    assert {r.shard: r.n_docs for r in rows} == dict(cnt)
