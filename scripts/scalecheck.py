@@ -153,6 +153,7 @@ OPS = [
     "corpus_datacard",
     "dedup_keep_priority",
     "shard_balance_report",
+    "neardup_review_sample",
 ]
 
 

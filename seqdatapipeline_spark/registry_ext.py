@@ -5636,3 +5636,79 @@ def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(wall), 6).alias("token_share"),
         F.round(F.col("n_tokens") / F.avg("n_tokens").over(wall), 6).alias("balance_ratio"),
     )
+
+
+@q(
+    "neardup_review_sample",
+    f"""
+    WITH {_mh_est_ctes()},
+    gated AS (
+      SELECT doc_a, doc_b, est_jaccard,
+             CAST(least(9, CAST(floor(est_jaccard * 10) AS INT)) AS INT) AS band
+      FROM est
+      WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)), 1, 14))::BIGINT % 10 = 0
+    ),
+    r AS (
+      SELECT band, doc_a, doc_b, est_jaccard,
+             CAST(row_number() OVER (PARTITION BY band ORDER BY doc_a, doc_b) AS BIGINT) AS rank
+      FROM gated
+    )
+    SELECT band, doc_a, doc_b, est_jaccard, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_neardup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review QA sample of near-dup candidates, stratified by
+    estimated-Jaccard band: 3 pairs per decile band, drawn from a
+    DETERMINISTIC 10% Bernoulli gate (md5 of the pair id) — the audit
+    sheet a data curator signs off before a threshold goes to prod.
+    The gate is what keeps the per-band ranking window scale-safe:
+    with only 10 band partitions, ranking ALL pairs would hot-spot 10
+    reducers, so the window only ever sees the gated sample."""
+    d = _t(spark, sf_dir, "documents")
+    num_hashes = 12
+    sig = dd.minhash_signature(d, num_hashes=num_hashes, shingle_n=3).localCheckpoint(
+        eager=True
+    )
+    keyed = dd.lsh_band_incidence(sig, num_hashes=num_hashes, band_size=2)
+    pairs = dd._bucket_pairs(keyed, "doc_id", "band_key")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int") for j in range(num_hashes)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"))
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    gated = est.where(gate).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.least(F.lit(9), F.floor(F.col("est_jaccard") * 10).cast("int")).cast("int").alias("band"),
+    )
+    w = Window.partitionBy("band").orderBy("doc_a", "doc_b")
+    return (
+        gated.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("band", "doc_a", "doc_b", "est_jaccard", "rank")
+    )

@@ -60,6 +60,7 @@ REPRESENTATIVE = [
     "corpus_datacard",
     "dedup_keep_priority",
     "shard_balance_report",
+    "neardup_review_sample",
 ]
 
 

@@ -533,3 +533,25 @@ def test_shard_balance_report_consistency(spark):
 
     cnt = collections.Counter(assign.values())
     assert {r.shard: r.n_docs for r in rows} == dict(cnt)
+
+
+# ------------------------------------------------------- neardup_review_sample
+
+def test_neardup_review_sample_shape(spark):
+    rows = _q("neardup_review_sample")(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    import collections
+
+    per_band = collections.Counter()
+    for r in rows:
+        assert 0 <= r.band <= 9
+        assert r.band == min(9, int(r.est_jaccard * 10))
+        assert 1 <= r.rank <= 3
+        per_band[r.band] += 1
+    assert all(v <= 3 for v in per_band.values())
+    # the pair gate is deterministic: md5(a:b) bucket 0 of 10
+    import hashlib
+
+    for r in rows:
+        h = hashlib.md5(f"{r.doc_a}:{r.doc_b}".encode()).hexdigest()
+        assert int(h[:14], 16) % 10 == 0
