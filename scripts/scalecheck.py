@@ -154,6 +154,7 @@ OPS = [
     "dedup_keep_priority",
     "shard_balance_report",
     "neardup_review_sample",
+    "license_audit",
 ]
 
 

@@ -5712,3 +5712,84 @@ def q_neardup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("band", "doc_a", "doc_b", "est_jaccard", "rank")
     )
+
+
+@q(
+    "license_audit",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             CAST(CAST(substr(d.source, 4) AS INT) % 3 AS INT) AS lic
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    agg AS (
+      SELECT cluster_id,
+             max(lic) AS max_license,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM j GROUP BY 1
+    ),
+    keep AS (
+      SELECT cluster_id, doc_id AS keep_id, lic AS keep_license FROM (
+        SELECT cluster_id, doc_id, lic,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j
+      ) WHERE rn = 1
+    )
+    SELECT k.cluster_id, k.keep_id, k.keep_license, a.max_license, a.n_members
+    FROM keep k JOIN agg a USING (cluster_id)
+    WHERE k.keep_license < a.max_license
+    """,
+)
+def q_license_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License contamination via duplication: a duplicate cluster
+    whose KEPT representative carries a laxer license class than some
+    other member is a compliance hole — the restricted copy's content
+    ships under the permissive copy's terms. License class derives
+    from the source id (stand-in for a curated source→license map,
+    broadcastable at any scale); the cluster maximum and the keeper's
+    class are two map-side-combinable aggregates over the
+    cluster-joined projection. Output: every cluster where
+    keep_license < max_license."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    lic = (F.substring(F.col("source"), 4, 10).cast("int") % 3).cast("int")
+    j = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "n_chars", lic.alias("lic")), "doc_id"
+    )
+    agg_c = j.groupBy("cluster_id").agg(
+        F.max("lic").cast("int").alias("max_license"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max_by(
+            F.struct(F.col("doc_id").alias("keep_id"), F.col("lic").alias("keep_license")),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__negid")),
+        ).alias("__k"),
+    )
+    return agg_c.select(
+        "cluster_id",
+        F.col("__k.keep_id").alias("keep_id"),
+        F.col("__k.keep_license").alias("keep_license"),
+        "max_license",
+        "n_members",
+    ).where(F.col("keep_license") < F.col("max_license"))

@@ -61,6 +61,7 @@ REPRESENTATIVE = [
     "dedup_keep_priority",
     "shard_balance_report",
     "neardup_review_sample",
+    "license_audit",
 ]
 
 

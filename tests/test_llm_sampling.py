@@ -555,3 +555,19 @@ def test_neardup_review_sample_shape(spark):
     for r in rows:
         h = hashlib.md5(f"{r.doc_a}:{r.doc_b}".encode()).hexdigest()
         assert int(h[:14], 16) % 10 == 0
+
+
+# ---------------------------------------------------------------- license_audit
+
+def test_license_audit_flags_only_contaminated_clusters(spark):
+    rows = _q("license_audit")(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # mixed-source duplicate clusters exist at sf0.01
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet("/root/testdata/sf0.01/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.keep_license < r.max_license
+        assert r.n_members >= 2  # needs at least two members to conflict
+        got_lic = int(docs[r.keep_id].source[3:]) % 3
+        assert got_lic == r.keep_license
