@@ -73,6 +73,7 @@ ALLOW = {
     "semdedup_prune": (("BNLJ", "scans=", "double-scan"), "the 32-row seed model is a filtered projection of the corpus table (like kmeans_assign) and broadcasts — O(k) BNLJ; the within-cell pair join is the table on both sides by definition"),
     "decontaminate_fuzzy": ("double-scan", "eval slice stands in for the separate benchmark table; the two scans hash DISJOINT doc slices (filter pushed below the signature pass), so total hashing work is one corpus pass"),
     "cluster_top_terms": (("BNLJ", "scans=", "global-window"), "tf / df / doc-count branches over the corpus: the skew-immune groupBy+join form (like tf_idf); the 1-row doc count broadcast-crosses the vocab-sized score table O(1); the ranking window runs over each cluster's TERM aggregate, never raw docs"),
+    "token_budget_planner": ("global-window", "weight normalization runs over the source-cardinality aggregate, never the corpus"),
     "shard_balance_report": ("global-window", "share/ratio windows run over the 16-row shard aggregate, never the corpus"),
     "takedown_promote": ("double-scan", "all-members and surviving-members selections read the same cluster-joined projection (the CC side is checkpointed); a single-pass conditional max_by would hide the survivors filter inside the aggregate for no scan savings at scale"),
     "assoc_rules": (("BNLJ", "scans="), "basket/item-count/order-count branches over the same distinct (order, item) projection: the skew-immune groupBy+join form; the 1-row order count broadcast-crosses O(1) and the item-count side is dimension-sized"),

@@ -155,6 +155,7 @@ OPS = [
     "shard_balance_report",
     "neardup_review_sample",
     "license_audit",
+    "token_budget_planner",
 ]
 
 

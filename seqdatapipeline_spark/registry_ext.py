@@ -5793,3 +5793,51 @@ def q_license_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_license",
         "n_members",
     ).where(F.col("keep_license") < F.col("max_license"))
+
+
+@q(
+    "token_budget_planner",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             pow(n_tokens * 1.0, 0.5) / sum(pow(n_tokens * 1.0, 0.5)) OVER () AS weight
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(weight, 6) AS weight,
+           round(least(1.0, 20000.0 * weight / n_tokens), 6) AS sample_rate,
+           CAST(floor(least(1.0, 20000.0 * weight / n_tokens) * n_tokens) AS BIGINT) AS expected_tokens
+    FROM w
+    """,
+)
+def q_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling plan: temperature-weighted (alpha=0.5)
+    per-source shares of a fixed token budget, converted into the
+    per-source Bernoulli rates a sampler actually applies (capped at
+    1.0 — a scarce source can't be sampled above itself; its unmet
+    share is visible as expected_tokens < budget*weight, the signal
+    to re-run with renormalization or repetition). One corpus scan to
+    the source aggregate; the weight normalization is a window over
+    the source-cardinality table."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(0.5))
+    weight = powed / F.sum(powed).over(wall)
+    rate = F.least(F.lit(1.0), F.lit(20000.0) * weight / F.col("n_tokens"))
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("expected_tokens"),
+    )

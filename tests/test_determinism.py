@@ -62,6 +62,7 @@ REPRESENTATIVE = [
     "shard_balance_report",
     "neardup_review_sample",
     "license_audit",
+    "token_budget_planner",
 ]
 
 

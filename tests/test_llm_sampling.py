@@ -571,3 +571,16 @@ def test_license_audit_flags_only_contaminated_clusters(spark):
         assert r.n_members >= 2  # needs at least two members to conflict
         got_lic = int(docs[r.keep_id].source[3:]) % 3
         assert got_lic == r.keep_license
+
+
+# ----------------------------------------------------------- token_budget_planner
+
+def test_token_budget_planner_respects_budget_and_caps(spark):
+    rows = _q("token_budget_planner")(spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.expected_tokens <= r.n_tokens
+        # an uncapped source's expected tokens hits its budget share
+        if r.sample_rate < 1.0:
+            assert abs(r.expected_tokens - 20000.0 * r.weight) <= max(2.0, 20000.0 * r.weight * 1e-3)
