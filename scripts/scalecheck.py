@@ -156,6 +156,7 @@ OPS = [
     "neardup_review_sample",
     "license_audit",
     "token_budget_planner",
+    "dup_cluster_histogram",
 ]
 
 

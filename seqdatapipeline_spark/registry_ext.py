@@ -5841,3 +5841,54 @@ def q_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("n_tokens")).cast("long").alias("expected_tokens"),
     )
+
+
+@q(
+    "dup_cluster_histogram",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*)::BIGINT AS size FROM comp GROUP BY 1)
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(size * count(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sz GROUP BY size
+    """,
+)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many clusters of each
+    size the corpus holds, the docs they cover, and the docs a
+    keep-one policy would remove — the one chart that says whether
+    duplication is a long tail of pairs or a few viral mega-clusters
+    (which changes the dedup strategy entirely). Two stacked
+    map-side-combinable aggregates over the connected-components
+    output; size cardinality is tiny, so the histogram is
+    driver-display-ready at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc)
+    sz = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    return sz.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1))).cast("long").alias("n_removable"),
+    )

@@ -63,6 +63,7 @@ REPRESENTATIVE = [
     "neardup_review_sample",
     "license_audit",
     "token_budget_planner",
+    "dup_cluster_histogram",
 ]
 
 

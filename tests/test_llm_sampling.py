@@ -584,3 +584,15 @@ def test_token_budget_planner_respects_budget_and_caps(spark):
         # an uncapped source's expected tokens hits its budget share
         if r.sample_rate < 1.0:
             assert abs(r.expected_tokens - 20000.0 * r.weight) <= max(2.0, 20000.0 * r.weight * 1e-3)
+
+
+# -------------------------------------------------------- dup_cluster_histogram
+
+def test_dup_cluster_histogram_accounts_for_every_doc(spark):
+    rows = _q("dup_cluster_histogram")(spark, "/root/testdata/sf0.01").collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.size * r.n_clusters
+        assert r.n_removable == (r.size - 1) * r.n_clusters
+    assert any(r.size > 1 for r in rows)  # real duplication exists
