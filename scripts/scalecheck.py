@@ -157,6 +157,7 @@ OPS = [
     "license_audit",
     "token_budget_planner",
     "dup_cluster_histogram",
+    "filter_attrition_report",
 ]
 
 

@@ -279,6 +279,7 @@ def rule_filter(
     max_mean_word_len: float = 10.0,
     min_stop_ratio: float = 0.0,
     max_repeat_ratio: float = 0.6,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """C4/Gopher-style rule gate with per-rule attribution: each
     heuristic is its own 0/1 column next to the final ``keep``, so a
@@ -305,6 +306,7 @@ def rule_filter(
     r_rep = repeat_ratio <= max_repeat_ratio
     return fan_out(df, id_col).select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),

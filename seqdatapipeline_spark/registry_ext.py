@@ -5892,3 +5892,60 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
         ((F.col("size") - 1) * F.count(F.lit(1))).cast("long").alias("n_removable"),
     )
+
+
+@q(
+    "filter_attrition_report",
+    """
+    WITH f AS (
+      SELECT d.source,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+      FROM documents d
+    ),
+    g AS (
+      SELECT source,
+             CAST(n_words >= 20 AND n_words <= 1000 AS INT) AS pass_len,
+             CAST((n_chars - (n_words - 1)) / n_words >= 3.0
+                  AND (n_chars - (n_words - 1)) / n_words <= 10.0 AS INT) AS pass_word_len,
+             CAST(n_stop / n_words > 0.0 AS INT) AS pass_stopword,
+             CAST(1.0 - n_uniq / n_words <= 0.6 AS INT) AS pass_repeat
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(pass_len), 6) AS rate_len,
+           round(avg(pass_word_len), 6) AS rate_word_len,
+           round(avg(pass_stopword), 6) AS rate_stopword,
+           round(avg(pass_repeat), 6) AS rate_repeat,
+           round(avg(pass_len * pass_word_len * pass_stopword * pass_repeat), 6) AS rate_keep
+    FROM g GROUP BY 1
+    """,
+)
+def q_filter_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter attrition: for each C4/Gopher rule, the share
+    of a source's documents that pass it, plus the all-rules keep
+    rate — the report that answers "why did this source shrink 40%"
+    WITHOUT re-running the pipeline per rule. Same single codegen
+    scan as rule_filter, collapsed to a source-cardinality aggregate
+    (every avg is a map-side-combinable sum of 0/1 flags)."""
+    g = tx.rule_filter(_t(spark, sf_dir, "documents"), keep_cols=["source"])
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("pass_len"), 6).alias("rate_len"),
+        F.round(F.avg("pass_word_len"), 6).alias("rate_word_len"),
+        F.round(F.avg("pass_stopword"), 6).alias("rate_stopword"),
+        F.round(F.avg("pass_repeat"), 6).alias("rate_repeat"),
+        F.round(
+            F.avg(
+                F.col("pass_len")
+                * F.col("pass_word_len")
+                * F.col("pass_stopword")
+                * F.col("pass_repeat")
+            ),
+            6,
+        ).alias("rate_keep"),
+    )

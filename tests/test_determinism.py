@@ -64,6 +64,7 @@ REPRESENTATIVE = [
     "license_audit",
     "token_budget_planner",
     "dup_cluster_histogram",
+    "filter_attrition_report",
 ]
 
 

@@ -596,3 +596,26 @@ def test_dup_cluster_histogram_accounts_for_every_doc(spark):
         assert r.n_docs == r.size * r.n_clusters
         assert r.n_removable == (r.size - 1) * r.n_clusters
     assert any(r.size > 1 for r in rows)  # real duplication exists
+
+
+# ------------------------------------------------------ filter_attrition_report
+
+def test_filter_attrition_report_consistent_with_rule_filter(spark):
+    rep = {r.source: r for r in _q("filter_attrition_report")(spark, "/root/testdata/sf0.01").collect()}
+    flags = _q("rule_filter")(spark, "/root/testdata/sf0.01").collect()
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet("/root/testdata/sf0.01/documents.parquet").collect()
+    }
+    import collections
+
+    acc = collections.defaultdict(lambda: [0, 0, 0])  # n, keep, len_pass
+    for f in flags:
+        a = acc[docs[f.doc_id]]
+        a[0] += 1
+        a[1] += f.keep
+        a[2] += f.pass_len
+    for src, (n, keep, plen) in acc.items():
+        assert rep[src].n_docs == n
+        assert abs(rep[src].rate_keep - round(keep / n, 6)) < 1e-9
+        assert abs(rep[src].rate_len - round(plen / n, 6)) < 1e-9
