@@ -198,23 +198,36 @@ def decontaminate(
     map-side-combinable groupBy on doc id, which carries at most one
     row per (contaminated doc, gram hit). An eval set too big for one
     broadcast gets chunked and unioned — overlap-with-any distributes
-    over union."""
-    from .dedup import word_shingles
+    over union.
+
+    Exact duplicates on the train side are pre-collapsed
+    (dedup.collapse_exact_text): ``n_shared`` is a pure function of
+    the text, so the explode + probe + groupBy run once per DISTINCT
+    content and the representative's count fans back out through one
+    equi-join. On a crawl corpus where boilerplate repeats 10^5
+    times, probe/agg mass tracks distinct content instead of paying
+    the duplication factor — exactly the same answer, linearly less
+    work."""
+    from .dedup import collapse_exact_text, word_shingles
 
     bench_grams = (
-        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        bench.select(F.col(text_col)).distinct()
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
-    train_grams = fan_out(train, id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    groups, members = collapse_exact_text(train, id_col, text_col, n)
+    reps = groups.select(F.col("__rep"), F.col(text_col))
+    rep_grams = fan_out(reps, "__rep").select(
+        F.col("__rep"), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
     )
     # Both sides are distinct per key (word_shingles dedups per doc),
     # so count(*) after the join = |distinct shared n-grams|.
-    return (
-        train_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
+    rep_counts = (
+        rep_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("__rep")
         .agg(F.count("*").alias("n_shared"))
     )
+    return members.join(rep_counts, "__rep").select(F.col(id_col), "n_shared")
 
 
 def shuffle_shards(

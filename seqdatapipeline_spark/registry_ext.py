@@ -3452,29 +3452,17 @@ def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end EXACT near-dup clustering: transitive closure over
     the zero-false-negative setsim_prefix_join pairs — the cluster
     assignment whose recall is a guarantee, not an LSH probability.
-    Pairs become 2-node buckets plus one identity bucket per doc (so
-    isolated docs label themselves), then the same star-contraction
-    connected components as dedup_clusters. Oracle recomputes the
-    fixpoint as a DuckDB recursive CTE — independent algorithm, same
+    Exact duplicates are pre-collapsed on the content hash
+    (dedup.collapse_exact_text), the prefix join and the
+    star-contraction CC run over DISTINCT texts only, and the
+    representative's cluster label fans back out through one
+    equi-join — pair mass proportional to distinct content, never
+    O(m²) per duplicate group (exactness argument in
+    dedup.setsim_clusters_collapsed). Oracle recomputes the fixpoint
+    as a DuckDB recursive CTE — independent algorithm, same
     semantics."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.setsim_prefix_join(d, threshold=0.7, shingle_n=3)
-    bucket = pairs.select(
-        F.col("doc_a").alias("node"),
-        F.concat_ws("|", F.col("doc_a"), F.col("doc_b")).alias("key"),
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("node"),
-            F.concat_ws("|", F.col("doc_a"), F.col("doc_b")).alias("key"),
-        )
-    )
-    ident = d.select(
-        F.col("doc_id").alias("node"),
-        F.concat(F.lit("self|"), F.col("doc_id")).alias("key"),
-    )
-    inc = bucket.unionByName(ident)
-    cc = dd.connected_components(inc)
-    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+    return dd.setsim_clusters_collapsed(d, threshold=0.7, shingle_n=3)
 
 
 @q(
@@ -3531,31 +3519,15 @@ def q_lsh_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set. Recall tells you whether the banding misses real
     duplicates; precision tells you how much the verify stage pays
     for low-J candidates — the two numbers that size (bands, rows,
-    threshold) before running dedup on 100 TB. Both pair sets are
-    equi-join derived; the three census counts broadcast-cross into
-    one summary row."""
+    threshold) before running dedup on 100 TB. Exact duplicates are
+    pre-collapsed and the full-corpus counts recovered
+    ARITHMETICALLY (|A|·|B| cross-group, C(|A|,2) within-group —
+    exactness argument in dedup.lsh_recall_counts), so neither the
+    truth side nor the candidate side ever materializes duplicate
+    cliques. Both rep-level pair sets are equi-join derived; the
+    census counts broadcast-cross into one summary row."""
     d = _t(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(d)
-    lsh = dd.lsh_candidate_pairs(sig)
-    truth = dd.setsim_prefix_join(d, threshold=0.7, shingle_n=3).select(
-        "doc_a", "doc_b"
-    )
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
-    nh = truth.join(lsh, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit")
-    )
-    return (
-        nt.crossJoin(nl)
-        .crossJoin(nh)
-        .select(
-            "n_true",
-            "n_lsh",
-            "n_hit",
-            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
-            F.round(F.col("n_hit").cast("double") / F.col("n_lsh"), 6).alias("precision"),
-        )
-    )
+    return dd.lsh_recall_counts(d, threshold=0.7, shingle_n=3)
 
 
 _WPR_ITER = """c{i} AS (
