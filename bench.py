@@ -52,6 +52,11 @@ HEADLINE = [
     "semdedup_prune",
     "incremental_ingest_dedup",
     "quality_percentile_by_source",
+    # round-4 heavy families, tracked round-over-round from r5 on
+    "ivf_pq_topk",
+    "setsim_prefix_join",
+    # round-5 rewrite (exact-dup pre-collapse end-to-end clustering)
+    "setsim_clusters",
 ]
 
 

@@ -4187,14 +4187,15 @@ def q_stream_late_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user (n, n_late, high_wm) state merges additively
     (sum/sum/max) — so streaming ≡ batch exactly, the identity
     contract of stream_vocab_topk/stream_quantile_sketch. State is
-    user-cardinality-sized regardless of stream length. The single
-    max(event_id) collect that fixes batch boundaries is a 1-scalar
-    probe (a real deployment gets boundaries from the source's
-    offsets, not the data)."""
+    user-cardinality-sized regardless of stream length. The kernel
+    lives in streaming.sessions.late_monitor_batch, which a real
+    `readStream` + foreachBatch sink drives identically
+    (tests/test_pipeline_streaming.py) — the single max(event_id)
+    collect here is a 1-scalar probe standing in for the source's
+    offsets when draining a static table."""
     import tempfile
 
-    from .ops.windows import lateness_flags
-    from .streaming import rollup as ru
+    from .streaming.sessions import late_monitor_batch, late_monitor_report
 
     root = tempfile.mkdtemp(prefix="latemon-")
     state_path = os.path.join(root, "late_state")
@@ -4206,31 +4207,8 @@ def q_stream_late_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = e.filter(
             (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
         )
-        try:
-            prev = spark.read.parquet(state_path).select(
-                "user_id", F.col("high_wm").alias("__prev_wm")
-            )
-            batch = batch.join(prev, "user_id", "left")
-        except Exception:
-            batch = batch.withColumn("__prev_wm", F.lit(None).cast("double"))
-        scored = lateness_flags(batch, tolerance_s=300.0, prev_wm_col="__prev_wm")
-        partial = scored.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("late").cast("long").alias("n_late"),
-            F.max(F.greatest("__t", "__wm")).alias("high_wm"),
-        )
-        final = ru.merge_rollup(
-            partial,
-            state_path,
-            ["user_id"],
-            {"n_events": "sum", "n_late": "sum", "high_wm": "max"},
-        )
-    return final.select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("n_late").cast("long").alias("n_late"),
-        F.round(F.col("n_late") / F.col("n_events"), 6).alias("late_rate"),
-    )
+        final = late_monitor_batch(batch, state_path, tolerance_s=300.0)
+    return late_monitor_report(final)
 
 
 @q(
@@ -4729,12 +4707,15 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 30 min, otherwise the open session closes and is emitted.
     The last session per user becomes the new open state. Closed rows
     union across batches (localCheckpoint bounds lineage); streaming ≡
-    batch exactly — the identity the oracle checks. State is one open
-    session per active user; the two min/max(ts) scalars that fix
-    batch boundaries stand in for source offsets."""
+    batch exactly — the identity the oracle checks. The kernel lives
+    in streaming.sessions.session_batch_update, which a real
+    `readStream` + foreachBatch sink drives identically
+    (tests/test_pipeline_streaming.py) — the min/max(ts) scalars here
+    exist only to split the static table into batches and stand in
+    for source offsets."""
     from .ops.windows import epoch_seconds
+    from .streaming.sessions import session_batch_update, session_finalize
 
-    GAP = 1800.0
     e = _t(spark, sf_dir, "events")
     lo, hi = e.agg(
         F.min(epoch_seconds(F.col("ts"))), F.max(epoch_seconds(F.col("ts")))
@@ -4747,93 +4728,13 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (epoch_seconds(F.col("ts")) >= lo + i * step)
             & (epoch_seconds(F.col("ts")) < lo + (i + 1) * step)
         )
-        sess = (
-            b.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("val"))
-            .select(
-                "user_id",
-                epoch_seconds(F.col("session_window.start")).alias("start_s"),
-                (epoch_seconds(F.col("session_window.end")) - GAP).alias("last_s"),
-                "n",
-                "val",
-            )
+        batch_closed, state = session_batch_update(b, state, gap=1800.0)
+        closed = (
+            batch_closed
+            if closed is None
+            else closed.unionByName(batch_closed).localCheckpoint(eager=True)
         )
-        wu = Window.partitionBy("user_id").orderBy("start_s")
-        cnt = Window.partitionBy("user_id")
-        sess = sess.select(
-            "*",
-            F.row_number().over(wu).alias("__rn"),
-            F.count(F.lit(1)).over(cnt).alias("__cnt"),
-        )
-        if state is not None:
-            st = state.select(
-                "user_id",
-                F.col("o_start").alias("__os"),
-                F.col("o_last").alias("__ol"),
-                F.col("o_n").alias("__on"),
-                F.col("o_val").alias("__ov"),
-            )
-            sess = sess.join(st, "user_id", "left")
-            merged = F.col("__os").isNotNull() & (
-                F.col("start_s") - F.col("__ol") <= GAP
-            )
-            first = F.col("__rn") == 1
-            sess = sess.select(
-                "user_id",
-                F.when(first & merged, F.col("__os")).otherwise(F.col("start_s")).alias("start_s"),
-                "last_s",
-                F.when(first & merged, F.col("n") + F.col("__on")).otherwise(F.col("n")).alias("n"),
-                F.when(first & merged, F.col("val") + F.col("__ov")).otherwise(F.col("val")).alias("val"),
-                "__rn",
-                "__cnt",
-                "__os",
-                "__ol",
-                "__on",
-                "__ov",
-            )
-            # open state closes when its user has batch rows that do NOT merge
-            closing = (
-                sess.where(first & F.col("__os").isNotNull() & ~merged)
-                .select(
-                    "user_id",
-                    F.col("__os").alias("start_s"),
-                    F.col("__on").alias("n"),
-                    F.col("__ov").alias("val"),
-                )
-            )
-            closed = closing if closed is None else closed.unionByName(closing)
-            # users untouched this batch keep their open session
-            carried = state.join(sess.select("user_id").distinct(), "user_id", "left_anti")
-        else:
-            carried = None
-        batch_closed = sess.where(F.col("__rn") < F.col("__cnt")).select(
-            "user_id", "start_s", "n", "val"
-        )
-        closed = batch_closed if closed is None else closed.unionByName(batch_closed)
-        new_open = sess.where(F.col("__rn") == F.col("__cnt")).select(
-            "user_id",
-            F.col("start_s").alias("o_start"),
-            F.col("last_s").alias("o_last"),
-            F.col("n").alias("o_n"),
-            F.col("val").alias("o_val"),
-        )
-        state = new_open if carried is None else new_open.unionByName(carried)
-        state = state.localCheckpoint(eager=True)
-        closed = closed.localCheckpoint(eager=True)
-    final = closed.unionByName(
-        state.select(
-            "user_id",
-            F.col("o_start").alias("start_s"),
-            F.col("o_n").alias("n"),
-            F.col("o_val").alias("val"),
-        )
-    )
-    return final.select(
-        "user_id",
-        F.floor("start_s").cast("long").alias("session_start"),
-        F.col("n").cast("long").alias("n"),
-        F.round("val", 4).alias("total_value"),
-    )
+    return session_finalize(closed, state)
 
 
 @q(

@@ -421,3 +421,174 @@ def test_stream_session_windows_equals_batch(spark):
     assert stream == batch
     # sessions genuinely straddle batch boundaries at this sf
     assert len(batch) > 100
+
+
+def test_session_kernel_via_real_readstream(spark):
+    """Drive streaming.sessions.session_batch_update through an actual
+    spark.readStream file source + foreachBatch sink — batch boundaries
+    come from the SOURCE's offsets (one run per file wave), proving the
+    registry drain's min/max(ts) probes are batch-splitting stand-ins,
+    not part of the kernel. Result must equal one-shot sessionization
+    of the full event set."""
+    from seqdatapipeline_spark.ops.windows import epoch_seconds
+    from seqdatapipeline_spark.streaming.sessions import (
+        session_batch_update,
+        session_finalize,
+    )
+
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        schema = "user_id long, ts timestamp, value double"
+        hold = {"state": None, "closed": []}
+
+        def run_once():
+            stream = spark.readStream.schema(schema).json(inbox)
+
+            def sink(df, epoch):
+                closed, hold["state"] = session_batch_update(
+                    df, hold["state"], gap=1800.0
+                )
+                hold["closed"].append(closed)
+
+            q = stream.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("append").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        t0 = "2026-03-01 10:{m:02d}:00"
+        wave1 = [
+            # u1: one session, continues into wave 2 (gap < 30 min)
+            {"user_id": 1, "ts": t0.format(m=0), "value": 1.0},
+            {"user_id": 1, "ts": t0.format(m=10), "value": 2.0},
+            # u2: session that will CLOSE (wave-2 event > 30 min later)
+            {"user_id": 2, "ts": t0.format(m=5), "value": 5.0},
+            # u3: only appears in wave 1 → open state carried untouched
+            {"user_id": 3, "ts": t0.format(m=7), "value": 7.0},
+        ]
+        wave2 = [
+            {"user_id": 1, "ts": "2026-03-01 10:30:00", "value": 3.0},
+            {"user_id": 2, "ts": "2026-03-01 11:00:00", "value": 6.0},
+            # u2 second session in the same batch (in-batch split)
+            {"user_id": 2, "ts": "2026-03-01 12:00:00", "value": 8.0},
+        ]
+        _write_events(inbox, "w1.json", wave1)
+        run_once()
+        _write_events(inbox, "w2.json", wave2)
+        run_once()
+
+        closed_all = hold["closed"][0]
+        for c in hold["closed"][1:]:
+            closed_all = closed_all.unionByName(c)
+        got = sorted(
+            map(tuple, session_finalize(closed_all, hold["state"]).collect())
+        )
+
+        rows = [
+            (r["user_id"], r["ts"], r["value"]) for r in wave1 + wave2
+        ]
+        allv = spark.createDataFrame(rows, "user_id long, ts string, value double")
+        allv = allv.select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        want = sorted(
+            map(
+                tuple,
+                allv.groupBy(F.session_window("ts", "1800 seconds"), "user_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("value").alias("val"),
+                )
+                .select(
+                    "user_id",
+                    F.floor(epoch_seconds(F.col("session_window.start")))
+                    .cast("long")
+                    .alias("session_start"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round("val", 4).alias("total_value"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+        # the cross-batch merge actually happened: u1 has ONE session of 3
+        u1 = [r for r in got if r[0] == 1]
+        assert len(u1) == 1 and u1[0][2] == 3
+        # u2 closed + split: three sessions total
+        assert len([r for r in got if r[0] == 2]) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_late_monitor_kernel_via_real_readstream(spark):
+    """Drive streaming.sessions.late_monitor_batch through an actual
+    spark.readStream file source + foreachBatch sink and require the
+    additively-merged state to equal the one-pass answer — the
+    registry drain's max(event_id) probe is provably test-only."""
+    from seqdatapipeline_spark.streaming.sessions import (
+        late_monitor_batch,
+        late_monitor_report,
+    )
+
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        schema = "user_id long, event_id long, ts timestamp, value double"
+        state_path = os.path.join(tmp, "late_state")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).json(inbox)
+
+            def sink(df, epoch):
+                late_monitor_batch(df, state_path, tolerance_s=300.0)
+
+            q = stream.writeStream.foreachBatch(sink).option(
+                "checkpointLocation", ckpt
+            ).outputMode("append").trigger(availableNow=True).start()
+            q.awaitTermination()
+
+        wave1 = [
+            {"user_id": 1, "event_id": 1, "ts": "2026-03-01 10:00:00", "value": 1.0},
+            {"user_id": 1, "event_id": 2, "ts": "2026-03-01 10:20:00", "value": 1.0},
+            # arrives after wm 10:20, event time 10:01 → 19 min late
+            {"user_id": 1, "event_id": 3, "ts": "2026-03-01 10:01:00", "value": 1.0},
+            {"user_id": 2, "event_id": 4, "ts": "2026-03-01 10:00:00", "value": 1.0},
+        ]
+        wave2 = [
+            # late ONLY against the carried wave-1 watermark (10:20)
+            {"user_id": 1, "event_id": 5, "ts": "2026-03-01 10:02:00", "value": 1.0},
+            {"user_id": 2, "event_id": 6, "ts": "2026-03-01 10:04:00", "value": 1.0},
+        ]
+        _write_events(inbox, "w1.json", wave1)
+        run_once()
+        _write_events(inbox, "w2.json", wave2)
+        run_once()
+
+        got = {
+            r.user_id: (r.n_events, r.n_late)
+            for r in late_monitor_report(
+                spark.read.parquet(state_path)
+            ).collect()
+        }
+        # one-pass reference over the same rows, same kernel
+        ref_path = os.path.join(tmp, "ref_state")
+        rows = [
+            (r["user_id"], r["event_id"], r["ts"], r["value"])
+            for r in wave1 + wave2
+        ]
+        allv = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string, value double"
+        ).select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        late_monitor_batch(allv, ref_path, tolerance_s=300.0)
+        want = {
+            r.user_id: (r.n_events, r.n_late)
+            for r in late_monitor_report(spark.read.parquet(ref_path)).collect()
+        }
+        assert got == want
+        # the cross-batch watermark carry detected wave-2 lateness
+        assert got[1] == (4, 2)
+        assert got[2] == (2, 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
