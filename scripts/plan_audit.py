@@ -39,8 +39,8 @@ ALLOW = {
     "fuzzy_match_pairs": ("double-scan", "blocked self-join: the table is both sides by definition"),
     "reject_except": ("double-scan", "EXCEPT over two inputs"),
     "dedup_spans_exact": ("double-scan", "span branch + arithmetic totals branch: the price of the skew-immune groupBy-min form (a single-scan window would single-task hot boilerplate spans)"),
-    "dedup_soft_weights": ("double-scan", "count branch + attribution probe: the skew-immune groupBy+join form (a content-keyed window would single-task viral duplicates; AQE skew-join splits the hot probe)"),
-    "tf_idf_top_terms": ("double-scan", "tf branch + df-count branch: the skew-immune groupBy+join form (a term-keyed window would single-task stopword partitions; the vocabulary-sized df side broadcasts)"),
+    "dedup_soft_weights": (("double-scan", "scans="), "count branch + skew_router_join attribution (hot-hash broadcast route + cold SMJ route): 5 linear column-pruned scans, the price of keeping viral-duplicate rows out of the join exchange entirely — AQE cannot split the groupBy+join-back shape (ops/joins.py skew_router_join docstring), and a content-keyed window would single-task viral duplicates"),
+    "tf_idf_top_terms": (("double-scan", "scans="), "tf branch + df branch + skew_router_join (stopword-head broadcast route + tail SMJ route): 5 linear scans, the price of keeping stopword postings out of the join exchange — AQE cannot split the groupBy+join-back shape, and a term-keyed window would single-task stopword partitions"),
     "email_sink": ("double-scan", "alert join of two derived inputs"),
     "multimodal_meta": ("double-scan", "payload + metadata branches"),
     "dedup_embedding_cosine": ("double-scan", "per-block grouping reads blocks once; probe branch second"),

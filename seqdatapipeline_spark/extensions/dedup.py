@@ -74,6 +74,7 @@ def duplicate_weights(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_threshold: int = 100_000,
 ) -> DataFrame:
     """Soft dedup: keep every document but emit a loss weight 1/n for
     content appearing n times — the alternative to hard removal when
@@ -85,22 +86,31 @@ def duplicate_weights(
     plus an equi-join back to attribute each doc its count — NOT a
     content-keyed window: viral content duplicated 10⁸ times would
     single-task a window partition, while the aggregate collapses hot
-    hashes before the exchange and AQE's skew-join splitting handles
-    the hot probe partitions on the way back. The weight column rides
-    next to the id so the training loader applies it without a second
-    lookup."""
+    hashes before the exchange. The join-back routes through
+    ops.joins.skew_router_join, because AQE's skew splitter cannot
+    help this groupBy→join-back shape (the aggregate between shuffle
+    and join defeats OptimizeSkewedJoin's pattern — see that
+    docstring): hashes whose count exceeds ``hot_threshold`` (the
+    power-law head, model-sized by construction) broadcast and
+    resolve map-side, so viral fact rows never hit the join exchange.
+    The weight column rides next to the id so the training loader
+    applies it without a second lookup."""
+    from ..ops.joins import skew_router_join
+
     h = F.md5(F.col(text_col))
     counts = docs.groupBy(h.alias("__h")).agg(
         F.count(F.lit(1)).cast("long").alias("n_copies")
     )
-    return (
-        docs.select(F.col(id_col), h.alias("__h"))
-        .join(counts, "__h")
-        .select(
-            F.col(id_col),
-            F.col("n_copies"),
-            F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
-        )
+    return skew_router_join(
+        docs.select(F.col(id_col), h.alias("__h")),
+        counts,
+        "__h",
+        "n_copies",
+        hot_threshold=hot_threshold,
+    ).select(
+        F.col(id_col),
+        F.col("n_copies"),
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
     )
 
 

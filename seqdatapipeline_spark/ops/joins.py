@@ -242,6 +242,55 @@ def salted_join(
     return f.join(d, on=keys + ["__salt"], how=how).drop("__salt")
 
 
+def skew_router_join(
+    fact: DataFrame,
+    agg_dim: DataFrame,
+    on: str | list[str],
+    hot_col: str,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Skew-immune inner join-back of a fact stream onto its own keyed
+    aggregate (the groupBy(key) → join(key) shape: duplicate counts
+    joined back to docs, document frequencies joined back to term
+    postings).
+
+    Why AQE cannot fix this shape: OptimizeSkewedJoin splits a skewed
+    partition only when BOTH join children are bare shuffle stages —
+    here the aggregate side is Sort(HashAggregate(Shuffle)), the
+    pattern fails, and the whole join is skipped (verified empirically:
+    a 90%-hot key marks `skew=true` on a plain shuffle join but never
+    on this shape, even with forceOptimizeSkewedJoin). So at crawl
+    scale, one viral content hash / stopword term puts its entire fact
+    population through ONE reducer of the join-back exchange.
+
+    The fix rides the aggregate itself: ``hot_col`` (the count the
+    aggregate just computed) identifies the power-law head, which is
+    model-sized BY CONSTRUCTION (at most |fact| / hot_threshold rows
+    can exceed hot_threshold). The head broadcasts — hot fact rows
+    resolve map-side and NEVER shuffle — while the tail takes the
+    ordinary equi-join whose per-key row count is now capped at
+    hot_threshold, below any split's skew ceiling. One scan of fact:
+    the broadcast left-join doubles as the hot/cold router.
+
+    Result is identical to ``fact.join(agg_dim, on)`` (inner)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    hot = agg_dim.filter(F.col(hot_col) >= F.lit(hot_threshold)).withColumn(
+        "__hot", F.lit(True)
+    )
+    cold = agg_dim.filter(F.col(hot_col) < F.lit(hot_threshold))
+    tagged = fact.join(F.broadcast(hot), keys, "left")
+    dim_cols = [c for c in agg_dim.columns if c not in keys]
+    hot_rows = tagged.filter(F.col("__hot")).drop("__hot")
+    cold_rows = (
+        tagged.filter(F.col("__hot").isNull())
+        .select(*fact.columns)
+        .join(cold, keys)
+    )
+    return hot_rows.select(*keys, *[c for c in fact.columns if c not in keys], *dim_cols).unionByName(
+        cold_rows.select(*keys, *[c for c in fact.columns if c not in keys], *dim_cols)
+    )
+
+
 def interval_count_binned(
     points: DataFrame,
     intervals: DataFrame,

@@ -1650,14 +1650,19 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df comes from a map-side-combinable groupBy(term) joined back on
     term — NOT a term-keyed window, whose hot partitions would be
     exactly the stopwords (a term in every doc puts |corpus| rows in
-    one window task; the aggregate collapses it to one row, the
-    vocabulary-sized dim side broadcasts, and at vocabularies past the
-    broadcast threshold AQE skew-join splits the hot probe). The tf
-    subtree is derived in both branches — a second linear scan, the
-    deliberate price of removing the unbounded hot-partition stall. N
-    arrives as a literal from parquet row-group metadata
-    (`docs.count()` reads footers, not data — a model-sized scalar,
-    like the IVF centroid collect)."""
+    one window task; the aggregate collapses it to one row). The
+    join-back routes through ops.joins.skew_router_join: AQE's skew
+    splitter cannot act on a groupBy→join-back shape (see that
+    docstring), so terms whose document frequency exceeds the hot
+    threshold — precisely the stopwords — broadcast and resolve
+    map-side instead of funneling the whole corpus's postings for
+    'the' through one reducer. The tf subtree is derived in both
+    branches — a second linear scan, the deliberate price of removing
+    the unbounded hot-partition stall. N arrives as a literal from
+    parquet row-group metadata (`docs.count()` reads footers, not
+    data — a model-sized scalar, like the IVF centroid collect)."""
+    from .ops.joins import skew_router_join
+
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()  # parquet metadata count, no data scan
     tok = d.select(
@@ -1665,7 +1670,9 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    scored = tf.join(dfc, "term").withColumn(
+    scored = skew_router_join(
+        tf, dfc, "term", "__df", hot_threshold=100_000
+    ).withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df")), 6),
     )
