@@ -13,6 +13,13 @@ payloads deliberately stress the dedup operators with 10-member
 duplicate groups).
 
 Usage: python scripts/scalecheck.py [op ...]
+
+`SPARK_GRAFT_SCALE_COPIES` overrides the replication factor (default
+10); e.g. COPIES=100 is the brief's "would the plan survive 100x"
+stress for the flagships. `SPARK_GRAFT_SCALE_TABLES` restricts which
+tables get replicated (comma-separated; the rest symlink to sf0.1) —
+`lineitem` alone models the real genomics asymptote where reads grow
+but the annotation doesn't.
 """
 
 from __future__ import annotations
@@ -28,8 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from seqdatapipeline_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALED = "/tmp/spark-graft-scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+_ONLY = os.environ.get("SPARK_GRAFT_SCALE_TABLES", "")
+SCALED = f"/tmp/spark-graft-scale{COPIES}" + (
+    f"-{_ONLY.replace(',', '_')}" if _ONLY else ""
+)
 TABLES = {
     "lineitem": ("l_orderkey", 100_000_000),
     "part": ("p_partkey", 100_000_000),
@@ -162,18 +172,24 @@ OPS = [
 
 
 def build_scaled(spark) -> None:
+    only = {t for t in _ONLY.split(",") if t} or set(TABLES)
     for name, (key, stride) in TABLES.items():
         out = os.path.join(SCALED, f"{name}.parquet")
         if os.path.exists(out):
             continue
-        df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        src = os.path.join(BASE, f"{name}.parquet")
+        if name not in only:
+            os.symlink(src, out)
+            print(f"linked {name} x1", flush=True)
+            continue
+        df = spark.read.parquet(src)
         copies = [
             df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(COPIES)
         ]
         scaled = copies[0]
         for c in copies[1:]:
             scaled = scaled.unionByName(c)
-        scaled.repartition(32).write.mode("overwrite").parquet(out)
+        scaled.repartition(max(32, COPIES)).write.mode("overwrite").parquet(out)
         print(f"built {name} x{COPIES}", flush=True)
 
 
