@@ -45,7 +45,7 @@ ALLOW = {
     "multimodal_meta": ("double-scan", "payload + metadata branches"),
     "dedup_embedding_cosine": ("double-scan", "per-block grouping reads blocks once; probe branch second"),
     "dedup_ngram_jaccard": ("scans=", "inverted index feeds sizes + pairs branches"),
-    "feature_interval_join": ("scans=", "interior pre-agg + edge-exact branches of the count rewrite"),
+    "feature_interval_join": (("scans=", "BNLJ", "global-window"), "count-rewrite branches (interior pre-agg / signed F-lookups + edge-exact); on the dense prefix route the chrom-sized superbin-range broadcast join constant-folds to a BNLJ over a chrom-cardinality table, and the superbin cumulative window is per-chrom over the DENSIFIED superbin range (~points/(273*4096) rows — ~10^6 at 10^12 points), both bounded by construction"),
     "fragment_length_histogram": ("global-window", "density window runs over histogram bins, not rows"),
     "metrics_interval_join": ("global-window", "pct window over the per-category aggregate (band-count-sized)"),
     "peak_call_bh": ("global-window", "BH is a global order statistic over the per-bin aggregate (genome/bin-size bounded)"),

@@ -380,6 +380,259 @@ def interval_count_binned(
     )
 
 
+def interval_count_prefix(
+    points: DataFrame,
+    intervals: DataFrame,
+    group_cols: list[str],
+    bin_size: int | str = "auto",
+    point_chrom: str = "rname",
+    point_pos: str = "pos",
+    ivl_chrom: str = "chrom",
+    ivl_start: str = "start",
+    ivl_end: str = "end",
+    count_col: str = "n",
+    target_points_per_bin: int = 273,
+    superbin_bins: int = 4096,
+) -> DataFrame:
+    """Interval-COUNT via a distributed prefix sum — linear in
+    |points| + |intervals| at ANY density, where the explode-interior
+    form (``interval_count_binned``) has an inherent sqrt(density)
+    floor: a fixed bin width blows up the edge join as points-per-bin
+    grows (measured 384x wall at 100x replication of both sides over
+    a fixed coordinate domain), while shrinking bins with density
+    blows up the interior explode (intervals x bins-per-interval).
+
+    Here the interior term needs no per-bin join at all: with
+    ``F(q)`` = cumulative count of points in bins <= q,
+
+        interior(ivl) = F(hi_bin - 1) - F(lo_bin)
+
+    so each interval costs two F-lookups (emitted as +/- signed
+    contributions and summed by ``group_cols`` — no interval id is
+    ever materialized) plus the same two edge-bin exact probes as the
+    binned form. Adaptive bins then pin points-per-bin for the edge
+    join with no interior penalty, making every term linear.
+
+    F is built without a global single-task window: bins roll up into
+    superbins of ``superbin_bins`` bins; the only per-chrom ordered
+    scan runs over the DENSIFIED superbin range (~points /
+    (target*superbin) rows — ~10^6 at 10^12 points), within-superbin
+    prefixes parallelize across superbins, and F at an arbitrary
+    (possibly unpopulated) query bin resolves as-of inside one
+    superbin partition by unioning the signed queries into the
+    bin-count stream and running one ordered sum. Lookup skew (many
+    intervals ending in one hot superbin) widens a window partition
+    by the query count only — query rows are constant-width.
+
+    Bit-identical to ``interval_join_binned(...).groupBy().count()``
+    for any bin size (closed interval on both ends); pytest pins
+    equality with the explode-interior form on randomized inputs.
+
+    Points outside [min(start), max(end)] can match no interval, so
+    they are filtered at the scan (pushed-down range predicate) —
+    this bounds the bin/superbin tables by the interval domain and
+    makes the density that sizes "auto" the density the edge join
+    will actually see, not one diluted by out-of-domain mass."""
+    from pyspark.sql import Window
+
+    from ..session import fan_out
+
+    lo, hi = intervals.agg(F.min(ivl_start), F.max(ivl_end)).first()
+    points = points.filter(
+        (F.col(point_pos) >= F.lit(lo)) & (F.col(point_pos) <= F.lit(hi))
+    )
+    if bin_size == "auto":
+        n_pts = points.count()
+        domain = max(1.0, float(hi) - float(lo))
+        bin_size = max(1, round(target_points_per_bin * domain / max(n_pts, 1)))
+    b = F.lit(bin_size)
+    sbw = F.lit(superbin_bins)
+    pts = fan_out(
+        points.select(
+            F.col(point_chrom).alias("__c"),
+            F.col(point_pos).alias("__p"),
+            (F.col(point_pos) / b).cast("long").alias("__bin"),
+        ),
+        "__c",
+        "__bin",
+    )
+    bin_counts = (
+        pts.groupBy("__c", "__bin")
+        .agg(F.count("*").alias("__bn"))
+        .withColumn("__sb", F.floor(F.col("__bin") / sbw).cast("long"))
+    )
+    # Exclusive cumulative per superbin over the DENSIFIED range, so a
+    # query superbin always equi-joins (populated-only would need a
+    # second as-of). The ordered scan is per chrom over ~bins/superbin
+    # rows — bounded small by construction.
+    sb_tot = bin_counts.groupBy("__c", "__sb").agg(F.sum("__bn").alias("__sbn"))
+    sb_range = sb_tot.groupBy("__c").agg(
+        F.min("__sb").alias("__sbmin"), F.max("__sb").alias("__sbmax")
+    )
+    dense_sb = sb_range.select(
+        "__c", F.explode(F.sequence("__sbmin", "__sbmax")).alias("__sb")
+    )
+    w_sb = (
+        Window.partitionBy("__c")
+        .orderBy("__sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sb_cum = (
+        dense_sb.join(sb_tot, on=["__c", "__sb"], how="left")
+        .withColumn("__sbcum", F.coalesce(F.sum("__sbn").over(w_sb), F.lit(0)))
+        .select("__c", "__sb", "__sbcum")
+    )
+    ivl = intervals.withColumn("__lo", (F.col(ivl_start) / b).cast("long")).withColumn(
+        "__hi", (F.col(ivl_end) / b).cast("long")
+    )
+    # Signed F-lookups: +F(hi-1) and -F(lo) per interval with an
+    # interior. Query superbins clamp into the populated range so the
+    # boundary cases (query before any point -> 0, after all -> total)
+    # fall out of the same window arithmetic.
+    queries = (
+        ivl.filter(F.col("__hi") >= F.col("__lo") + 2)
+        .select(
+            F.col(ivl_chrom).alias("__c"),
+            *group_cols,
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("__hi") - 1).alias("__bin"),
+                        F.lit(1).alias("__sign"),
+                    ),
+                    F.struct(
+                        F.col("__lo").alias("__bin"), F.lit(-1).alias("__sign")
+                    ),
+                )
+            ).alias("__q"),
+        )
+        .select("__c", *group_cols, "__q.__bin", "__q.__sign")
+        .join(F.broadcast(sb_range), on="__c", how="inner")
+        .withColumn(
+            "__sb",
+            F.greatest(
+                F.least(F.floor(F.col("__bin") / sbw).cast("long"), F.col("__sbmax")),
+                F.col("__sbmin"),
+            ),
+        )
+        .drop("__sbmin", "__sbmax")
+    )
+    merged = bin_counts.select(
+        "__c",
+        "__sb",
+        "__bin",
+        "__bn",
+        F.lit(0).alias("__isq"),
+        F.lit(0).alias("__sign"),
+        *[F.lit(None).cast(queries.schema[c].dataType).alias(c) for c in group_cols],
+    ).unionByName(
+        queries.select(
+            "__c",
+            "__sb",
+            "__bin",
+            F.lit(None).cast("long").alias("__bn"),
+            F.lit(1).alias("__isq"),
+            "__sign",
+            *group_cols,
+        )
+    )
+    # One ordered sum per (chrom, superbin): query rows sort after the
+    # bin row of the same bin (__isq tiebreak), so the running sum at a
+    # query row is the within-superbin prefix INCLUSIVE of its bin.
+    w_local = (
+        Window.partitionBy("__c", "__sb")
+        .orderBy("__bin", "__isq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lookups = (
+        merged.withColumn("__local", F.coalesce(F.sum("__bn").over(w_local), F.lit(0)))
+        .filter(F.col("__isq") == 1)
+        .join(sb_cum, on=["__c", "__sb"], how="inner")
+        .select(
+            *group_cols,
+            (F.col("__sign") * (F.col("__local") + F.col("__sbcum"))).alias(
+                "__contrib"
+            ),
+        )
+    )
+    edge_bins = ivl.withColumn(
+        "__ibin", F.explode(F.array_distinct(F.array("__lo", "__hi")))
+    )
+    edges = (
+        edge_bins.join(
+            pts,
+            on=(edge_bins[ivl_chrom] == pts["__c"]) & (edge_bins["__ibin"] == pts["__bin"]),
+        )
+        .filter((F.col("__p") >= F.col(ivl_start)) & (F.col("__p") <= F.col(ivl_end)))
+        .select(*group_cols, F.lit(1).alias("__contrib"))
+    )
+    # Signed lookups net to 0 for groups with no overlapping points;
+    # dropping them restores the inner-join parity of the pair forms
+    # (every per-interval term is non-negative, so 0 == no matches).
+    return (
+        lookups.unionByName(edges)
+        .groupBy(*group_cols)
+        .agg(F.sum("__contrib").alias(count_col))
+        .filter(F.col(count_col) > 0)
+    )
+
+
+def interval_count_adaptive(
+    points: DataFrame,
+    intervals: DataFrame,
+    group_cols: list[str],
+    tuned_bin: int = 50,
+    max_points_per_bin: int = 1000,
+    point_chrom: str = "rname",
+    point_pos: str = "pos",
+    ivl_chrom: str = "chrom",
+    ivl_start: str = "start",
+    ivl_end: str = "end",
+    count_col: str = "n",
+    target_points_per_bin: int = 273,
+) -> DataFrame:
+    """Stats-driven physical choice between the two exact
+    interval-COUNT forms — the same move Catalyst makes between
+    broadcast and sort-merge, applied where it can't see the cost:
+
+    - sparse (points-per-bin at ``tuned_bin`` <= ``max_points_per_bin``):
+      ``interval_count_binned`` at the swept fixed width — lowest
+      constant factor, measured fastest up to ~1000 points/bin;
+    - dense: ``interval_count_prefix`` with a density-matched width —
+      linear where the explode-interior form grows with
+      points-per-bin (384x wall at 100x replication vs 18s for the
+      prefix form on the same data).
+
+    The decision inputs are one min/max aggregate over the interval
+    dim and one pushed-down-range count of the points that can match
+    at all — the two scalar jobs the "auto" width needs anyway; their
+    result feeds the prefix width directly so nothing is computed
+    twice. Both forms are bit-identical for any width, so the switch
+    moves only the physical plan."""
+    lo, hi = intervals.agg(F.min(ivl_start), F.max(ivl_end)).first()
+    points = points.filter(
+        (F.col(point_pos) >= F.lit(lo)) & (F.col(point_pos) <= F.lit(hi))
+    )
+    n_pts = points.count()
+    domain = max(1.0, float(hi) - float(lo))
+    kw = dict(
+        point_chrom=point_chrom,
+        point_pos=point_pos,
+        ivl_chrom=ivl_chrom,
+        ivl_start=ivl_start,
+        ivl_end=ivl_end,
+        count_col=count_col,
+    )
+    if n_pts * tuned_bin / domain <= max_points_per_bin:
+        return interval_count_binned(
+            points, intervals, group_cols, bin_size=tuned_bin, **kw
+        )
+    width = max(1, round(target_points_per_bin * domain / max(n_pts, 1)))
+    return interval_count_prefix(
+        points, intervals, group_cols, bin_size=width, **kw
+    )
+
+
 def band_classify(
     fact: DataFrame,
     bands: DataFrame,

@@ -84,6 +84,38 @@ def test_interval_count_binned_matches_join_count(spark):
         assert got == expected, (bs, got, expected)
 
 
+def test_interval_count_prefix_and_adaptive_match_join_count(spark):
+    """The prefix-sum form (two-level cumulative + signed F-lookups)
+    and the stats dispatcher must both agree with the explode form,
+    across bin widths and a superbin width small enough to force
+    cross-superbin lookups; the dispatcher must route each density
+    regime to the intended physical form."""
+    al = fx.alignments(spark)
+    ftg = fx.features(spark).withColumn("gene_id", F.col("attributes")["gene_id"])
+    expected = sorted(
+        (r.gene_id, r.n)
+        for r in jn.interval_count_binned(al, ftg, ["gene_id"], bin_size=500).collect()
+    )
+    for bs, sb in ((7, 4), (100, 4096), ("auto", 16)):
+        got = sorted(
+            (r.gene_id, r.n)
+            for r in jn.interval_count_prefix(
+                al, ftg, ["gene_id"], bin_size=bs, superbin_bins=sb
+            ).collect()
+        )
+        assert got == expected, (bs, sb, got, expected)
+    # Sparse fixture -> binned route; forcing the threshold to 0 points
+    # per bin -> prefix route; both exact.
+    for thresh in (1000, 0):
+        got = sorted(
+            (r.gene_id, r.n)
+            for r in jn.interval_count_adaptive(
+                al, ftg, ["gene_id"], max_points_per_bin=thresh
+            ).collect()
+        )
+        assert got == expected, (thresh, got, expected)
+
+
 def test_gene_read_count_unstranded(spark):
     al = fx.alignments(spark)
     ft = fx.features(spark).filter(F.col("feature") == "exon")

@@ -86,6 +86,16 @@ def test_interval_count_rewrite_equals_join_count(spark, points, intervals, bin_
         for r in jn.interval_count_binned(pts, ivl, ["gid"], bin_size=bin_size).collect()
     )
     assert got == expected, (bin_size, got, expected)
+    # The prefix-sum form must agree too; superbin_bins=3 forces the
+    # two-level cumulative across superbin boundaries and the dense
+    # gap/clamp paths (intervals here extend past the point domain).
+    got_prefix = sorted(
+        (r.gid, r.n)
+        for r in jn.interval_count_prefix(
+            pts, ivl, ["gid"], bin_size=bin_size, superbin_bins=3
+        ).collect()
+    )
+    assert got_prefix == expected, (bin_size, got_prefix, expected)
 
 
 @given(
