@@ -604,31 +604,59 @@ def fuzzy_match_pairs(
     good blocking key (prefix, soundex, sorted-token signature) bounds
     each comparison set to a bucket.
 
-    Scale contract: the self-join is an EQUI-join on the block key —
-    pair explosion is bounded by max bucket size squared, never |T|².
-    Levenshtein runs JVM-side in codegen on the surviving candidates
-    only. Skewed blocks are the operator's known hazard: profile with
-    skew_profile and tighten the key (or salt-and-recheck) before
-    running corpus-wide. Output: (id_a, id_b, dist), id_a < id_b."""
+    Scale contract: the self-join is an EQUI-join on the block key,
+    and — because edit distance is a pure function of the two names —
+    it runs over DISTINCT (name, block) values only: rows collapse to
+    their value group first, levenshtein evaluates once per distinct
+    name pair (never once per row pair), and the answer fans back out
+    through equi-joins — cross-name member products for matched name
+    pairs, within-group id pairs at dist 0. A bucket holding 10^4
+    copies of one hot name costs one comparison plus its output-sized
+    fan-out instead of 10^8 levenshtein calls (the 100x-replication
+    sweep caught exactly that: the row-pair form ran >25 min where
+    this form is output-bound). Residual hazard is a block with many
+    DISTINCT near-identical names: profile with skew_profile and
+    tighten the key before running corpus-wide. Output:
+    (id_a, id_b, dist), id_a < id_b."""
+    # One checkpointed 3-column projection feeds the value-group
+    # distinct, both fan-out sides, and the within-group pairing —
+    # without it the source is scanned six times (setsim_prefix_join
+    # precedent for its token table).
     keyed = df.select(
-        F.col(id_col), F.col(name_col), block.alias("__blk")
-    )
-    a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__blk"
-    )
-    b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__blk"
-    )
-    return (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("__na"), F.col("__nb")).alias("dist"),
-        )
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__n"), block.alias("__blk")
+    ).localCheckpoint(eager=True)
+    groups = keyed.select("__n", "__blk").distinct()
+    ga = groups.select(F.col("__n").alias("__na"), "__blk")
+    gb = groups.select(F.col("__n").alias("__nb"), "__blk")
+    name_pairs = (
+        ga.join(gb, "__blk")
+        .filter(F.col("__na") < F.col("__nb"))
+        .withColumn("dist", F.levenshtein("__na", "__nb"))
         .filter(F.col("dist") <= max_dist)
     )
+    ma = keyed.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na"), "__blk")
+    mb = keyed.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb"), "__blk")
+    cross = (
+        name_pairs.join(ma, ["__blk", "__na"])
+        .join(mb, ["__blk", "__nb"])
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "dist",
+        )
+    )
+    within = (
+        ma.join(
+            mb.withColumnRenamed("__nb", "__na"), ["__blk", "__na"]
+        )
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def exact_dup_rate(

@@ -502,6 +502,8 @@ def test_fuzzy_match_blocked_pairs(spark):
             (3, "smithe"),  # dist 1 from smith, same block
             (4, "zmith"),   # dist 1 from smith but block 'z' — never compared
             (5, "stone"),   # same block, dist > 1 from all
+            (6, "smith"),   # exact duplicate of 1: dist-0 within pair
+                            # plus fan-out to smyth/smithe
         ],
         "id long, name string",
     )
@@ -511,7 +513,13 @@ def test_fuzzy_match_blocked_pairs(spark):
             df, "id", "name", block=F.substring("name", 1, 1), max_dist=1
         ).collect()
     }
-    assert pairs == {(1, 2): 1, (1, 3): 1}
+    assert pairs == {
+        (1, 2): 1,
+        (1, 3): 1,
+        (1, 6): 0,
+        (2, 6): 1,
+        (3, 6): 1,
+    }
 
 
 def test_cooccurrence_counts_and_heavy_cap(spark):
