@@ -1193,6 +1193,61 @@ def collapse_exact_text(
     return groups, members
 
 
+def setsim_prefix_join_collapsed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The full exact Jaccard pair list (same contract as
+    setsim_prefix_join) with exact duplicates collapsed BEFORE
+    candidate generation. Jaccard is a pure function of the text, so
+    the prefix join runs over DISTINCT content only and the full pair
+    list is recovered by fan-out:
+
+    - cross-group: member(A) × member(B) for each matched
+      representative pair, carrying its jaccard — one equi-join per
+      side, output-sized;
+    - within-group: C(m, 2) id pairs at jaccard 1.0 per non-empty
+      duplicate group (docs with < shingle_n words have an empty
+      shingle set and undefined 0/0 Jaccard — they never pair, which
+      the __has_sh flag preserves).
+
+    Same output set as the uncollapsed form; what changes is the
+    CANDIDATE mass: with m-member duplicate groups the raw prefix
+    join shuffles ~m² candidate rows per distinct pair BEFORE
+    verification — at 100x replication (m=100) that filled 75 GB of
+    shuffle disk and died, while this form's pre-verify work is
+    proportional to distinct content and its output to true pairs."""
+    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    reps = groups.select(F.col("__rep").alias(id_col), text_col)
+    rep_pairs = setsim_prefix_join(reps, id_col, text_col, threshold, shingle_n)
+    ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
+    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
+    within = (
+        wa.join(wb, "__rep")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def setsim_clusters_collapsed(
     docs: DataFrame,
     id_col: str = "doc_id",

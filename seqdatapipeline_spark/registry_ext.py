@@ -3322,8 +3322,11 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l-⌈t·l⌉+1 shingles under the canonical md5 order (computed
     map-side INSIDE each row — no corpus-sized rank join), then a
     length filter, then exact array_intersect verification over
-    survivors only. The recall guarantee LSH banding cannot give."""
-    return dd.setsim_prefix_join(
+    survivors only. The recall guarantee LSH banding cannot give.
+    Runs over distinct content with member fan-out
+    (setsim_prefix_join_collapsed) so duplicate groups cost one
+    verification, not a quadratic candidate shuffle."""
+    return dd.setsim_prefix_join_collapsed(
         _t(spark, sf_dir, "documents"), threshold=0.7, shingle_n=3
     )
 

@@ -417,6 +417,14 @@ def test_setsim_prefix_join_equals_brute_force(spark, docs, threshold):
         if j >= threshold:
             expected[(a, b)] = round(j, 6)
     assert got == expected
+    # The collapsed form (distinct-content join + member fan-out) must
+    # produce the identical pair set — duplicate texts are common under
+    # this generator, exercising the within-group 1.0 branch.
+    got_collapsed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.setsim_prefix_join_collapsed(df, threshold=threshold).collect()
+    }
+    assert got_collapsed == expected
 
 
 @given(
