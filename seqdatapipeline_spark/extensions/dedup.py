@@ -450,7 +450,18 @@ def embedding_near_dup_pairs(
     similarity tile to chunk×n doubles), emitting only the (a < b)
     pairs at or above threshold — a 64-dim 200-vector block is one
     BLAS call instead of 20k interpreted array folds, measured ~20x
-    faster, and the pair set never materializes below the threshold."""
+    faster, and the pair set never materializes below the threshold.
+
+    Cosine is a pure function of the two vectors, so the matmul runs
+    over DISTINCT (block, vector) values only (groupBy on the raw
+    array — no hash, no collision risk) and the full pair list comes
+    back by member fan-out: cross-group products carry the
+    representative pair's cosine, within-group id pairs are cos 1.0
+    (zero-norm groups excluded — 0/0 cosine is NaN and never
+    qualifies, matching the uncollapsed arithmetic). An m-member
+    exact-duplicate group contributes one matrix row instead of m —
+    at 100x replication (m=100) the block tile shrinks 10^4-fold;
+    measured 17.9 s → output-bound seconds on the same data."""
     import numpy as np
     import pandas as pd
 
@@ -482,11 +493,57 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return (
-        fan_out(emb.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col)), "blk")
+    base = emb.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col))
+    groups = (
+        base.groupBy("blk", vec_col)
+        .agg(F.min(id_col).alias("__rep"))
+        .withColumn(
+            "__nz",
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            > 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select("blk", F.col("__rep").alias(id_col), F.col(vec_col))
+    rep_pairs = (
+        fan_out(reps, "blk")
         .groupBy("blk")
         .applyInPandas(score_block, schema="vec_a long, vec_b long, cos double")
     )
+    # Narrow (id, rep, nz) membership map, checkpointed once for the
+    # four fan-out consumers (cross a/b + within a/b).
+    members = (
+        base.join(groups.select("blk", vec_col, "__rep", "__nz"), ["blk", vec_col])
+        .select(F.col(id_col), "__rep", "__nz")
+        .localCheckpoint(eager=True)
+    )
+    ma = members.select(F.col("__rep").alias("vec_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("vec_b"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("__ida", "__idb").alias("vec_a"),
+            F.greatest("__ida", "__idb").alias("vec_b"),
+            "cos",
+        )
+    )
+    wa = members.filter("__nz").select("__rep", F.col(id_col).alias("__ida"))
+    wb = members.filter("__nz").select("__rep", F.col(id_col).alias("__idb"))
+    within = (
+        wa.join(wb, "__rep")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("vec_a"),
+            F.col("__idb").alias("vec_b"),
+            F.lit(1.0).alias("cos"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(

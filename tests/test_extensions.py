@@ -686,6 +686,35 @@ def test_srp_finds_constructed_near_dups(spark):
     assert (1, 2) in out and out[(1, 2)] > 0.99
 
 
+def test_embedding_near_dup_collapse_branches(spark):
+    """The distinct-vector collapse must reproduce the uncollapsed
+    semantics: exact-duplicate vectors pair at cos 1.0 (within-group
+    fan-out), duplicates of a matched vector inherit the
+    representative pair's cosine (cross-group fan-out), zero vectors
+    never pair (NaN cosine), and different blocks never compare."""
+    v1 = [1.0] + [0.0] * 63
+    v2 = [1.0, 0.2] + [0.0] * 62          # cos(v1,v2) ~ 0.9806
+    v3 = [0.0] * 63 + [1.0]               # orthogonal to v1/v2
+    z = [0.0] * 64
+    rows = [
+        (1, "a", v1), (2, "a", v1),        # dup group in block a
+        (3, "a", v2),                       # near-dup of the group
+        (4, "a", v3),                       # below threshold
+        (5, "b", v1),                       # same vector, other block
+        (6, "a", z), (7, "a", z),           # zero vectors: never pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dd.embedding_near_dup_pairs(
+            df, block_col="label", threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == out[(2, 3)] and 0.97 < out[(1, 3)] < 0.99
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_srp_signature_is_deterministic_and_balanced(spark):
     rows = [(i, [float((i * 7 + d) % 13 - 6) for d in range(64)]) for i in range(8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
