@@ -52,6 +52,7 @@ TABLES = {
 
 OPS = [
     "feature_interval_join",
+    "metrics_interval_join",
     "gene_read_count",
     "dedup_alignments",
     "fragment_length_histogram",
