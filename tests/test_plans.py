@@ -454,3 +454,32 @@ def test_skew_router_join_broadcasts_hot_hash(spark):
     # the viral hash is attributed correctly through the broadcast path
     hot_row = routed.filter(F.col("doc_id") == 0).collect()[0]
     assert hot_row.n_copies == 36_000
+
+
+def test_interval_count_prefix_plan_has_no_interior_explode(spark):
+    """The prefix-sum form must not regress to the explode-interior
+    shape: no per-interval sequence() explode of interior bins (the
+    term that is intervals x bins-per-interval — quadratic when bins
+    shrink with density), and the cumulative windows must be keyed by
+    (chrom, superbin), never an unpartitioned corpus window. The
+    dense superbin range IS materialized by one bounded sequence()
+    over the per-chrom min/max row — assert the interior explode
+    specifically, not sequence() generally."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops import joins as jn
+
+    pts = spark.range(10_000).select(
+        F.lit("c").alias("rname"), (F.col("id") % 997).cast("double").alias("pos")
+    )
+    ivl = spark.range(200).select(
+        F.lit("c").alias("chrom"),
+        F.col("id").alias("gid"),
+        (F.col("id") % 50).cast("double").alias("start"),
+        ((F.col("id") % 50) + 100).cast("double").alias("end"),
+    )
+    plan = _plan(jn.interval_count_prefix(pts, ivl, ["gid"], bin_size=2))
+    assert "sequence((__lo" not in plan, plan[:3000]
+    # both cumulative windows ride the superbin key
+    assert "__sb" in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "__sbmin" in plan
