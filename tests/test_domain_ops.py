@@ -116,6 +116,43 @@ def test_interval_count_prefix_and_adaptive_match_join_count(spark):
         assert got == expected, (thresh, got, expected)
 
 
+def test_interval_count_adaptive_empty_intervals(spark):
+    """Empty interval dim (min/max aggregate yields NULLs) must return
+    an empty frame of the grouped schema, not TypeError on float(None)
+    — parity with what interval_count_binned always did."""
+    al = fx.alignments(spark)
+    ftg = (
+        fx.features(spark)
+        .withColumn("gene_id", F.col("attributes")["gene_id"])
+        .filter(F.lit(False))
+    )
+    out = jn.interval_count_adaptive(al, ftg, ["gene_id"])
+    assert out.count() == 0
+    assert set(out.columns) == {"gene_id", "n"}
+
+
+def test_interval_count_prefix_bounds_passthrough(spark):
+    """Precomputed (lo, hi, n_pts) bounds must skip the internal
+    min/max + re-filter and still produce the exact result when the
+    caller pre-filtered points to [lo, hi]."""
+    al = fx.alignments(spark)
+    ftg = fx.features(spark).withColumn("gene_id", F.col("attributes")["gene_id"])
+    expected = sorted(
+        (r.gene_id, r.n)
+        for r in jn.interval_count_binned(al, ftg, ["gene_id"], bin_size=500).collect()
+    )
+    lo, hi = ftg.agg(F.min("start"), F.max("end")).first()
+    al_f = al.filter((F.col("pos") >= F.lit(lo)) & (F.col("pos") <= F.lit(hi)))
+    n = al_f.count()
+    got = sorted(
+        (r.gene_id, r.n)
+        for r in jn.interval_count_prefix(
+            al_f, ftg, ["gene_id"], bin_size="auto", bounds=(lo, hi, n)
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_gene_read_count_unstranded(spark):
     al = fx.alignments(spark)
     ft = fx.features(spark).filter(F.col("feature") == "exon")
