@@ -44,13 +44,26 @@ CANARIES = [
     "semdedup_prune",         # data selection
 ]
 
-# Never-checked queries to front-load before registry-order fill —
-# list ops whose implementation changed this round here, so the
-# driver externally verifies the NEW code path immediately.
+# Already-checked queries whose implementation changed this round:
+# re-verify the NEW code path externally even though an older round
+# passed them (placed right after the canaries).
+RECHECK = [
+    "setsim_prefix_join",     # r6: df-order prefix + positional filter
+    "setsim_clusters",        # r6: same pipeline + late dedupe
+]
+
+# Never-checked queries to front-load before registry-order fill.
+# r6: the 16 SURVEY §2.8 scalars (core reference surface, never in a
+# driver window), the pipeline composites (the reference's actual
+# user-facing loop), and the two streaming-tier locals.
 FRONT = [
-    "setsim_clusters",        # r5: exact-dup pre-collapse rewrite
-    "lsh_recall_metrics",     # r5: arithmetic count decomposition
-    "decontaminate_ngram",    # r5: train-side rep collapse
+    "strip_fastq_suffix", "common_prefix_pair_key", "xml_tag_extract",
+    "username_from_email", "basename", "csv_join_split", "key_concat",
+    "mate_number_parse", "abs_int_cast", "format_fixed6", "date_stamp",
+    "elapsed_hours", "octal_mode_parse", "chr_decode", "reversed_join",
+    "sci_notation_num",
+    "pipeline_rna", "pipeline_chip", "pipeline_atac",
+    "stream_minhash_dedup", "stream_session_windows",
 ]
 
 
@@ -63,14 +76,22 @@ def main() -> None:
         with open(path) as f:
             checked |= set(json.load(f))
     never = [n for n in registered if n not in checked]
-    front = [n for n in FRONT if n in never and n not in CANARIES]
-    rest = [n for n in never if n not in CANARIES and n not in front]
-    fill = (front + rest)[: WINDOW - len(CANARIES)]
+    recheck = [n for n in RECHECK if n in registered and n not in CANARIES]
+    front = [
+        n for n in FRONT if n in never and n not in CANARIES and n not in recheck
+    ]
+    rest = [
+        n
+        for n in never
+        if n not in CANARIES and n not in front and n not in recheck
+    ]
+    fill = (recheck + front + rest)[: WINDOW - len(CANARIES)]
     window = CANARIES + fill
+    n_new = len([n for n in fill if n in never])
     print(f"# registered={len(registered)} ever-checked={len(checked)} "
           f"never-checked={len(never)}")
-    print(f"# window: {len(CANARIES)} canaries + {len(fill)} rotation; "
-          f"{len(never) - len(fill)} still waiting after this round")
+    print(f"# window: {len(CANARIES)} canaries + {len(recheck)} rechecks + "
+          f"{n_new} first-time; {len(never) - n_new} still waiting")
     print("_PRIORITY = [")
     for n in window:
         print(f'    "{n}",')

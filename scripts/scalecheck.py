@@ -176,8 +176,13 @@ def build_scaled(spark) -> None:
     only = {t for t in _ONLY.split(",") if t} or set(TABLES)
     for name, (key, stride) in TABLES.items():
         out = os.path.join(SCALED, f"{name}.parquet")
-        if os.path.exists(out):
-            continue
+        # lexists: a dangling symlink (BASE moved / SPARK_GRAFT_SF_DIR
+        # changed between runs) fails os.path.exists but still blocks
+        # os.symlink — unlink and rebuild instead of crashing.
+        if os.path.lexists(out):
+            if os.path.exists(out):
+                continue
+            os.unlink(out)
         src = os.path.join(BASE, f"{name}.parquet")
         if name not in only:
             os.symlink(src, out)

@@ -532,6 +532,10 @@ def embedding_near_dup_pairs(
             "cos",
         )
     )
+    # Degenerate threshold > 1.0 admits nothing (cos caps at 1.0 for
+    # identical vectors), matching the uncollapsed form.
+    if threshold > 1.0:
+        return cross
     wa = members.filter("__nz").select("__rep", F.col(id_col).alias("__ida"))
     wb = members.filter("__nz").select("__rep", F.col(id_col).alias("__idb"))
     within = (
@@ -702,6 +706,11 @@ def fuzzy_match_pairs(
             "dist",
         )
     )
+    # Degenerate max_dist < 0 admits nothing (the uncollapsed form's
+    # levenshtein <= max_dist filter rejects even identical strings),
+    # so the dist=0 within-group fan-out must not emit either.
+    if max_dist < 0:
+        return cross
     within = (
         ma.join(
             mb.withColumnRenamed("__nb", "__na"), ["__blk", "__na"]
@@ -1118,37 +1127,79 @@ def setsim_prefix_join(
     ZERO false negatives — the complement to LSH, whose banding
     trades recall for speed. The filter chain:
 
-    1. impose a canonical global token order — md5(token): prefix
-       filtering is correct under ANY fixed total order, and the hash
-       order is computable INSIDE each row (array_sort over
-       (md5, token) structs — a narrow map), where a frequency-rank
-       order would cost a corpus-sized explode + vocab join + per-doc
-       window before candidates even exist. The hash behaves as a
-       random permutation, so prefix buckets stay near the mean token
-       frequency rather than the stopword head;
+    1. impose the canonical PPJoin global token order — ascending
+       document frequency, ties by term: prefix filtering is correct
+       under ANY fixed total order, but the order decides how many
+       FALSE candidates the prefix join emits. Under a hash (random)
+       order — the r5 plan — prefixes hold average-frequency tokens,
+       and shared boilerplate shingles put pairs of unrelated docs in
+       the same bucket: measured 68k distinct candidates for 241 true
+       pairs at sf0.1. Rarest-first pushes corpus-common shingles out
+       of every prefix, so collisions concentrate on genuinely rare
+       shared content (measured ~300 candidates on the same data).
+       Cost: one map-combinable groupBy(term) for the df table + one
+       join-back over the token mass — linear shuffles; the join-back
+       rides skew_router_join so a viral boilerplate shingle
+       broadcasts instead of pinning one reducer — + one groupBy(id)
+       to re-collect the sorted arrays. Worth it at every scale: the
+       candidate mass this kills feeds TWO shuffles (distinct +
+       verify) and the array_intersect verify compute;
     2. a pair with Jaccard ≥ t must share a token among each side's
        first  l - ⌈t·l⌉ + 1  tokens of that order (the prefix) —
        candidates come from an equi-join on PREFIX tokens only, so
        only ~(1-t) of each doc's tokens are ever exploded;
-    3. length filter: min(|A|,|B|) ≥ t·max(|A|,|B|);
-    4. exact verification by array_intersect on the full sets —
+    3. length filter min(|A|,|B|) ≥ t·max(|A|,|B|) — applied on the
+       joined prefix rows themselves (each explode row carries its
+       doc's length), BEFORE the candidate distinct shuffle;
+    4. PPJoin positional filter: a prefix row matching A at position
+       pa and B at pb bounds the overlap by 1 + min(|A|-pa, |B|-pb)
+       (for the EARLIEST common prefix token nothing common precedes
+       it — arrays share one global order — so the bound is exact
+       there, and a qualifying pair therefore always keeps its
+       first-match row: per-row pruning has zero false negatives).
+       Jaccard ≥ t needs overlap ≥ t·(|A|+|B|)/(1+t); rows whose
+       bound can't reach that die map-side, ahead of the same
+       distinct shuffle — the filter that cuts the candidate-pair
+       mass the r5 plan shuffled in full;
+    5. exact verification by array_intersect on the full sets —
        only over surviving candidates.
 
     The token-array table is checkpointed once and feeds the prefix
-    explode, the size table, and both verify sides."""
-    keyed = F.array_sort(
-        F.transform(
-            F.col("__raw"),
-            lambda t: F.struct(F.md5(t).alias("h"), t.alias("term")),
+    explode, the size table, and both verify sides. Docs with an
+    empty shingle set drop out at the explode — they can never pair
+    (undefined Jaccard), matching the previous plan's output."""
+    from ..ops.joins import skew_router_join
+
+    # Materialize the shingle arrays BEFORE the explode: a Generate
+    # whose generator child holds the higher-order shingle expression
+    # can't whole-stage-codegen, and the interpreted path loses
+    # common-subexpression elimination — split(text) re-evaluates per
+    # element_at, measured 3.5s vs 0.15s for the same expression
+    # inside a codegen'd projection at sf0.1.
+    raw = (
+        fan_out(docs, id_col)
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__raw")
         )
+        .localCheckpoint(eager=True)
     )
-    toks = fan_out(docs, id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__raw")
-    ).select(
-        F.col(id_col),
-        F.col("__raw").alias("__ts"),
-        keyed.alias("__keyed"),
-    ).localCheckpoint(eager=True)
+    tok = raw.select(F.col(id_col), F.explode("__raw").alias("term"))
+    df_tbl = tok.groupBy("term").agg(F.count("*").alias("__df"))
+    ranked = skew_router_join(tok, df_tbl, on="term", hot_col="__df")
+    toks = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("term")))
+            ).alias("__keyed")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__keyed"), lambda s: s["term"]).alias("__ts"),
+            F.col("__keyed"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sizes = toks.select(
         F.col(id_col), F.size("__ts").cast("long").alias("__l"), F.col("__ts")
     )
@@ -1159,35 +1210,60 @@ def setsim_prefix_join(
     ).cast("int")
     pref = toks.select(
         F.col(id_col),
-        F.explode(
+        F.size("__keyed").cast("long").alias("__l"),
+        F.posexplode(
             F.transform(F.slice("__keyed", F.lit(1), plen), lambda s: s["term"])
-        ).alias("term"),
+        ).alias("__p0", "term"),
+    ).select(F.col(id_col), "__l", (F.col("__p0") + 1).alias("__p"), "term")
+    pa = pref.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__l").alias("__la"),
+        F.col("__p").alias("__pa"),
+        "term",
     )
-    pa = pref.select(F.col(id_col).alias("doc_a"), "term")
-    pb = pref.select(F.col(id_col).alias("doc_b"), "term")
+    pb = pref.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__l").alias("__lb"),
+        F.col("__p").alias("__pb"),
+        "term",
+    )
+    # Overlap upper bound at this match row; 1e-9 slack keeps float
+    # rounding from ever pruning a boundary-equal pair (looser never
+    # breaks exactness — verification is still the full intersect).
+    ubound = 1 + F.least(
+        F.col("__la") - F.col("__pa"), F.col("__lb") - F.col("__pb")
+    )
+    need_reachable = (
+        (F.lit(1.0) + F.lit(threshold)) * ubound
+        >= F.lit(threshold) * (F.col("__la") + F.col("__lb")) - F.lit(1e-9)
+    )
+    # Dedupe LATE: a pair reaches verification once per shared prefix
+    # token (multiplicity bounded by prefix length and, under the
+    # rarest-first order, ≈1 in practice), so verifying the slightly
+    # redundant row stream and distinct-ing the tiny QUALIFIED output
+    # is cheaper than a distinct shuffle over the full candidate mass
+    # before the verify joins (measured 1.3s -> 0.6s at sf0.1).
+    # Lengths ride the candidate rows from the prefix explode, so the
+    # verify joins fetch only the token arrays.
     cand = (
         pa.join(pb, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .filter(
+            F.least("__la", "__lb") >= F.lit(threshold) * F.greatest("__la", "__lb")
+        )
+        .filter(need_reachable)
+        .select("doc_a", "doc_b", "__la", "__lb")
     )
-    sa = sizes.select(
-        F.col(id_col).alias("doc_a"), F.col("__l").alias("__la"), F.col("__ts").alias("__tsa")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("doc_b"), F.col("__l").alias("__lb"), F.col("__ts").alias("__tsb")
-    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("__ts").alias("__tsa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__ts").alias("__tsb"))
     inter = F.size(F.array_intersect("__tsa", "__tsb")).cast("double")
     jac = inter / (F.col("__la") + F.col("__lb") - inter)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(
-            F.least("__la", "__lb")
-            >= F.lit(threshold) * F.greatest("__la", "__lb")
-        )
         .filter(jac >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .distinct()
     )
 
 
@@ -1291,6 +1367,10 @@ def setsim_prefix_join_collapsed(
             "jaccard",
         )
     )
+    # Degenerate threshold > 1.0 admits nothing (Jaccard caps at 1.0
+    # for identical sets), matching the uncollapsed form.
+    if threshold > 1.0:
+        return cross
     wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
     wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
     within = (

@@ -520,6 +520,15 @@ def test_fuzzy_match_blocked_pairs(spark):
         (2, 6): 1,
         (3, 6): 1,
     }
+    # Degenerate max_dist < 0 admits nothing — including exact
+    # duplicates, whose within-group fan-out previously emitted dist=0
+    # pairs unconditionally.
+    assert (
+        dd.fuzzy_match_pairs(
+            df, "id", "name", block=F.substring("name", 1, 1), max_dist=-1
+        ).count()
+        == 0
+    )
 
 
 def test_cooccurrence_counts_and_heavy_cap(spark):
@@ -713,6 +722,22 @@ def test_embedding_near_dup_collapse_branches(spark):
     assert out[(1, 2)] == 1.0
     assert out[(1, 3)] == out[(2, 3)] and 0.97 < out[(1, 3)] < 0.99
     assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    # Degenerate threshold > 1.0 admits nothing — cos caps at 1.0, so
+    # the within-group cos=1.0 fan-out must be gated too.
+    assert (
+        dd.embedding_near_dup_pairs(df, block_col="label", threshold=1.1).count()
+        == 0
+    )
+
+
+def test_setsim_collapsed_degenerate_threshold(spark):
+    """threshold > 1.0 admits nothing (Jaccard caps at 1.0): the
+    within-group jaccard=1.0 fan-out must be gated like the
+    uncollapsed verify filter."""
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dd.setsim_prefix_join_collapsed(df, threshold=1.1).count() == 0
+    assert dd.setsim_prefix_join_collapsed(df, threshold=1.0).count() == 3
 
 
 def test_srp_signature_is_deterministic_and_balanced(spark):
