@@ -59,6 +59,47 @@ HEADLINE = [
     "setsim_clusters",
 ]
 
+# Best-known sf0.1/local[32] wall per query (min over BENCH_r01-r05),
+# pinned when a query first ships so regressions are flagged
+# mechanically instead of by diffing BENCH files (the r5
+# feature_interval_join +39% was only caught by a manual diff). A
+# query > REGRESSION_FACTOR x its pin lands in the output's
+# "regressions" map; the table lives in BASELINE.md too. Only applies
+# at sf=0.1 — other scale factors skip the check.
+REGRESSION_FACTOR = 1.5
+BEST_KNOWN = {
+    "ann_topk_cosine": 0.380,          # r5
+    "asof_latest_event": 0.224,        # r5
+    "corpus_prepare": 0.553,           # r5
+    "coverage_bin_count": 0.152,       # r4
+    "dedup_alignments": 0.388,         # r4
+    "dedup_clusters": 0.888,           # r2
+    "dedup_exact": 0.130,              # r5
+    "dedup_minhash_lsh": 0.730,        # r4
+    "dsir_importance_weights": 0.671,  # r5
+    "feature_interval_join": 0.778,    # r4
+    "fragment_length_histogram": 0.178,  # r4
+    "gene_read_count": 0.167,          # r4
+    "group_route_jobs": 0.223,         # r4
+    "incremental_ingest_dedup": 0.770,  # r4
+    "ivf_pq_topk": 1.116,              # r5
+    "kmeans_assign": 0.439,            # r4
+    "metrics_interval_join": 0.469,    # r4
+    "pack_sequences": 0.311,           # r4
+    "pagerank_iter": 2.416,            # r4
+    "pe_mate_join": 0.446,             # r2
+    "peak_call": 0.269,                # r4
+    "qc_read_stats": 0.120,            # r4
+    "quality_percentile_by_source": 0.818,  # r4
+    "rollup_time_bucket": 0.199,       # r4
+    "semdedup_prune": 1.867,           # r4
+    "setsim_clusters": 3.496,          # r6 rewrite
+    "setsim_prefix_join": 1.726,       # r6 rewrite
+    "text_quality_score": 0.211,       # r5
+    "token_count": 0.202,              # r5
+    "vocab_top_terms": 0.347,          # r4
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,14 +164,22 @@ def main() -> None:
         timings[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
-    }))
+    }
+    if sf == 0.1:
+        out["regressions"] = {
+            name: {"sec": t, "pinned": BEST_KNOWN[name],
+                   "ratio": round(t / BEST_KNOWN[name], 2)}
+            for name, t in timings.items()
+            if name in BEST_KNOWN and t > REGRESSION_FACTOR * BEST_KNOWN[name]
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
