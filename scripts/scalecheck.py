@@ -189,13 +189,23 @@ def build_scaled(spark) -> None:
             print(f"linked {name} x1", flush=True)
             continue
         df = spark.read.parquet(src)
-        copies = [
-            df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(COPIES)
-        ]
-        scaled = copies[0]
-        for c in copies[1:]:
-            scaled = scaled.unionByName(c)
-        scaled.repartition(max(32, COPIES)).write.mode("overwrite").parquet(out)
+        # Replicate via explode(sequence), not a COPIES-way union: the
+        # union plan is COPIES nodes deep and Catalyst analysis alone
+        # takes minutes at 1000x, while one Generate row-multiplies at
+        # scan speed with an identical result (modulo row order).
+        # repartition BEFORE the explode: the sf0.1 sources are
+        # single-split parquet files, so without it the COPIES-fold
+        # row multiplication runs in one task (observed: one core
+        # pinned for minutes at 1000x while 31 idle).
+        scaled = (
+            df.repartition(max(32, min(COPIES, 256)))
+            .withColumn(
+                "__copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+            )
+            .withColumn(key, F.col(key) + F.col("__copy").cast("long") * F.lit(stride))
+            .drop("__copy")
+        )
+        scaled.write.mode("overwrite").parquet(out)
         print(f"built {name} x{COPIES}", flush=True)
 
 

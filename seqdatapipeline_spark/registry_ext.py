@@ -5832,3 +5832,54 @@ def q_filter_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_keep"),
     )
+
+
+@q(
+    "minhash_band_tuner",
+    """
+    WITH f(bands) AS (SELECT unnest(range(1, 13))),
+    shapes AS (
+      SELECT bands::BIGINT AS bands, (12 / bands)::BIGINT AS rows_per_band
+      FROM f WHERE 12 % bands = 0
+    )
+    SELECT 12::BIGINT AS n_hashes, bands, rows_per_band,
+           round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS j50,
+           round(1 - pow(1 - pow(0.5, rows_per_band), bands), 6) AS p_collide_at_05,
+           round(1 - pow(1 - pow(0.7, rows_per_band), bands), 6) AS p_collide_at_07,
+           round(1 - pow(1 - pow(0.9, rows_per_band), bands), 6) AS p_collide_at_09
+    FROM shapes ORDER BY bands
+    """,
+)
+def q_minhash_band_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding calibration table (CALIBRATION.md §1): for every
+    (bands, rows) factorization of the production 12-hash signature,
+    the S-curve landmarks — j50 = (1/b)^(1/r), the Jaccard at 50%
+    collision probability, and the collision probability
+    1-(1-J^r)^b a pair at J ∈ {0.5, 0.7, 0.9} has of becoming an LSH
+    candidate. This is how an operator picks (b, r) BEFORE paying for
+    a corpus pass: choose the row where p_collide at the decision
+    threshold is ~1 and j50 sits safely below it (the shipped 6x2:
+    j50 ≈ 0.408, p@0.7 ≈ 0.987), then confirm with the measured
+    lsh_recall_metrics. Pure arithmetic over a 6-row driver-side
+    range — no table scan; both engines compute identical doubles
+    rounded to 6 dp."""
+    n = 12
+    b = F.col("id").cast("long")
+    r = (F.lit(n) / b).cast("long")
+    j = lambda x: F.round(
+        1 - F.pow(1 - F.pow(F.lit(x), r.cast("double")), b.cast("double")), 6
+    )
+    return (
+        spark.range(1, n + 1)
+        .filter(F.lit(n) % b == 0)
+        .select(
+            F.lit(n).cast("long").alias("n_hashes"),
+            b.alias("bands"),
+            r.alias("rows_per_band"),
+            F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("j50"),
+            j(0.5).alias("p_collide_at_05"),
+            j(0.7).alias("p_collide_at_07"),
+            j(0.9).alias("p_collide_at_09"),
+        )
+        .orderBy("bands")
+    )
