@@ -208,17 +208,24 @@ def decontaminate(
     times, probe/agg mass tracks distinct content instead of paying
     the duplication factor — exactly the same answer, linearly less
     work."""
-    from .dedup import collapse_exact_text, word_shingles
+    from .dedup import collapse_exact_text, word_shingles_of
 
+    # Split bound to a column before each explode: see
+    # dedup.word_shingles_of (Generate runs interpreted without CSE).
     bench_grams = (
         bench.select(F.col(text_col)).distinct()
-        .select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(F.explode(word_shingles_of(F.col("__w"), n)).alias("gram"))
         .distinct()
     )
     groups, members = collapse_exact_text(train, id_col, text_col, n)
     reps = groups.select(F.col("__rep"), F.col(text_col))
-    rep_grams = fan_out(reps, "__rep").select(
-        F.col("__rep"), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    rep_grams = (
+        fan_out(reps, "__rep")
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(
+            F.col("__rep"), F.explode(word_shingles_of(F.col("__w"), n)).alias("gram")
+        )
     )
     # Both sides are distinct per key (word_shingles dedups per doc),
     # so count(*) after the join = |distinct shared n-grams|.
@@ -395,13 +402,19 @@ def ngram_counts(
     bounded vocabulary, never a global sort of the corpus. Documents
     shorter than n words contribute nothing (the when-guard avoids
     Spark's sequence(1, 0) -> [1, 0] negative-step surprise)."""
-    w = F.split(F.col(text_col), " ")
-    hi = (F.size(w) - (n - 1)).cast("int")
+    # Split bound to a column before the explode (Generate runs
+    # interpreted without CSE — see dedup.word_shingles_of).
+    wc = F.col("__w")
+    hi = (F.size(wc) - (n - 1)).cast("int")
     idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
         F.array().cast("array<int>")
     )
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
-    grams = fan_out(docs).select(F.explode(F.transform(idx, gram)).alias("gram"))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(wc, i + k) for k in range(n)])
+    grams = (
+        fan_out(docs)
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(F.explode(F.transform(idx, gram)).alias("gram"))
+    )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("gram")).limit(top_n)
 

@@ -3006,8 +3006,12 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     both totals are integer-valued doubles (exact under any
     summation order); the two unigram joins hit the vocab-bounded
     count table. One fact scan per table, no windows."""
-    d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    # Split bound to a column before the explode (Generate runs
+    # interpreted without CSE — see dedup.word_shingles_of).
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__w", F.split(F.col("text"), " ")
+    )
+    w = F.col("__w")
     hi = (F.size(w) - 1).cast("int")
     idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
         F.array().cast("array<int>")
