@@ -241,13 +241,21 @@ def lm_doc_score(
 
     p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
 
-    Shape: ONE bigram-instance table (doc_id, w1, w2), checkpointed,
-    feeds both the model build (two map-side-combinable groupBys whose
-    results are vocab²- and vocab-bounded — broadcast at any corpus
-    size) and the scoring join. The vocab size V rides in on a 1-row
-    broadcast equi-join (constant key), never a driver-side collect.
-    Docs with fewer than 2 tokens carry no bigram and are excluded,
-    matching the SQL mirror."""
+    Shape: the bigram-instance stream (doc_id, w1, w2) is scanned
+    TWICE — once into the c(w1,w2) aggregate, once for scoring — and
+    never materialized: the r5 form localCheckpointed it, which at 5M
+    docs pinned ~25 GB of instance rows in block-manager storage and
+    starved the downstream hash aggregations outright
+    (AGGREGATE_OUT_OF_MEMORY at 1000x replication with a 48g heap),
+    where the two extra narrow scans cost seconds. Everything else
+    derives from the bigram-TYPE table, which is what's actually
+    model-sized: c(w1,·) = Σ_w2 c(w1,w2) and V = |distinct tokens
+    over its keys| (every token occurs in some bigram position), so
+    the context and vocab aggregates never touch the corpus again.
+    The vocab size V rides in on a 1-row broadcast equi-join
+    (constant key), never a driver-side collect. Docs with fewer than
+    2 tokens carry no bigram and are excluded, matching the SQL
+    mirror."""
     # Split bound to a column before the explode: a Generate whose
     # generator embeds split(text) re-evaluates it per element_at
     # (no codegen/CSE in Generate) — see dedup.word_shingles_of.
@@ -264,13 +272,12 @@ def lm_doc_score(
         .withColumn("__w", w)
         .select(F.col(id_col), F.explode(bi).alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .localCheckpoint(eager=True)
     )
     c_bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
-    c_ctx = inst.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    c_ctx = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
     vocab = (
-        inst.select(F.col("w1").alias("t"))
-        .union(inst.select(F.col("w2").alias("t")))
+        c_bi.select(F.col("w1").alias("t"))
+        .union(c_bi.select(F.col("w2").alias("t")))
         .agg(F.countDistinct("t").cast("long").alias("v"))
     )
     # The 1-row vocab count crosses into the vocab-BOUNDED context
