@@ -220,8 +220,11 @@ def minhash_signature(
     # array_min passes. The __hp / __sig intermediates live in their
     # own projections: CollapseProject's cheap-expression rule keeps
     # each evaluated once, not once per consumer (SPARK-36718).
+    # Words bound to a column (word_shingles_of): interpreted HOF
+    # lambdas get no CSE even inside a codegen'd Project, so an
+    # inlined split(text) re-runs per element_at.
     hp = F.transform(
-        word_shingles(F.col(text_col), shingle_n),
+        word_shingles_of(F.col("__w"), shingle_n),
         lambda s: F.struct(
             F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(F.md5(s), 15, 14), 16, 10).cast("long").alias("h2"),
@@ -237,6 +240,7 @@ def minhash_signature(
     )
     return (
         fan_out(docs, id_col)
+        .withColumn("__w", F.split(F.col(text_col), " "))
         .select(F.col(id_col), hp.alias("__hp"))
         .select(F.col(id_col), fold.alias("__sig"))
         .select(
@@ -869,9 +873,14 @@ def minhash_estimate_pairs(
     # true Jaccard with array_intersect — no shingle explode, no
     # per-branch re-shingling of the corpus. Like the signatures, at
     # production scale this table would persist to storage once.
-    sh_arr = fan_out(docs, id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=True)
+    sh_arr = (
+        fan_out(docs, id_col)
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
+        )
+        .localCheckpoint(eager=True)
+    )
     shared = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - shared
     truth = (
@@ -1105,9 +1114,14 @@ def minhash_containment_pairs(
         "doc_a", "doc_b", (agree / F.lit(num_hashes)).alias("__j")
     )
 
-    sh_arr = fan_out(docs, id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).localCheckpoint(eager=True)
+    sh_arr = (
+        fan_out(docs, id_col)
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
+        )
+        .localCheckpoint(eager=True)
+    )
     shared = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     za = F.size("__sha").cast("double")
     zb = F.size("__shb").cast("double")
@@ -1196,8 +1210,9 @@ def setsim_prefix_join(
     # inside a codegen'd projection at sf0.1.
     raw = (
         fan_out(docs, id_col)
+        .withColumn("__w", F.split(F.col(text_col), " "))
         .select(
-            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__raw")
+            F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__raw")
         )
         .localCheckpoint(eager=True)
     )

@@ -138,13 +138,24 @@ def tokenizer_fertility(
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: minimum hash over word n-gram shingles
     (winnowing-lite / rolling-hash family). Equal fingerprints ⇒
-    near-dup candidates; groupable at any scale."""
-    from ..session import fan_out
-    from .dedup import word_shingles
+    near-dup candidates; groupable at any scale.
 
-    sh = word_shingles(F.col(text_col), shingle_n)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return fan_out(df).select(F.col(id_col), fp.alias("fingerprint"))
+    The word array is bound to a column: with split(text) inlined
+    into the shingle lambda, interpreted HOF evaluation re-splits per
+    element_at — 5 splits x 50 shingles per doc, measured 215s at 5M
+    docs vs ~8s bound (the multi-reference projection survives
+    CollapseProject; see dedup.word_shingles_of)."""
+    from ..session import fan_out
+    from .dedup import word_shingles_of
+
+    fp = F.array_min(
+        F.transform(word_shingles_of(F.col("__w"), shingle_n), lambda s: F.md5(s))
+    )
+    return (
+        fan_out(df)
+        .withColumn("__w", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), fp.alias("fingerprint"))
+    )
 
 
 # Ordered: emails first (they contain dots and digits), IPs before
