@@ -464,6 +464,15 @@ def interval_count_prefix(
         points = points.filter(
             (F.col(point_pos) >= F.lit(lo)) & (F.col(point_pos) <= F.lit(hi))
         )
+    if lo is None or hi is None:
+        # Empty intervals: no group can count anything. Short-circuit to
+        # an empty frame of the output schema (group_cols + count_col)
+        # instead of letting the "auto" width math hit float(None).
+        return (
+            intervals.select(*group_cols)
+            .limit(0)
+            .withColumn(count_col, F.lit(0).cast("long"))
+        )
     if bin_size == "auto":
         n_pts = bounds[2] if bounds is not None and len(bounds) > 2 else points.count()
         domain = max(1.0, float(hi) - float(lo))

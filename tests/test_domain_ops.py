@@ -129,6 +129,11 @@ def test_interval_count_adaptive_empty_intervals(spark):
     out = jn.interval_count_adaptive(al, ftg, ["gene_id"])
     assert out.count() == 0
     assert set(out.columns) == {"gene_id", "n"}
+    # Direct prefix-form call (bounds=None, auto width) hits the same
+    # NULL min/max edge; it must short-circuit, not float(None).
+    out2 = jn.interval_count_prefix(al, ftg, ["gene_id"], bin_size="auto")
+    assert out2.count() == 0
+    assert set(out2.columns) == {"gene_id", "n"}
 
 
 def test_interval_count_prefix_bounds_passthrough(spark):
