@@ -429,6 +429,35 @@ def test_connected_components_long_chain_converges(spark):
     assert comps == {0}
 
 
+def test_connected_components_distributed_path(spark):
+    """local_finish_edges=0 forces the star-contraction rounds (the
+    default cutover finishes test-sized graphs driver-side): the
+    distributed path must produce the identical labeling on both the
+    chained-bucket and worst-case-diameter graphs."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    inc = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (2, "k2"), (3, "k2"), (9, "k9"),
+         (5, "k5"), (6, "k5"), (7, "k5")],
+        "node long, key string",
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dd.connected_components(inc, local_finish_edges=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9, 5: 5, 6: 5, 7: 5}
+
+    rows = []
+    for i in range(12):
+        rows += [(i, f"k{i}"), (i + 1, f"k{i}")]
+    chain = spark.createDataFrame(rows, "node long, key string")
+    comps = {
+        r.cluster_id
+        for r in dd.connected_components(chain, local_finish_edges=0).collect()
+    }
+    assert comps == {0}
+
+
 def test_asof_attach_prior_single_scan_semantics(spark):
     """Single-source as-of: tiebreak picks the max-id right row at an
     equal timestamp; strict hides the equal-ts right row."""
