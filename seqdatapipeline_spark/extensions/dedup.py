@@ -577,7 +577,7 @@ def connected_components(
     node_col: str = "node",
     key_col: str = "key",
     max_iter: int = 25,
-    local_finish_edges: int = 500_000,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components of the
     node–bucket incidence graph (nodes sharing any bucket key are
@@ -613,18 +613,22 @@ def connected_components(
     scalar counts, never collects.
 
     Local finish: once the (always-counted) edge set fits under
-    ``local_finish_edges`` (≈8 MB collected at the 500k default — the
-    same model-sized cutover Catalyst applies for broadcast joins),
-    the remaining contraction happens as driver-side union-find
-    instead of more Spark rounds. Each distributed round costs ~0.5s
-    of pure sequential AQE-stage latency (6 shuffle stages) no matter
-    how few edges remain, so finishing a 217-edge graph locally turns
-    2 rounds + convergence subtract into one collect (measured 1.45s
-    → ~0.6s at sf0.1). At 100 TB the distributed rounds still run —
-    bucket contraction leaves ~one edge per duplicate doc, far above
-    the cutover — and halve the edge mass per round until the tail
-    fits; the label set returned is identical either way (union by
-    min-root ⇒ every root is its component's minimum).
+    ``local_finish_edges`` (≈2 MB collected at the 100k default — a
+    model-sized cutover like Catalyst's broadcast threshold), the
+    remaining contraction happens as driver-side union-find instead
+    of more Spark rounds. Each distributed round costs ~0.5s of pure
+    sequential AQE-stage latency (6 shuffle stages) no matter how few
+    edges remain, so finishing a few-hundred-edge graph locally turns
+    2 rounds + convergence subtract into one collect (measured
+    dedup_clusters 2.71s → 1.41s at sf0.1). The cutover is sized so
+    the driver pass stays well under one distributed round (~7.5 µs
+    per collected edge measured: 100k ≈ 0.75s); 500k was measured
+    SLOWER at 100× replication (9.6s vs 5.9s — 495k star edges fell
+    just under it and serialized through the driver). At 100 TB the
+    distributed rounds still run — the converged star keeps ~one edge
+    per duplicate doc, far above the cutover — and the label set
+    returned is identical either way (union by min-root ⇒ every root
+    is its component's minimum).
     """
     inc = (
         incidence.select(F.col(node_col).alias("node"), F.col(key_col).alias("key"))
