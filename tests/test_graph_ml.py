@@ -24,9 +24,12 @@ def _plan(df) -> str:
 # ---------------------------------------------------------------- pagerank
 
 
-def test_pagerank_matches_numpy_power_iteration(spark):
+@pytest.mark.parametrize("cutover", [0, 100_000])
+def test_pagerank_matches_numpy_power_iteration(spark, cutover):
     # Directed graph with a hub; no dangling nodes (every node has an
-    # out-edge) to match the co-occurrence contract.
+    # out-edge) to match the co-occurrence contract. cutover=0 forces
+    # the distributed rounds; the default finishes driver-side — both
+    # must match the reference power iteration exactly.
     edges = [
         (0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (3, 1), (0, 3),
         (4, 0), (0, 4),
@@ -34,7 +37,9 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {
         r["node"]: r["rank"]
-        for r in gr.pagerank(df, iters=3, damping=0.85).collect()
+        for r in gr.pagerank(
+            df, iters=3, damping=0.85, local_finish_edges=cutover
+        ).collect()
     }
 
     n = 5
@@ -84,7 +89,7 @@ def test_co_occurrence_mega_group_dropped(spark):
 def test_pagerank_plan_no_cartesian(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    plan = _plan(gr.pagerank(edges, iters=3))
+    plan = _plan(gr.pagerank(edges, iters=3, local_finish_edges=0))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -390,13 +395,16 @@ def test_setsim_prefix_join_no_false_negatives(spark, sf_dir):
     assert got == expected
 
 
-def test_weighted_pagerank_matches_numpy(spark):
+@pytest.mark.parametrize("cutover", [0, 100_000])
+def test_weighted_pagerank_matches_numpy(spark, cutover):
     # weighted edges: node 0 sends 3/4 of its rank to 1, 1/4 to 2
     edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 2.0), (2, 1, 2.0)]
     df = spark.createDataFrame(edges, "src int, dst int, w double")
     got = {
         r["node"]: r["rank"]
-        for r in gr.weighted_pagerank(df, iters=3, damping=0.85).collect()
+        for r in gr.weighted_pagerank(
+            df, iters=3, damping=0.85, local_finish_edges=cutover
+        ).collect()
     }
     n = 3
     wsum = {0: 4.0, 1: 1.0, 2: 4.0}
