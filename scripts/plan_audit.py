@@ -55,7 +55,7 @@ ALLOW = {
     "limit_first_record": ("global-window", "limit-1 probe"),
     "sra_source": ("global-window", "single-accession probe"),
     "srp_embedding_pairs": ("double-scan", "exact-cosine confirm joins the (column-pruned) vector table onto both pair sides; the signature branch is checkpointed, not rescanned"),
-    "lm_doc_score": ("BNLJ", "one-row vocab-size aggregate broadcast-crossed into the vocab-bounded context table: O(|vocab|) BNLJ by construction"),
+    "lm_doc_score": (("BNLJ", "double-scan"), "one-row vocab-size aggregate broadcast-crossed into the vocab-bounded context table: O(|vocab|) BNLJ by construction; the bigram-instance stream is deliberately scanned twice (train + score) instead of checkpointed — the type-table IS checkpointed (textstats.py lm_doc_score docstring)"),
     "mad_outliers": ("scans=", "exact two-level median (MAD = median of deviations from a median) is inherently multi-pass; each pass is a map-side-combinable groupBy whose key-sized result joins back broadcast — a per-group window would one-task each group"),
     "winsorize_stats": ("double-scan", "quantile pass + clipped re-aggregate: the scale-correct two-pass form (a per-group window would one-task each group)"),
     "kmeans_assign": (("BNLJ", "double-scan"), "the 8-row seed model is a filtered projection of the corpus table (like ann_*); the assignment join broadcasts the model — O(k) BNLJ by construction"),
@@ -89,6 +89,35 @@ ALLOW = {
 }
 
 
+def _scans_outside_cache(jnode) -> int:
+    """Count file-scan nodes in the PHYSICAL tree, excluding cached
+    subtrees.
+
+    The printed plan re-embeds a cached relation's full subtree at
+    EVERY InMemoryTableScan use site (with per-site exprIds) and, for
+    adaptive cached plans, prints Initial AND Final sections — a raw
+    string count over an iterative cached plan reported 44 scans for
+    a pagerank plan that physically scans lineitem once. Walking the
+    tree avoids both: InMemoryTableScanExec is a LEAF (its cached
+    plan is a field, not a child — one materialization regardless of
+    use sites), and AdaptiveSparkPlanExec / QueryStageExec wrappers
+    are descended through their current plan exactly once."""
+    cls = jnode.getClass().getSimpleName()
+    if "InMemoryTableScan" in cls or "ReusedExchange" in cls:
+        return 0
+    if "FileSourceScan" in cls or "BatchScan" in cls:
+        return 1
+    if "AdaptiveSparkPlan" in cls:
+        return _scans_outside_cache(jnode.executedPlan())
+    if "QueryStage" in cls:
+        return _scans_outside_cache(jnode.plan())
+    n = 0
+    it = jnode.children().iterator()
+    while it.hasNext():
+        n += _scans_outside_cache(it.next())
+    return n
+
+
 def main() -> None:
     spark = get_spark(app_name="audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,14 +126,15 @@ def main() -> None:
     for name, fn in sorted(e.queries().items()):
         try:
             df = fn(spark, sf)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
+            scans = _scans_outside_cache(jplan)
         except Exception as ex:
             flags.append((name, f"ERROR building plan: {ex}"))
             continue
         notes = []
         bnlj = plan.count("BroadcastNestedLoopJoin")
         cart = plan.count("CartesianProduct")
-        scans = plan.count("Scan parquet")
         reused = plan.count("ReusedExchange")
         if bnlj:
             notes.append(f"BNLJ x{bnlj}")

@@ -259,14 +259,16 @@ def lm_doc_score(
     starved the downstream hash aggregations outright
     (AGGREGATE_OUT_OF_MEMORY at 1000x replication with a 48g heap),
     where the two extra narrow scans cost seconds. Everything else
-    derives from the bigram-TYPE table, which is what's actually
-    model-sized: c(w1,·) = Σ_w2 c(w1,w2) and V = |distinct tokens
-    over its keys| (every token occurs in some bigram position), so
-    the context and vocab aggregates never touch the corpus again.
-    The vocab size V rides in on a 1-row broadcast equi-join
-    (constant key), never a driver-side collect. Docs with fewer than
-    2 tokens carry no bigram and are excluded, matching the SQL
-    mirror."""
+    derives from the bigram-TYPE table, which IS materialized
+    (localCheckpoint — type-sized: grows with the vocabulary, not the
+    corpus): c(w1,·) = Σ_w2 c(w1,w2) and V = |distinct tokens over
+    its keys| (every token occurs in some bigram position), so the
+    context and vocab aggregates read the checkpointed type table —
+    without the checkpoint each of their FOUR references re-derived
+    it from the corpus (5 full scans in the printed plan). The vocab
+    size V rides in on a 1-row broadcast equi-join (constant key),
+    never a driver-side collect. Docs with fewer than 2 tokens carry
+    no bigram and are excluded, matching the SQL mirror."""
     # Split bound to a column before the explode: a Generate whose
     # generator embeds split(text) re-evaluates it per element_at
     # (no codegen/CSE in Generate) — see dedup.word_shingles_of.
@@ -284,7 +286,11 @@ def lm_doc_score(
         .select(F.col(id_col), F.explode(bi).alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    c_bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    c_bi = (
+        inst.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+        .localCheckpoint(eager=True)
+    )
     c_ctx = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
     vocab = (
         c_bi.select(F.col("w1").alias("t"))

@@ -24,12 +24,18 @@ def _plan(df) -> str:
 # ---------------------------------------------------------------- pagerank
 
 
-@pytest.mark.parametrize("cutover", [0, 100_000])
-def test_pagerank_matches_numpy_power_iteration(spark, cutover):
+@pytest.mark.parametrize(
+    "cutover,bcast",
+    [(100_000, 1_000_000), (0, 1_000_000), (0, 0)],
+    ids=["local-finish", "broadcast-rounds", "partitioned-rounds"],
+)
+def test_pagerank_matches_numpy_power_iteration(spark, cutover, bcast):
     # Directed graph with a hub; no dangling nodes (every node has an
-    # out-edge) to match the co-occurrence contract. cutover=0 forces
-    # the distributed rounds; the default finishes driver-side — both
-    # must match the reference power iteration exactly.
+    # out-edge) to match the co-occurrence contract. All three tiers
+    # — driver-side finish, broadcast-rank rounds (broadcast_min_edges
+    # forced to 0 so the tiny graph takes that tier), fully
+    # partitioned rounds — must match the reference power iteration
+    # exactly.
     edges = [
         (0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (3, 1), (0, 3),
         (4, 0), (0, 4),
@@ -38,7 +44,9 @@ def test_pagerank_matches_numpy_power_iteration(spark, cutover):
     got = {
         r["node"]: r["rank"]
         for r in gr.pagerank(
-            df, iters=3, damping=0.85, local_finish_edges=cutover
+            df, iters=3, damping=0.85,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
         ).collect()
     }
 
@@ -86,10 +94,15 @@ def test_co_occurrence_mega_group_dropped(spark):
     assert e.count() == 2  # only group 2 survives the bound
 
 
-def test_pagerank_plan_no_cartesian(spark, sf_dir):
+@pytest.mark.parametrize("bcast", [0, 1_000_000],
+                         ids=["partitioned-rounds", "broadcast-rounds"])
+def test_pagerank_plan_no_cartesian(spark, sf_dir, bcast):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    plan = _plan(gr.pagerank(edges, iters=3, local_finish_edges=0))
+    plan = _plan(
+        gr.pagerank(edges, iters=3, local_finish_edges=0,
+                    broadcast_nodes=bcast, broadcast_min_edges=0)
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -395,15 +408,21 @@ def test_setsim_prefix_join_no_false_negatives(spark, sf_dir):
     assert got == expected
 
 
-@pytest.mark.parametrize("cutover", [0, 100_000])
-def test_weighted_pagerank_matches_numpy(spark, cutover):
+@pytest.mark.parametrize(
+    "cutover,bcast",
+    [(100_000, 1_000_000), (0, 1_000_000), (0, 0)],
+    ids=["local-finish", "broadcast-rounds", "partitioned-rounds"],
+)
+def test_weighted_pagerank_matches_numpy(spark, cutover, bcast):
     # weighted edges: node 0 sends 3/4 of its rank to 1, 1/4 to 2
     edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 2.0), (2, 1, 2.0)]
     df = spark.createDataFrame(edges, "src int, dst int, w double")
     got = {
         r["node"]: r["rank"]
         for r in gr.weighted_pagerank(
-            df, iters=3, damping=0.85, local_finish_edges=cutover
+            df, iters=3, damping=0.85,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
         ).collect()
     }
     n = 3
