@@ -1068,13 +1068,26 @@ def srp_signature(
     bits. Pure fixed-order double arithmetic inside codegen — the
     projection is deterministic across engines AND partition layouts
     (no float-accumulation ambiguity: one expression, one evaluation
-    order)."""
+    order).
+
+    The expression is assembled as ONE SQL string fed to F.expr, not
+    as a Python Column tree: bits x dims = 1536 terms means ~5000
+    py4j round-trips when composed operator-by-operator in Python —
+    measured 10-13 s of DRIVER time per plan build (the execution
+    itself is sub-second), all of it py4j chatter. The string parses
+    JVM-side in one call. The `+` chain is left-associative in SQL
+    exactly like Python's sum(), so the fold order — and therefore
+    every sign bit — is unchanged."""
     signs = srp_signs(bits, dims)
-    v = lambda d: F.element_at(F.col(vec_col), d + 1).cast("double")
-    bit = lambda b: F.when(
-        sum(signs[b][d] * v(d) for d in range(dims)) >= 0, F.lit("1")
-    ).otherwise(F.lit("0"))
-    sig = F.concat(*[bit(b) for b in range(bits)])
+
+    def bit_sql(b: int) -> str:
+        terms = " + ".join(
+            f"{signs[b][d]} * CAST(element_at({vec_col}, {d + 1}) AS DOUBLE)"
+            for d in range(dims)
+        )
+        return f"CASE WHEN ({terms}) >= 0.0 THEN '1' ELSE '0' END"
+
+    sig = F.expr("concat(" + ", ".join(bit_sql(b) for b in range(bits)) + ")")
     return fan_out(emb, id_col).select(F.col(id_col), sig.alias("srp"))
 
 
@@ -1094,9 +1107,37 @@ def srp_near_dup_pairs(
     partitioner someone already built; this one manufactures its own
     buckets from the geometry, which is what you do on a fresh 100 TB
     embedding table. Candidates are band-collisions only — random
-    pairs collide on an 8-bit band with p≈1/256, so the candidate set
-    is a thin slice of n², never all-pairs."""
-    sig = srp_signature(emb, id_col, vec_col, bits, dims)
+    pairs collide on a band with p≈2^-band_bits, so the candidate set
+    is a thin slice of n², never all-pairs.
+
+    Exact-duplicate vectors are pre-collapsed first (same contract as
+    embedding_near_dup_pairs): identical arrays have identical SRP
+    signatures, so m copies of one vector collide in EVERY band and
+    the raw bucket-pair set carries C(m,2) rows per group times the
+    band count — the r6 1000x embeddings sweep (1000-member groups)
+    crashed here. Signatures, buckets, and the exact-cosine verify
+    run over DISTINCT vectors; the full pair list is recovered by
+    member fan-out (cross pairs carry the representative cosine —
+    identical arrays make it the same value — and within-group pairs
+    are cos 1.0, zero-norm groups excluded because 0/0 cosine is NaN
+    and never qualifies, matching the uncollapsed arithmetic)."""
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    groups = (
+        base.groupBy(vec_col)
+        .agg(F.min(id_col).alias("__rep"))
+        .withColumn(
+            "__nz",
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            > 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), F.col(vec_col))
+    sig = srp_signature(reps, id_col, vec_col, bits, dims)
     sig = sig.localCheckpoint(eager=True)
     n_bands = bits // band_bits
     bands = F.array(
@@ -1107,9 +1148,9 @@ def srp_near_dup_pairs(
     )
     keyed = sig.select(F.col(id_col), F.explode(bands).alias("band_key"))
     pairs = _bucket_pairs(keyed, id_col, "band_key", max_bucket)
-    va = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
-    vb = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
-    return (
+    va = reps.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("__va"))
+    vb = reps.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("__vb"))
+    rep_pairs = (
         pairs.join(va, "doc_a")
         .join(vb, "doc_b")
         .select(
@@ -1119,6 +1160,38 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+    members = (
+        base.join(groups.select(F.col(vec_col), "__rep", "__nz"), vec_col)
+        .select(F.col(id_col), "__rep", "__nz")
+        .localCheckpoint(eager=True)
+    )
+    ma = members.select(F.col("__rep").alias("vec_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("vec_b"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("__ida", "__idb").alias("vec_a"),
+            F.greatest("__ida", "__idb").alias("vec_b"),
+            "cos",
+        )
+    )
+    # Degenerate threshold > 1.0 admits nothing (cos caps at 1.0 for
+    # identical vectors), matching the uncollapsed form.
+    if threshold > 1.0:
+        return cross
+    wa = members.filter("__nz").select("__rep", F.col(id_col).alias("__ida"))
+    wb = members.filter("__nz").select("__rep", F.col(id_col).alias("__idb"))
+    within = (
+        wa.join(wb, "__rep")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("vec_a"),
+            F.col("__idb").alias("vec_b"),
+            F.lit(1.0).alias("cos"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_containment_pairs(

@@ -16,6 +16,7 @@ from .extensions import multimodal as mm
 from .extensions import similarity as sim
 from .extensions import textstats as tx
 from .registry import _t, q
+from .session import fan_out
 
 # Shared CTE fragments for shingle-based oracles.
 _SHINGLES3 = """
@@ -1817,9 +1818,40 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair its own bucket). Only vectors that appear in some pair are
     labeled — the output is the dedup worklist, keyed by its
     min-vec_id survivor. The oracle recomputes the same fixpoint as a
-    recursive CTE."""
+    recursive CTE.
+
+    Closure runs over exact-duplicate REPRESENTATIVES, not the fanned
+    pair list: an m-copy group contributes C(m,2) cos-1.0 pairs to
+    the pair OPERATOR's contract, but feeding those into the closure
+    is quadratic redundancy (the r6 1000x sweep's 1000-member groups
+    -> ~10^9 incidence rows). Cosine is a pure function of the
+    (block, embedding) pair, so rep-level edges plus one identity
+    bucket per multi-member group reach the same fixpoint, and the
+    component minimum over reps IS the minimum over members (each rep
+    is its group's min id). Members fan back out through one
+    equi-join; zero-norm groups never pair (NaN cosine) and stay
+    unlabeled, matching the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dd.embedding_near_dup_pairs(emb, block_col="label", threshold=0.3)
+    base = emb.select("label", "vec_id", "embedding")
+    groups = (
+        base.groupBy("label", "embedding")
+        .agg(
+            F.min("vec_id").alias("__rep"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+        .withColumn(
+            "__nz",
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            > 0,
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select("label", F.col("__rep").alias("vec_id"), "embedding")
+    pairs = dd.embedding_near_dup_pairs(reps, block_col="label", threshold=0.3)
     pid = F.concat_ws("|", F.col("vec_a"), F.col("vec_b"))
     # Both incidence rows per pair in ONE pass (a two-branch union
     # would recompute the Arrow pair-scoring subtree per branch —
@@ -1832,8 +1864,20 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.node", "s.key")
-    cc = dd.connected_components(inc)
-    return cc.select(F.col("node").alias("vec_id"), "cluster_id")
+    # Multi-member non-zero groups pair within themselves (cos 1.0 >=
+    # threshold), so their rep is always labeled even with no cross
+    # edge; singletons are labeled only via a cross pair.
+    ident = groups.filter((F.col("__cnt") >= 2) & F.col("__nz")).select(
+        F.col("__rep").alias("node"),
+        F.concat(F.lit("self|"), F.col("__rep")).alias("key"),
+    )
+    cc = dd.connected_components(inc.unionByName(ident))
+    members = base.join(
+        groups.select("label", "embedding", "__rep"), ["label", "embedding"]
+    ).select("vec_id", "__rep")
+    return members.join(cc, members["__rep"] == cc["node"]).select(
+        "vec_id", "cluster_id"
+    )
 
 
 @q(
@@ -3814,66 +3858,121 @@ _CELL_ASSIGN_CTES = """seeds AS (
     )"""
 
 
-def _adaptive_cell_assign(e: DataFrame) -> DataFrame:
+def _adaptive_cell_assign(e: DataFrame, vectors: DataFrame | None = None) -> DataFrame:
     """Spark twin of _CELL_ASSIGN_CTES: the two-level IVF-style
-    assignment. The seed and coarse models broadcast (model-sized);
-    each argmax is a max_by aggregate, never a window over facts. Per
-    vector the candidate count is ~2*sqrt(k) instead of k."""
+    assignment, executed as ONE Arrow `mapInPandas` pass.
+
+    k and the seed set always derive from ``e`` (the full table, as
+    in the oracle CTEs); ``vectors`` optionally restricts WHICH rows
+    get assigned (e.g. exact-duplicate representatives) — the cell of
+    a vector is a pure function of its embedding given the seeds, so
+    assigning a subset is exactly the oracle's assignment restricted
+    to that subset.
+
+    The seed matrix (k x dim — the same model the previous join-based
+    form broadcast via F.broadcast(seeds)) is collected, normalized,
+    and both argmax levels (coarse over ceil(sqrt(k)) centroids, fine
+    over the seeds mapped to the chosen coarse cell) run as BLAS
+    matmuls inside the Arrow batch: no join, no shuffle, narrow map
+    over the corpus. The r6 1000x embeddings sweep caught the
+    join+HOF form grinding in INTERPRETED ArrayAggregate/ZipWith eval
+    (higher-order functions never whole-stage-codegen) — ~10^9
+    per-element folds for 2M vectors; BLAS does the same flops at
+    memory bandwidth. np.argmax returns the FIRST max, and both seed
+    ids and per-coarse-cell member ids are ascending, so ties break
+    on the lower cell id exactly like the max_by(struct(cos, -cell))
+    it replaces and the oracle's row_number tiebreak. A coarse cell
+    whose fine candidate set is empty (possible only when duplicate
+    seeds make coarse(i) != i) drops its vectors, mirroring the inner
+    join of the previous form and the oracle."""
     import math
 
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
     k = max(32, e.count() // 16)
     k1 = math.ceil(math.sqrt(k))
-    w = Window.orderBy("vec_id")
-    seeds = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell"),
-            F.col("embedding").cast("array<double>").alias("centroid"),
-        )
-    )
-    coarse = seeds.where(F.col("cell") < k1).select(
-        F.col("cell").alias("ccell"), F.col("centroid").alias("ccent")
-    )
-    # fine seed -> coarse cell (model x model, broadcast both sides)
-    s2c = (
-        seeds.join(F.broadcast(coarse))
-        .withColumn("__cos", dd.cosine(F.col("centroid"), F.col("ccent")))
-        .groupBy("cell")
-        .agg(
-            F.max_by("ccell", F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n"))).alias(
-                "ccell"
+    seed_rows = e.orderBy("vec_id").limit(k).select("embedding").collect()
+    sm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    smn = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    cmn = smn[:k1]
+    s2c = np.argmax(smn @ cmn.T, axis=1)
+    by_coarse: dict = {}
+    for cell_idx, cc in enumerate(s2c.tolist()):
+        by_coarse.setdefault(int(cc), []).append(cell_idx)
+    packed = {
+        cc: (np.asarray(ids, dtype=np.int64), smn[np.asarray(ids)])
+        for cc, ids in by_coarse.items()
+    }
+    bc = spark.sparkContext.broadcast((cmn, packed))
+    src = (vectors if vectors is not None else e).select("vec_id", "embedding")
+
+    def assign(batches):
+        cmat, cells_of = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            vmn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            cc = np.argmax(vmn @ cmat.T, axis=1)
+            out_cell = np.full(len(pdf), -1, dtype=np.int64)
+            for ccell in np.unique(cc):
+                hit = cells_of.get(int(ccell))
+                if hit is None:
+                    continue  # empty coarse cell: drop, like the inner join
+                ids, mat = hit
+                idx = np.where(cc == ccell)[0]
+                out_cell[idx] = ids[np.argmax(vmn[idx] @ mat.T, axis=1)]
+            keep = out_cell >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "cell": out_cell[keep].astype("int32"),
+                    "emb": [
+                        [float(x) for x in v]
+                        for v, kp in zip(vm, keep)
+                        if kp
+                    ],
+                }
             )
-        )
+
+    return fan_out(src).mapInPandas(
+        assign, schema="vec_id long, cell int, emb array<double>"
     )
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    vcoarse = (
-        v.join(F.broadcast(coarse))
-        .withColumn("__cos", dd.cosine(F.col("emb"), F.col("ccent")))
-        .groupBy("vec_id")
+
+
+def _collapse_exact_vectors(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse for embeddings — the vector twin
+    of dedup.collapse_exact_text. Identical float arrays have cosine
+    1.0 to each other and IDENTICAL cosine to every other vector, and
+    cell assignment is a pure function of the embedding, so every
+    copy lands in the same cell as its representative: pair-emitting
+    cell stages (semdedup, kNN graph) can run over DISTINCT vectors
+    and reconstruct per-copy outputs arithmetically. Without this, m
+    copies of one vector co-locate BY CONSTRUCTION and the within-
+    cell pair join carries C(m,2) rows per duplicate group — the r6
+    1000x embeddings sweep (1000-member groups -> ~10^9 pair rows)
+    is the measured failure. groupBy on the raw array is exact
+    bit-equality.
+
+    Returns ``(groups, members)``: groups = (embedding, __rep=min id,
+    __cnt), checkpointed (feeds the rep pipeline AND the fan-out);
+    members = (vec_id, __rep)."""
+    groups = (
+        e.groupBy("embedding")
         .agg(
-            F.max_by(
-                F.struct("ccell", "emb"),
-                F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n")),
-            ).alias("__b")
+            F.min("vec_id").alias("__rep"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
         )
-        .select("vec_id", F.col("__b.ccell").alias("ccell"), F.col("__b.emb").alias("emb"))
+        .localCheckpoint(eager=True)
     )
-    cand = F.broadcast(
-        s2c.join(F.broadcast(seeds), "cell").select("ccell", "cell", "centroid")
+    members = (
+        e.select("vec_id", "embedding")
+        .join(groups.select("embedding", "__rep"), "embedding")
+        .select("vec_id", "__rep")
     )
-    return (
-        vcoarse.join(cand, "ccell")
-        .withColumn("__cos", dd.cosine(F.col("emb"), F.col("centroid")))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cell", "emb"),
-                F.struct(F.col("__cos"), (-F.col("cell")).alias("__n")),
-            ).alias("__b")
-        )
-        .select("vec_id", F.col("__b.cell").alias("cell"), F.col("__b.emb").alias("emb"))
-    )
+    return groups, members
 
 
 @q(
@@ -3904,8 +4003,21 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed, cell population grows with N and the pair join goes
     quadratic (measured 15.4x wall at 10x data before this; the
     count() driving k is a single scalar, the one collect this
-    operator makes)."""
-    a = _adaptive_cell_assign(_t(spark, sf_dir, "embeddings"))
+    operator makes). Exact-duplicate vectors are pre-collapsed
+    (_collapse_exact_vectors): copies co-locate by construction, so
+    the raw pair join carries C(m,2) rows per m-copy group (~10^9 at
+    the 1000x sweep's 1000-member groups); instead the pair join
+    runs over DISTINCT vectors and per-copy rows are reconstructed —
+    a non-minimum copy always has an earlier identical same-cell
+    member, so its max_dup_cos is exactly round(cos(v,v),6) = 1.0;
+    a representative (the group minimum) can only be flagged by
+    OTHER groups, whose members all compare at the rep-level cosine
+    and include an earlier one iff the other group's MINIMUM id is
+    smaller — precisely the rep-level x.vec_id < y.vec_id join."""
+    e = _t(spark, sf_dir, "embeddings")
+    groups, members = _collapse_exact_vectors(e)
+    reps = groups.select(F.col("__rep").alias("vec_id"), "embedding")
+    a = _adaptive_cell_assign(e, vectors=reps)
     x, y = a.alias("x"), a.alias("y")
     pairs = (
         x.join(
@@ -3920,9 +4032,18 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("c") >= 0.35)
     )
-    return pairs.groupBy("vec_id", "cell").agg(
+    rep_out = pairs.groupBy("vec_id", "cell").agg(
         F.round(F.max("c"), 6).alias("max_dup_cos")
     )
+    dup_out = (
+        members.filter(F.col("vec_id") != F.col("__rep"))
+        .join(
+            a.select(F.col("vec_id").alias("__rep"), "cell"),
+            "__rep",
+        )
+        .select("vec_id", "cell", F.lit(1.0).alias("max_dup_cos"))
+    )
+    return rep_out.unionByName(dup_out)
 
 
 @q(
@@ -4557,21 +4678,49 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows, so the candidate join is linear in N, not per-block
     quadratic; the first cut of this used the fixed label column and
     measured 6.8x wall at 10x data). The building block for graph ANN
-    indexes and graph-based SemDeDup. The per-source ranking window
-    partitions on src_id and never exceeds the cell size; ranking
-    orders the ROUNDED cosine with nbr_id tie-break — deterministic
-    on any layout and engine."""
-    a = _adaptive_cell_assign(_t(spark, sf_dir, "embeddings"))
+    indexes and graph-based SemDeDup. Ranking orders the ROUNDED
+    cosine with nbr_id tie-break — deterministic on any layout and
+    engine.
+
+    Exact-duplicate vectors are pre-collapsed: copies co-locate by
+    construction, so the raw within-cell join carries C(m,2) rows per
+    m-copy group (the r6 1000x sweep's failure mode). The pair join
+    runs over DISTINCT vectors (including each group's self-pair at
+    cos 1.0, which stands for the copy-to-copy edges) and the
+    per-copy top-3 is reconstructed EXACTLY from a bounded candidate
+    set: (i) within a candidate group every member shares the same
+    rounded cosine and ties break on the smaller nbr_id, so only a
+    group's 4 smallest ids can ever reach a top-3 (4, not 3, because
+    self-exclusion can consume one); (ii) a group whose rounded
+    cosine is below the top-4 DISTINCT values for the source group
+    cannot contribute — at most one better group (the source's own,
+    when it is a singleton) contributes nothing, leaving >= 3 better
+    candidates. Exploding that bounded set per source vector and
+    re-ranking with the original (cos desc, nbr_id) window reproduces
+    the uncollapsed output row for row; the final window partitions
+    on src_id over <= ~16 candidate rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    groups, members = _collapse_exact_vectors(e)
+    reps = groups.select(F.col("__rep").alias("vec_id"), "embedding")
+    a = _adaptive_cell_assign(e, vectors=reps)
     x, y = a.alias("x"), a.alias("y")
-    p = x.join(
-        y,
-        (F.col("x.cell") == F.col("y.cell"))
-        & (F.col("x.vec_id") != F.col("y.vec_id")),
-    ).select(
-        F.col("x.vec_id").alias("src_id"),
-        F.col("y.vec_id").alias("nbr_id"),
+    gp = x.join(y, F.col("x.cell") == F.col("y.cell")).select(
+        F.col("x.vec_id").alias("src_rep"),
+        F.col("y.vec_id").alias("nbr_rep"),
         F.round(dd.cosine(F.col("x.emb"), F.col("y.emb")), 6).alias("cos"),
     )
+    wg = Window.partitionBy("src_rep").orderBy(F.col("cos").desc())
+    gp_top = gp.withColumn("__dr", F.dense_rank().over(wg)).where(F.col("__dr") <= 4)
+    mem4 = members.groupBy("__rep").agg(
+        F.slice(F.array_sort(F.collect_list("vec_id")), 1, 4).alias("__ids")
+    )
+    cand = gp_top.join(
+        mem4.withColumnRenamed("__rep", "nbr_rep"), "nbr_rep"
+    ).select("src_rep", "cos", F.explode("__ids").alias("nbr_id"))
+    src_mem = members.select(
+        F.col("__rep").alias("src_rep"), F.col("vec_id").alias("src_id")
+    )
+    p = cand.join(src_mem, "src_rep").where(F.col("nbr_id") != F.col("src_id"))
     w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), "nbr_id")
     return (
         p.withColumn("rank", F.row_number().over(w).cast("long"))
