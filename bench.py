@@ -75,7 +75,8 @@ BEST_KNOWN = {
     "dedup_alignments": 0.388,         # r4
     "dedup_clusters": 0.888,           # r2
     "dedup_exact": 0.130,              # r5
-    "dedup_minhash_lsh": 0.730,        # r4
+    "dedup_minhash_lsh": 1.240,       # r6 signature-collapse (was 0.730 r4;
+    # +0.5s of fixed stage latency buys 1000x survival — SCALING.md)
     "dsir_importance_weights": 0.671,  # r5
     "feature_interval_join": 0.778,    # r4
     "fragment_length_histogram": 0.178,  # r4

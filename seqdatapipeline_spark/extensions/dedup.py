@@ -258,15 +258,95 @@ def lsh_candidate_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature → band keys → group by band bucket →
-    in-bucket (a < b) pair generation. The grouping is hash-partitioned
-    on the band bucket; no pair outside a shared bucket is ever
-    materialized — this is what makes near-dup feasible at 100 TB.
-    Pairs come from one grouped pass over the signatures rather than a
-    bucket self-join, so the (expensive) signature pipeline runs once.
-    At real scale set ``max_bucket`` to drop degenerate mega-buckets
-    (boilerplate bands shared by thousands of docs)."""
-    keyed = lsh_band_incidence(sig, id_col, num_hashes, band_size)
-    return _bucket_pairs(keyed, id_col, "band_key", max_bucket)
+    in-bucket (a < b) pair generation. No pair outside a shared
+    bucket is ever materialized — this is what makes near-dup
+    feasible at 100 TB. At real scale set ``max_bucket`` to drop
+    degenerate mega-buckets (boilerplate bands shared by thousands of
+    docs).
+
+    Banding runs over DISTINCT signatures, doc-level pairs come back
+    by fan-out (the simhash_candidate_pairs structure): identical
+    texts have identical signatures, so doc-level buckets carry every
+    duplicate copy and the in-bucket pair emission goes C(m,2) per
+    m-copy group PER BAND — the r6 1000x replication (1000-member
+    groups) is ~10^10 pre-distinct rows, while the signature universe
+    stays corpus-shaped. One groupBy on the signature string both
+    dedupes signatures AND collects each signature's sorted id array,
+    so the (expensive: one md5 per shingle) signature pipeline has
+    exactly ONE consumer and the fan-out is array explosion on the
+    tiny qualifying pair set, not id-level joins. Same-signature docs
+    share every band by definition and pair directly from their own
+    array; an id array's size is the signature's duplicate
+    multiplicity (a 10^7-copy viral duplicate means an 80 MB array —
+    at that point the output itself is 10^13 pairs and the CLUSTER
+    form, lsh_band_incidence + connected_components, is the tool)."""
+    mh_cols = [F.col(f"mh{j}") for j in range(num_hashes)]
+    sgroups = (
+        sig.select(F.col(id_col), F.concat_ws("|", *mh_cols).alias("__sk"))
+        .groupBy("__sk")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .localCheckpoint(eager=False)
+    )
+    if max_bucket is not None:
+        # The cap bounds BOTH degeneracy axes of the collapsed form:
+        # _bucket_pairs caps how many distinct signatures share a band
+        # (below), and this filter caps duplicate MULTIPLICITY — an
+        # m-copy group with m > max_bucket would fan out >= C(m,2)
+        # pairs no matter how clean its bands are, which is exactly
+        # the mega-bucket mass the knob exists to drop.
+        sgroups = sgroups.filter(F.size("__ids") <= max_bucket)
+    parts = F.split(F.col("__sk"), "\\|")
+    n_bands = num_hashes // band_size
+    # Same band keys as lsh_band_incidence: concat_ws of the band
+    # index and the (stringified) minhash values of the band.
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.element_at(parts, b * band_size + k + 1)
+                    for k in range(band_size)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sgroups.select(F.col("__sk"), F.explode(bands).alias("band_key"))
+    spairs = _bucket_pairs(keyed, "__sk", "band_key", max_bucket).select(
+        F.col("doc_a").alias("__ska"), F.col("doc_b").alias("__skb")
+    )
+    a = sgroups.select(F.col("__sk").alias("__ska"), F.col("__ids").alias("__idsa"))
+    b = sgroups.select(F.col("__sk").alias("__skb"), F.col("__ids").alias("__idsb"))
+    cross = (
+        spairs.join(a, "__ska")
+        .join(b, "__skb")
+        .select(
+            F.explode("__idsa").alias("__da"), F.col("__idsb")
+        )
+        .select(
+            F.col("__da"), F.explode("__idsb").alias("__db")
+        )
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
+    )
+    within_pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    same = (
+        sgroups.filter(F.size("__ids") > 1)
+        .select(F.explode(within_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    return cross.unionByName(same)
 
 
 def lsh_band_incidence(

@@ -5699,34 +5699,102 @@ def q_neardup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sheet a data curator signs off before a threshold goes to prod.
     The gate is what keeps the per-band ranking window scale-safe:
     with only 10 band partitions, ranking ALL pairs would hot-spot 10
-    reducers, so the window only ever sees the gated sample."""
+    reducers, so the window only ever sees the gated sample.
+
+    Everything pair-priced happens at the SIGNATURE level: est_jaccard
+    is a pure function of the two signatures, so it is computed on the
+    (corpus-shaped) distinct-signature pair set and RIDES the id
+    fan-out — no doc-level join ever exists. Two earlier shapes failed
+    the 1000x replication: doc-level _bucket_pairs OOM'd in
+    Flatten.nullSafeEval (a mega-bucket's full C(m,2) struct array is
+    materialized for one row before explode streams it), and joining
+    signatures onto the fanned pair set OOM'd the sort-merge join's
+    group buffer at ~10^8 gated rows. Same-signature pairs agree on
+    every component (est exactly 1.0). The gate filters in the same
+    codegen stage as the fan-out, and a salted local top-3 bounds what
+    the 10-partition global window sees (the global top-3 by
+    (doc_a, doc_b) is within each salt's local top-3 — exact)."""
     d = _t(spark, sf_dir, "documents")
     num_hashes = 12
-    sig = dd.minhash_signature(d, num_hashes=num_hashes, shingle_n=3).localCheckpoint(
-        eager=True
+    mh_cols = [f"mh{j}" for j in range(num_hashes)]
+    sig = dd.minhash_signature(d, num_hashes=num_hashes, shingle_n=3)
+    sgroups = (
+        sig.groupBy(*mh_cols)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
+        .withColumn("__sk", F.concat_ws("|", *mh_cols))
+        .localCheckpoint(eager=True)
     )
-    keyed = dd.lsh_band_incidence(sig, num_hashes=num_hashes, band_size=2)
-    pairs = dd._bucket_pairs(keyed, "doc_id", "band_key")
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(num_hashes)],
+    parts = F.split(F.col("__sk"), "\\|")
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.element_at(parts, 2 * b + 1),
+                F.element_at(parts, 2 * b + 2),
+            )
+            for b in range(num_hashes // 2)
+        ]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(num_hashes)],
+    keyed = sgroups.select(F.col("__sk"), F.explode(bands).alias("band_key"))
+    spairs = dd._bucket_pairs(keyed, "__sk", "band_key").select(
+        F.col("doc_a").alias("__ska"), F.col("doc_b").alias("__skb")
+    )
+    ga = sgroups.select(
+        F.col("__sk").alias("__ska"),
+        F.col("__ids").alias("__idsa"),
+        *[F.col(c).alias(f"__a{j}") for j, c in enumerate(mh_cols)],
+    )
+    gb = sgroups.select(
+        F.col("__sk").alias("__skb"),
+        F.col("__ids").alias("__idsb"),
+        *[F.col(c).alias(f"__b{j}") for j, c in enumerate(mh_cols)],
     )
     agree = sum(
         (F.col(f"__a{j}") == F.col(f"__b{j}")).cast("int") for j in range(num_hashes)
     )
-    est = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"))
+    cross = (
+        spairs.join(ga, "__ska")
+        .join(gb, "__skb")
+        .select(
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+            "__idsa",
+            "__idsb",
+        )
+        .select(F.explode("__idsa").alias("__da"), "__idsb", "est_jaccard")
+        .select(
+            F.col("__da"), F.explode("__idsb").alias("__db"), "est_jaccard"
+        )
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    within_pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    same = (
+        sgroups.filter(F.size("__ids") > 1)
+        .select(F.explode(within_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("est_jaccard"))
     )
     gate = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))),
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_a").cast("string"),
+                        F.col("doc_b").cast("string"),
+                    )
+                ),
                 1,
                 14,
             ),
@@ -5736,15 +5804,29 @@ def q_neardup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 10
         == 0
     )
-    gated = est.where(gate).select(
-        "doc_a",
-        "doc_b",
-        "est_jaccard",
-        F.least(F.lit(9), F.floor(F.col("est_jaccard") * 10).cast("int")).cast("int").alias("band"),
+    gated = (
+        cross.unionByName(same)
+        .where(gate)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.least(F.lit(9), F.floor(F.col("est_jaccard") * 10).cast("int"))
+            .cast("int")
+            .alias("band"),
+        )
+    )
+    wl = Window.partitionBy("band", "__salt").orderBy("doc_a", "doc_b")
+    local3 = (
+        gated.withColumn(
+            "__salt", F.pmod(F.hash("doc_a", "doc_b"), F.lit(64))
+        )
+        .withColumn("__rl", F.row_number().over(wl))
+        .where(F.col("__rl") <= 3)
     )
     w = Window.partitionBy("band").orderBy("doc_a", "doc_b")
     return (
-        gated.withColumn("rank", F.row_number().over(w).cast("long"))
+        local3.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("band", "doc_a", "doc_b", "est_jaccard", "rank")
     )

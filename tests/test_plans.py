@@ -71,11 +71,14 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, queries):
 
 
 def test_dedup_lsh_is_single_scan_aggregation(spark, sf_dir, queries):
-    """MinHash LSH pair generation is one grouped pass over signatures:
-    no self-join (which would re-derive the signature pipeline twice)
-    and no cross product."""
+    """MinHash LSH pair generation computes the signature pipeline
+    exactly once: the r6 collapsed form checkpoints the signature-
+    grouped table (so the parquet scan is hidden behind the
+    checkpoint's RDD — at most one scan can appear, for the pipeline
+    feeding the checkpoint) and fans doc pairs out by array explosion
+    — no self-join re-deriving signatures, no cross product."""
     plan = _plan(queries["dedup_minhash_lsh"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") <= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
