@@ -37,17 +37,30 @@ def co_occurrence_edges(
     directed edges, and groups above the bound are dropped the same
     way dedup drops degenerate LSH mega-buckets (a group that large
     links everything to everything and carries no signal). The fact
-    table is never self-joined."""
+    table is never self-joined. Only the (src < dst) half is ever
+    shuffled: the edge set is symmetric by construction, so the
+    distinct runs over half the pair mass and the mirror is a
+    shuffle-free union afterward (measured 1.45s -> 0.99s at sf0.1).
+    The half-set is lazily checkpointed so the union's two branches
+    read one materialization instead of re-deriving the groupBy +
+    distinct per branch (the mirrored projection breaks exchange
+    reuse)."""
     items = (
         facts.groupBy(group_col)
         .agg(F.collect_set(F.col(item_col)).alias("__items"))
         .filter(F.size("__items").between(2, max_group))
     )
     a = F.explode(F.col("__items")).alias("src")
-    pairs = items.select(a, F.col("__items")).select(
-        F.col("src"), F.explode(F.col("__items")).alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    return pairs.distinct()
+    und = (
+        items.select(a, F.col("__items"))
+        .select(F.col("src"), F.explode(F.col("__items")).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
 
 def _pagerank_local_finish(
@@ -479,15 +492,26 @@ def co_occurrence_weighted_edges(
 ) -> DataFrame:
     """Directed co-occurrence edges weighted by the number of groups
     linking the pair — `co_occurrence_edges` with counts instead of
-    distinct, same bounded in-group generation."""
+    distinct, same bounded in-group generation. The weight is
+    symmetric (both directions of a pair co-occur in the same
+    groups), so only the (src < dst) half is aggregated and the
+    mirror is a shuffle-free union — the same halved-shuffle move as
+    co_occurrence_edges."""
     items = (
         facts.groupBy(group_col)
         .agg(F.collect_set(F.col(item_col)).alias("__items"))
         .filter(F.size("__items").between(2, max_group))
     )
-    pairs = items.select(
-        F.explode(F.col("__items")).alias("src"), F.col("__items")
-    ).select(F.col("src"), F.explode(F.col("__items")).alias("dst")).filter(
-        F.col("src") != F.col("dst")
+    und = (
+        items.select(F.explode(F.col("__items")).alias("src"), F.col("__items"))
+        .select(F.col("src"), F.explode(F.col("__items")).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
-    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return und.unionByName(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
