@@ -288,12 +288,11 @@ def lsh_candidate_pairs(
         .localCheckpoint(eager=False)
     )
     if max_bucket is not None:
-        # The cap bounds BOTH degeneracy axes of the collapsed form:
-        # _bucket_pairs caps how many distinct signatures share a band
-        # (below), and this filter caps duplicate MULTIPLICITY — an
-        # m-copy group with m > max_bucket would fan out >= C(m,2)
-        # pairs no matter how clean its bands are, which is exactly
-        # the mega-bucket mass the knob exists to drop.
+        # Multiplicity pre-cut: an m-copy group with m > max_bucket
+        # would fan out >= C(m,2) pairs no matter how clean its bands
+        # are, and every band containing it already exceeds the
+        # DOC-level population cap below — dropping it here just keeps
+        # the mega id-array out of the banding stage.
         sgroups = sgroups.filter(F.size("__ids") <= max_bucket)
     parts = F.split(F.col("__sk"), "\\|")
     n_bands = num_hashes // band_size
@@ -312,8 +311,35 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    keyed = sgroups.select(F.col("__sk"), F.explode(bands).alias("band_key"))
-    spairs = _bucket_pairs(keyed, "__sk", "band_key", max_bucket).select(
+    keyed = sgroups.select(
+        F.col("__sk"), F.size("__ids").alias("__m"), F.explode(bands).alias("band_key")
+    )
+    same_src = sgroups
+    if max_bucket is not None:
+        # DOC-level band-population cap — the knob's pre-collapse
+        # semantics. Without it a band with S signatures x m copies
+        # (S, m <= cap but S·m >> cap) slips both per-axis filters yet
+        # fans out ~C(S,2)·m² pairs. sum(multiplicity) over the band
+        # IS the doc-level bucket size the uncollapsed form capped;
+        # the window's band_key hash partitioning is reused verbatim
+        # by _bucket_pairs' groupBy, so this adds no extra exchange.
+        wb = Window.partitionBy("band_key")
+        keyed = (
+            keyed.withColumn("__bm", F.sum("__m").over(wb))
+            .filter(F.col("__bm") <= max_bucket)
+            .drop("__bm")
+        )
+        # Within-group (same-signature) pairs exist only where at
+        # least one of the group's bands survived — identical docs
+        # whose every band is mega are dropped, as pre-collapse.
+        same_src = sgroups.join(
+            keyed.select("__sk").distinct(), "__sk", "left_semi"
+        )
+    keyed = keyed.drop("__m")
+    # The band-population cap already bounds distinct signatures per
+    # band (each multiplicity >= 1), so _bucket_pairs needs no cap of
+    # its own when one is set here.
+    spairs = _bucket_pairs(keyed, "__sk", "band_key", None).select(
         F.col("doc_a").alias("__ska"), F.col("doc_b").alias("__skb")
     )
     a = sgroups.select(F.col("__sk").alias("__ska"), F.col("__ids").alias("__idsa"))
@@ -342,7 +368,7 @@ def lsh_candidate_pairs(
         )
     )
     same = (
-        sgroups.filter(F.size("__ids") > 1)
+        same_src.filter(F.size("__ids") > 1)
         .select(F.explode(within_pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )

@@ -170,9 +170,13 @@ def pagerank(
         rows = e.collect()
         for s, _ in rows:
             deg[s] = deg.get(s, 0) + 1
-        return _pagerank_local_finish(
+        res = _pagerank_local_finish(
             e, [(s, d, 1.0 / deg[s]) for s, d in rows], iters, damping, normalize
         )
+        # The edge rows are already in the driver; holding the cached
+        # copy past return would accumulate across library calls.
+        e.unpersist()
+        return res
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -226,6 +230,14 @@ def pagerank(
         # independent of graph size — raw ranks are O(1/N) and would
         # vanish under fixed-precision rounding on large graphs.
         ranks = ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("rank"))
+    # Materialize the final ranks (localCheckpoint blocks are released
+    # by the ContextCleaner once the frame is dereferenced), then drop
+    # every per-call cache — without this, repeated library calls
+    # accumulate cached edge lists until JVM exit.
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    (deg if small_ranks else out).unpersist()
     return ranks
 
 
@@ -415,9 +427,11 @@ def weighted_pagerank(
         rows = e.collect()
         for s, _, w in rows:
             wsum[s] = wsum.get(s, 0.0) + w
-        return _pagerank_local_finish(
+        res = _pagerank_local_finish(
             e, [(s, d, w / wsum[s]) for s, d, w in rows], iters, damping, normalize
         )
+        e.unpersist()
+        return res
     wsum = e.groupBy("src").agg(F.sum("__w").alias("__wsum"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -481,6 +495,12 @@ def weighted_pagerank(
         )
     if normalize:
         ranks = ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("rank"))
+    # Same per-call cache release as `pagerank`: materialize, then
+    # unpersist everything this call pinned.
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    (wsum if small_ranks else out).unpersist()
     return ranks
 
 

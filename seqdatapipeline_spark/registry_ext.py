@@ -3895,7 +3895,13 @@ def _adaptive_cell_assign(e: DataFrame, vectors: DataFrame | None = None) -> Dat
     k1 = math.ceil(math.sqrt(k))
     seed_rows = e.orderBy("vec_id").limit(k).select("embedding").collect()
     sm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
-    smn = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    # A zero-norm seed would put a NaN ROW into the seed matrix, and
+    # one NaN column in the argmax scores captures EVERY vector
+    # (np.argmax treats NaN as maximal). Zeroing the row instead gives
+    # it dot 0 to everything — it can only win where the join-based
+    # form's NULL-cosine max_by would also have been degenerate.
+    snorm = np.linalg.norm(sm, axis=1, keepdims=True)
+    smn = np.where(snorm > 0, sm / np.where(snorm > 0, snorm, 1.0), 0.0)
     cmn = smn[:k1]
     s2c = np.argmax(smn @ cmn.T, axis=1)
     by_coarse: dict = {}
@@ -3914,15 +3920,22 @@ def _adaptive_cell_assign(e: DataFrame, vectors: DataFrame | None = None) -> Dat
             if len(pdf) == 0:
                 continue
             vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            vmn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            # Zero-norm vectors: normalizing yields an all-NaN row and
+            # np.argmax would assign it a cell anyway (NaN compares
+            # maximal). The join-based form this replaced produced
+            # NULL cosines and DROPPED such vectors; reproduce that by
+            # leaving out_cell=-1 so the keep filter excludes them.
+            vnorm = np.linalg.norm(vm, axis=1, keepdims=True)
+            nz = vnorm[:, 0] > 0
+            vmn = np.where(nz[:, None], vm / np.where(nz[:, None], vnorm, 1.0), 0.0)
             cc = np.argmax(vmn @ cmat.T, axis=1)
             out_cell = np.full(len(pdf), -1, dtype=np.int64)
-            for ccell in np.unique(cc):
+            for ccell in np.unique(cc[nz]):
                 hit = cells_of.get(int(ccell))
                 if hit is None:
                     continue  # empty coarse cell: drop, like the inner join
+                idx = np.where((cc == ccell) & nz)[0]
                 ids, mat = hit
-                idx = np.where(cc == ccell)[0]
                 out_cell[idx] = ids[np.argmax(vmn[idx] @ mat.T, axis=1)]
             keep = out_cell >= 0
             yield pd.DataFrame(
@@ -4013,7 +4026,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     a representative (the group minimum) can only be flagged by
     OTHER groups, whose members all compare at the rep-level cosine
     and include an earlier one iff the other group's MINIMUM id is
-    smaller — precisely the rep-level x.vec_id < y.vec_id join."""
+    smaller — precisely the rep-level x.vec_id < y.vec_id join.
+    Zero-norm vectors are dropped end to end: _adaptive_cell_assign
+    leaves them unassigned (the uncollapsed form's NULL cosine never
+    clears the threshold), and dup_out inner-joins the assignment on
+    __rep, so a zero-norm group emits neither rep nor copy rows."""
     e = _t(spark, sf_dir, "embeddings")
     groups, members = _collapse_exact_vectors(e)
     reps = groups.select(F.col("__rep").alias("vec_id"), "embedding")

@@ -88,6 +88,56 @@ def test_lsh_max_bucket_drops_mega_buckets(spark):
     assert uncapped == 15 and capped == 0
 
 
+def _sig_df(spark, rows):
+    """Hand-built signature rows (doc_id, mh0..mh11) — direct control
+    over band structure, bypassing minhash_signature."""
+    cols = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(12))
+    return spark.createDataFrame(rows, cols)
+
+
+def test_lsh_max_bucket_bounds_combined_band_fanout(spark):
+    """ADVICE r6: a band with S signatures x m copies (S, m <= cap but
+    S*m > cap) must be dropped — max_bucket caps the DOC-level band
+    population, not the two axes independently."""
+    # 3 distinct signatures, identical in band 0 (mh0, mh1), unique
+    # elsewhere; 3 docs per signature -> band-0 population 9.
+    rows = []
+    for s in range(3):
+        sig = [7, 7] + [100 * s + j for j in range(10)]
+        for c in range(3):
+            rows.append(tuple([s * 10 + c] + sig))
+    sig = _sig_df(spark, rows)
+    uncapped = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(sig).collect()}
+    assert len(uncapped) == 36  # C(9,2): all docs collide via band 0
+    capped = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(sig, max_bucket=5).collect()}
+    # Cross-signature pairs ride only the mega band 0 -> dropped; the
+    # within-group pairs survive via each signature's 5 private bands.
+    assert capped == {p for p in uncapped if p[0] // 10 == p[1] // 10}
+    assert len(capped) == 9
+
+
+def test_lsh_max_bucket_drops_same_sig_pairs_when_all_bands_mega(spark):
+    """Identical docs whose EVERY band is over the cap get no pairs,
+    matching the pre-collapse doc-level semantics."""
+    rows = []
+    sig_a = [5] * 12
+    sig_b = [5] * 12; sig_b[11] = 6  # shares bands 0-4 with sig_a
+    for c in range(2):
+        rows.append(tuple([c] + sig_a))
+    for c in range(4):
+        rows.append(tuple([10 + c] + sig_b))
+    sig = _sig_df(spark, rows)
+    # Bands 0-4 hold both groups (population 6); band 5 splits 2 vs 4.
+    capped = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(sig, max_bucket=5).collect()}
+    # sig_a's band-5 bucket (population 2) and sig_b's (population 4)
+    # survive -> within-group pairs only.
+    assert capped == {(0, 1), (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)}
+    tight = {(r.doc_a, r.doc_b) for r in dd.lsh_candidate_pairs(sig, max_bucket=3).collect()}
+    # cap 3: sig_b's multiplicity 4 > cap -> gone entirely; sig_a's
+    # band-5 bucket (population 2) still carries its within pair.
+    assert tight == {(0, 1)}
+
+
 def test_simhash_pairs_close_docs(spark):
     docs = _doc_df(
         spark,

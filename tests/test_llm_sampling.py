@@ -619,3 +619,42 @@ def test_filter_attrition_report_consistent_with_rule_filter(spark):
         assert rep[src].n_docs == n
         assert abs(rep[src].rate_keep - round(keep / n, 6)) < 1e-9
         assert abs(rep[src].rate_len - round(plen / n, 6)) < 1e-9
+
+
+# ------------------------------------------------- zero-norm embedding guards
+
+def _zero_norm_sf(spark, tmp_path):
+    """A tiny embeddings table: the real sf0.001 vectors plus a
+    3-copy zero-norm group (ids beyond the real id range). Written as
+    an sf_dir so registry queries read it like driver data."""
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+    top = base.agg(F.max("vec_id")).first()[0]
+    zeros = spark.createDataFrame(
+        [(int(top) + i, [0.0] * dim, 0) for i in (1, 2, 3)],
+        schema=base.schema,
+    )
+    out = str(tmp_path / "zsf")
+    base.unionByName(zeros).write.parquet(f"{out}/embeddings.parquet")
+    return out, {int(top) + i for i in (1, 2, 3)}
+
+
+def test_semdedup_prune_drops_zero_norm_groups(spark, tmp_path):
+    """A zero-norm vector's cosine is NULL in the uncollapsed form and
+    never clears the threshold — the collapsed fast path must not
+    resurrect its copies as max_dup_cos=1.0 rows (ADVICE r6)."""
+    sf, zids = _zero_norm_sf(spark, tmp_path)
+    rows = _q("semdedup_prune")(spark, sf).collect()
+    assert zids.isdisjoint({r.vec_id for r in rows})
+    assert all(r.max_dup_cos is not None for r in rows)
+
+
+def test_knn_graph_drops_zero_norm_sources(spark, tmp_path):
+    """_adaptive_cell_assign must leave zero-norm vectors unassigned
+    (NaN argmax would otherwise grab a cell) so knn_graph emits no
+    NULL-cosine neighbor rows (ADVICE r6)."""
+    sf, zids = _zero_norm_sf(spark, tmp_path)
+    rows = _q("knn_graph")(spark, sf).collect()
+    assert all(r.cos is not None for r in rows)
+    ids_seen = {r.src_id for r in rows} | {r.nbr_id for r in rows}
+    assert zids.isdisjoint(ids_seen)
