@@ -25,45 +25,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
 
-# Flagship + one per family — re-checked every round.
+# Repeat slots. Policy since r7 (133/210 externally green, zero
+# failures ever, full surface mirrored locally every pytest run):
+# spend repeat slots ONLY on two family sentinels plus whatever code
+# CHANGED in the current round — edit RECHECK per round — and give
+# every remaining slot to first-timers.
 CANARIES = [
-    "form_scan",              # §2.1 scans/sinks
-    "filter_tlen_range",      # §2.2 filters
-    "pe_mate_join",           # §2.3 self-join
-    "feature_interval_join",  # flagship interval join
-    "gene_read_count",        # §2.4 grouped agg
-    "peak_call",              # §2.5 windows
-    "union_inputs",           # §2.7 set ops
-    "stream_windowed_counts", # §2.9 streaming
-    "dedup_exact",            # dedup: hash
-    "dedup_minhash_lsh",      # dedup: LSH
-    "dedup_clusters",         # dedup: connected components
-    "ann_ivf_topk",           # similarity search
-    "pack_sequences",         # corpus prep
-    "text_quality_score",     # text analysis
-    "semdedup_prune",         # data selection
+    "form_scan",        # §2.1 scans/sinks sentinel
+    "gene_read_count",  # §2.4 agg sentinel
 ]
 
-# Already-checked queries whose implementation changed this round:
-# re-verify the NEW code path externally even though an older round
-# passed them (placed right after the canaries).
+# Queries whose implementation changed this round: re-verify the NEW
+# code path externally even though an older round passed them.
 RECHECK = [
-    "setsim_prefix_join",     # r6: df-order prefix + positional filter
-    "setsim_clusters",        # r6: same pipeline + late dedupe
+    # r7: zero-norm guards, LSH band cap, layout fast paths, probe fold
+    "dedup_minhash_lsh", "semdedup_prune", "feature_interval_join",
+    "pe_mate_join", "dedup_alignments",
 ]
 
 # Never-checked queries to front-load before registry-order fill.
-# r6: the 16 SURVEY §2.8 scalars (core reference surface, never in a
-# driver window), the pipeline composites (the reference's actual
-# user-facing loop), and the two streaming-tier locals.
+# r7: the VERDICT item-1 headliners + the remaining streaming tier.
 FRONT = [
-    "strip_fastq_suffix", "common_prefix_pair_key", "xml_tag_extract",
-    "username_from_email", "basename", "csv_join_split", "key_concat",
-    "mate_number_parse", "abs_int_cast", "format_fixed6", "date_stamp",
-    "elapsed_hours", "octal_mode_parse", "chr_decode", "reversed_join",
-    "sci_notation_num",
-    "pipeline_rna", "pipeline_chip", "pipeline_atac",
-    "stream_minhash_dedup", "stream_session_windows",
+    "ivf_pq_topk", "knn_graph", "lm_doc_score", "pagerank_weighted",
+    "dataset_split", "bm25_topk", "lang_id_ngram_model", "pagerank_iter",
+    "stream_late_monitor", "stream_quantile_sketch", "stream_vocab_topk",
+    "dedup_minhash_clusters", "dedup_embedding_clusters",
 ]
 
 
