@@ -281,11 +281,17 @@ def lsh_candidate_pairs(
     at that point the output itself is 10^13 pairs and the CLUSTER
     form, lsh_band_incidence + connected_components, is the tool)."""
     mh_cols = [F.col(f"mh{j}") for j in range(num_hashes)]
+    # persist(), not localCheckpoint(eager=False): both make the
+    # (md5-per-shingle) signature pipeline compute once for the four
+    # consumers below, but a lazy localCheckpoint still runs analysis
+    # + toRdd on the DRIVER at build time — measured 0.7-2.9s of the
+    # query's wall before any job started. persist registers lazily in
+    # the cache manager (plan-identical repeat calls also reuse it).
     sgroups = (
         sig.select(F.col(id_col), F.concat_ws("|", *mh_cols).alias("__sk"))
         .groupBy("__sk")
         .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     if max_bucket is not None:
         # Multiplicity pre-cut: an m-copy group with m > max_bucket

@@ -84,3 +84,64 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def bucketed_table_name(sf_dir: str, table: str, bucket_col: str) -> str:
+    """Catalog name for the curated bucketed copy of ``sf_dir``'s
+    ``table``, clustered on ``bucket_col``. The sf_dir is folded in so
+    copies of different scale factors coexist in one warehouse."""
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    return f"sg_{tag}_{table}_by_{bucket_col}"
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed+sorted parquet TABLE (Hive bucketing
+    via saveAsTable — plain ``.parquet(path)`` cannot carry a bucket
+    spec, so this is the one layout operator that must go through the
+    catalog). A scan of the result reports hash-partitioning on
+    ``bucket_col`` to Catalyst, so joins/groupBys keyed on it (or on
+    any superset of it) need NO Exchange — for a 100 TB alignment
+    store curated this way, coordinate dedup and mate pairing become
+    scan + map-side work, deleting the single largest shuffle in the
+    genomics tier (the r6 1000x spot-check measured dedup_alignments
+    at 53.4s and pe_mate_join at 24.0s, both pure shuffle).
+
+    ``n_buckets`` sizes reducer-side parallelism for every future
+    exchange-free consumer: pick ~(total size / 128 MB) at curation
+    time. Sorting within buckets by (bucket_col, *sort_cols) adds
+    parquet min/max row-group skipping for point lookups on the key.
+    """
+    w = df.repartition(n_buckets, F.col(bucket_col)).write.mode("overwrite")
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(bucket_col, *sort_cols)
+    w.format("parquet").saveAsTable(name)
+
+
+def curated_or_parquet(spark, sf_dir: str, table: str, bucket_col: str):
+    """Read ``table`` preferring the curated bucketed copy when one
+    exists in this session's catalog: returns ``(df, curated)``.
+
+    Detection is catalog-scoped on purpose — the default in-memory
+    catalog only knows tables written THIS session, so a stale
+    warehouse directory can never silently shadow fresh parquet. The
+    driver/oracle path (no curated table) is bit-identical: the
+    curated copy holds the same rows, only the physical layout
+    differs, and every consumer is layout-agnostic."""
+    name = bucketed_table_name(sf_dir, table, bucket_col)
+    try:
+        if spark.catalog.tableExists(name):
+            return spark.table(name), True
+    except Exception:
+        pass
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")), False

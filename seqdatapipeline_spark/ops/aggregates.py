@@ -57,7 +57,8 @@ def distinct_sorted(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def dedup_keep_first(
-    df: DataFrame, keys: list[str], order: list[str]
+    df: DataFrame, keys: list[str], order: list[str],
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Collapse duplicate-key rows keeping the first by `order`
     (reference tools.py:314-317 samtools rmdup — identical coordinates
@@ -77,12 +78,19 @@ def dedup_keep_first(
     handful of parquet row-group splits would otherwise run its
     map-side aggregation on that many cores; keyed repartition also
     makes the groupBy itself exchange-free. No-op once the input has
-    scan parallelism (always true at real scale)."""
+    scan parallelism (always true at real scale).
+
+    ``pre_partitioned``: the caller asserts the source is already
+    clustered on (a prefix of) ``keys`` — e.g. a bucketed table from
+    io.layout.write_bucketed — so fan_out must NOT touch it (its
+    repartition would discard the scan's reported partitioning and
+    re-add the exchange the layout exists to delete)."""
     from ..session import fan_out
 
     rest = [c for c in df.columns if c not in keys]
     ordered = list(order) + [c for c in rest if c not in order]
-    agg = fan_out(df, *keys).groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__best"))
+    src = df if pre_partitioned else fan_out(df, *keys)
+    agg = src.groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__best"))
     return agg.select(*keys, *[F.col(f"__best.{c}").alias(c) for c in rest]).select(df.columns)
 
 

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .io import layout as lay
 from .io import readers, sinks
 from .ops import aggregates as agg
 from .ops import filters as flt
@@ -450,8 +451,13 @@ def q_pe_mate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, so this runs the single-scan groupBy-enumerate form
     (ops.joins.mate_pair_enumerate — one shuffle, hash agg, no sort,
     exact join semantics incl. duplicate keys); the two-source
-    equi-join form remains ops.joins.pe_mate_join."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    equi-join form remains ops.joins.pe_mate_join. When the session
+    carries a curated copy bucketed on l_orderkey
+    (io.layout.write_bucketed), the scan reports that clustering and
+    the groupBy's exchange disappears — the pairing becomes pure
+    scan + map-side work, the shape a 100 TB alignment store wants."""
+    src, _ = lay.curated_or_parquet(spark, sf_dir, "lineitem", "l_orderkey")
+    li = src.select(
         F.col("l_orderkey").alias("read_id"),
         F.col("l_linenumber").alias("mate"),
         F.col("l_quantity").alias("qty"),
@@ -680,11 +686,20 @@ def q_dedup_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best/first (reference tools.py:314-317 samtools rmdup).
     l_quantity is a second sort key: the synthetic data has full
     (orderkey, partkey, linenumber) duplicates, and a deterministic
-    total order is what makes oracle hashes stable (SURVEY.md §7 risk 5)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    total order is what makes oracle hashes stable (SURVEY.md §7 risk
+    5). When a curated copy bucketed on l_orderkey exists
+    (io.layout.write_bucketed), the scan's hash clustering satisfies
+    the (l_orderkey, l_partkey) grouping — bucket cols are a prefix of
+    the keys — so the dedup runs with NO exchange: the one shuffle
+    this op has, and at 1000x replication its entire 53s cost."""
+    src, curated = lay.curated_or_parquet(spark, sf_dir, "lineitem", "l_orderkey")
+    li = src.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    return agg.dedup_keep_first(
+        li,
+        ["l_orderkey", "l_partkey"],
+        ["l_linenumber", "l_quantity"],
+        pre_partitioned=curated,
     )
-    return agg.dedup_keep_first(li, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
 
 
 @q(

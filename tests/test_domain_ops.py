@@ -643,3 +643,37 @@ def test_trend_slope_recovers_line(spark):
     }
     assert rows["up"].slope == 3.0 and rows["up"].intercept == 2.0
     assert rows["flatx"].slope is None and rows["flatx"].intercept is None
+
+
+# ----------------------------------------------------- bucketed layout fast path
+
+def test_bucketed_layout_drops_exchange_and_preserves_results(spark):
+    """write_bucketed + curated_or_parquet: dedup_alignments and
+    pe_mate_join must produce identical rows on the curated copy, and
+    the curated dedup plan must contain NO shuffle exchange (the
+    bucket clustering on l_orderkey satisfies the grouping)."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain_dedup = set(map(tuple, qs["dedup_alignments"](spark, sf).collect()))
+    plain_mate = set(map(tuple, qs["pe_mate_join"](spark, sf).collect()))
+    name = lay.bucketed_table_name(sf, "lineitem", "l_orderkey")
+    try:
+        lay.write_bucketed(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), name, "l_orderkey",
+            n_buckets=8, sort_cols=["l_partkey", "l_linenumber"],
+        )
+        src, curated = lay.curated_or_parquet(spark, sf, "lineitem", "l_orderkey")
+        assert curated
+        cur_dedup_df = qs["dedup_alignments"](spark, sf)
+        cur_dedup = set(map(tuple, cur_dedup_df.collect()))
+        cur_mate = set(map(tuple, qs["pe_mate_join"](spark, sf).collect()))
+        assert cur_dedup == plain_dedup
+        assert cur_mate == plain_mate
+        plan = cur_dedup_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
