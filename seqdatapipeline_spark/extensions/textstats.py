@@ -242,6 +242,7 @@ def lm_doc_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_types: int = 2_000_000,
 ) -> DataFrame:
     """Bigram language-model scoring — the KenLM-style perplexity
     filter of web-corpus pipelines, re-expressed relationally: train
@@ -301,10 +302,22 @@ def lm_doc_score(
     # table (an O(|vocab|) nested-loop by construction), never into
     # the corpus-sized instance table.
     c_ctx_v = c_ctx.crossJoin(F.broadcast(vocab))
+    # Broadcast guard: the model tables grow with the bigram TYPE
+    # count, not the corpus — bounded for a fixed-vocab contract, but
+    # an unbounded-vocab 100 TB corpus (URLs, code, numerals) can blow
+    # past driver/executor broadcast memory. The checkpointed c_bi is
+    # already materialized, so counting it is a cheap scan of stored
+    # blocks; above the threshold both scoring joins drop the hint and
+    # fall to shuffled hash/SMJ joins, which only need the shuffle the
+    # instance stream would pay anyway. Same tiering pattern as
+    # extensions.graph.pagerank's broadcast-rounds cutover.
+    small_model = c_bi.count() <= broadcast_types
+    bi_side = F.broadcast(c_bi) if small_model else c_bi
+    ctx_side = F.broadcast(c_ctx_v) if small_model else c_ctx_v
     logp = F.log((F.col("c_bi") + 1) / (F.col("c_ctx") + F.col("v")))
     return (
-        inst.join(F.broadcast(c_bi), ["w1", "w2"])
-        .join(F.broadcast(c_ctx_v), "w1")
+        inst.join(bi_side, ["w1", "w2"])
+        .join(ctx_side, "w1")
         .groupBy(id_col)
         .agg(
             F.round(F.avg(logp), 6).alias("lm_score"),
