@@ -37,10 +37,14 @@ _RANK_MEMO_CAP = 8
 
 
 def _rank_memo_key(edges: DataFrame, *params):
-    try:
-        plan = edges._jdf.queryExecution().analyzed().canonicalized().toString()
-    except Exception:
-        return None  # connect mode / plan access failure: don't memoize
+    from ..session import plan_fingerprint
+
+    plan = plan_fingerprint(edges)
+    if plan is None:
+        # Driver-built edge lists (createDataFrame) canonicalize
+        # without their rows — memoizing them would serve one graph's
+        # ranks for another. File-backed plans only.
+        return None
     return (plan, *params)
 
 

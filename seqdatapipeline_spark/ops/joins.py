@@ -678,18 +678,19 @@ def interval_count_adaptive(
         ivl_end=ivl_end,
         count_col=count_col,
     )
+    from ..session import plan_fingerprint
+
     ck = None
-    try:
+    fp_p, fp_i = plan_fingerprint(points), plan_fingerprint(intervals)
+    if fp_p is not None and fp_i is not None:
         ck = (
-            points._jdf.queryExecution().analyzed().canonicalized().toString(),
-            intervals._jdf.queryExecution().analyzed().canonicalized().toString(),
+            fp_p,
+            fp_i,
             tuple(group_cols),
             tuned_bin,
             max_points_per_bin,
             tuple(sorted(kw.items())),
         )
-    except Exception:
-        pass  # connect-mode or plan-access failure: just don't memoize
     cached = _ADAPTIVE_STATS.get(ck) if ck is not None else None
     if cached is not None:
         # Prepared-statement hit: the built plan is immutable, hand it

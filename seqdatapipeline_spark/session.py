@@ -129,3 +129,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def plan_fingerprint(df: DataFrame) -> str | None:
+    """Canonicalized-plan identity for prepared-plan/statistics memo
+    keys, or None when the plan has no durable data identity.
+
+    File-backed scans canonicalize with their file listing, so equal
+    strings mean equal data (up to file mutation — the same staleness
+    contract as Spark's own plan cache). Driver-built inputs
+    (createDataFrame -> LogicalRDD / LocalRelation / LocalTableScan)
+    canonicalize WITHOUT their rows — two different literal datasets
+    print identically — so memoizing them would serve one dataset's
+    result for another; refuse."""
+    try:
+        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:
+        return None  # connect mode / plan-access failure
+    if "LogicalRDD" in s or "LocalRelation" in s or "LocalTableScan" in s:
+        return None
+    return s

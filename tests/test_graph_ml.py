@@ -445,3 +445,19 @@ def test_weighted_pagerank_reduces_to_uniform_on_equal_weights(spark):
     b = {r["node"]: r["rank"] for r in gr.weighted_pagerank(ww, iters=3).collect()}
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_plan_fingerprint_refuses_driver_built_frames(spark, sf_dir):
+    """Memo keys must never collide across different literal datasets:
+    createDataFrame canonicalizes without its rows, so plan_fingerprint
+    returns None for it and a stable string for file-backed plans."""
+    import os
+
+    from seqdatapipeline_spark.session import plan_fingerprint
+
+    local = spark.createDataFrame([(1, 2)], "src int, dst int")
+    assert plan_fingerprint(local) is None
+    p = os.path.join(sf_dir, "part.parquet")
+    a = plan_fingerprint(spark.read.parquet(p))
+    b = plan_fingerprint(spark.read.parquet(p))
+    assert a is not None and a == b
