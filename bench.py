@@ -73,31 +73,30 @@ BEST_KNOWN = {
     "corpus_prepare": 0.553,           # r5
     "coverage_bin_count": 0.152,       # r4
     "dedup_alignments": 0.388,         # r4
-    "dedup_clusters": 0.888,           # r2
+    "dedup_clusters": 0.690,  # r6
     "dedup_exact": 0.130,              # r5
-    "dedup_minhash_lsh": 1.240,       # r6 signature-collapse (was 0.730 r4;
-    # +0.5s of fixed stage latency buys 1000x survival — SCALING.md)
+    "dedup_minhash_lsh": 0.883,  # r7 persist-over-lazy-checkpoint
     "dsir_importance_weights": 0.671,  # r5
-    "feature_interval_join": 0.778,    # r4
+    "feature_interval_join": 0.549,  # r7
     "fragment_length_histogram": 0.178,  # r4
     "gene_read_count": 0.167,          # r4
     "group_route_jobs": 0.223,         # r4
-    "incremental_ingest_dedup": 0.770,  # r4
-    "ivf_pq_topk": 1.116,              # r5
+    "incremental_ingest_dedup": 0.658,  # r7
+    "ivf_pq_topk": 1.090,  # r7
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
     "pack_sequences": 0.311,           # r4
-    "pagerank_iter": 2.416,            # r4
+    "pagerank_iter": 0.312,  # r7
     "pe_mate_join": 0.446,             # r2
     "peak_call": 0.269,                # r4
     "qc_read_stats": 0.120,            # r4
     "quality_percentile_by_source": 0.818,  # r4
     "rollup_time_bucket": 0.199,       # r4
-    "semdedup_prune": 1.867,           # r4
-    "setsim_clusters": 3.496,          # r6 rewrite
-    "setsim_prefix_join": 1.726,       # r6 rewrite
-    "text_quality_score": 0.211,       # r5
-    "token_count": 0.202,              # r5
+    "semdedup_prune": 1.308,  # r6
+    "setsim_clusters": 2.592,  # r7
+    "setsim_prefix_join": 1.653,  # r6
+    "text_quality_score": 0.206,  # r6
+    "token_count": 0.167,  # r7
     "vocab_top_terms": 0.347,          # r4
 }
 
