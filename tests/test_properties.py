@@ -519,3 +519,64 @@ def test_cooccurrence_pairs_match_naive(spark, baskets):
             for b in s[i + 1 :]:
                 expect[(a, b)] += 1
     assert got == dict(expect)
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from([
+            "aa bb cc dd ee",          # base
+            "aa bb cc dd ff",          # near variant
+            "zz yy xx ww vv",          # distinct
+            "aa bb cc dd ee",          # exact duplicate of base
+            "mm nn oo pp qq rr",
+        ]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_candidate_pairs_match_naive_banding(spark, texts):
+    """The collapsed (signature-level) lsh_candidate_pairs must equal
+    naive per-doc banding: same K-M signature formula in Python, pair
+    any two docs sharing a band — including duplicate-heavy inputs
+    where the collapsed form's within-group array emission does the
+    work."""
+    import hashlib
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    NH, BS, MOD = 12, 2, 1 << 56
+
+    def sig_of(text):
+        ws = text.split(" ")
+        shingles = list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        ))
+        mins = [1 << 62] * NH
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(h[0:14], 16), int(h[14:28], 16)
+            for j in range(NH):
+                mins[j] = min(mins[j], (h1 + j * h2) % MOD)
+        return mins
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    expect = set()
+    sigs = {i: sig_of(t) for i, t in docs if len(t.split()) >= 3}
+    for a in sigs:
+        for b in sigs:
+            if a < b and any(
+                sigs[a][k * BS:(k + 1) * BS] == sigs[b][k * BS:(k + 1) * BS]
+                for k in range(NH // BS)
+            ):
+                expect.add((a, b))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(
+            dd.minhash_signature(df, num_hashes=NH, shingle_n=3),
+            num_hashes=NH,
+            band_size=BS,
+        ).collect()
+    }
+    assert got == expect
