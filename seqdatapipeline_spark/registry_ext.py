@@ -4194,11 +4194,15 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.select("doc_id", F.md5("text").alias("h"))
     newd = hashed.where(is_new)
     oldd = hashed.where(~is_new)
-    ex = (
-        newd.join(oldd.select(F.col("doc_id").alias("old_id"), "h"), "h")
-        .groupBy("doc_id")
-        .agg(F.min("old_id").alias("match_id"))
-    )
+    # Pre-aggregate the CORPUS side to its per-key minimum BEFORE the
+    # join: min(old_id) over a hash/band group equals the join-then-
+    # groupBy min, but the raw join fans out m_new x m_old rows per
+    # duplicated content (the r6 1000x sweep's 53x wall — ~160k rows
+    # per distinct text at 1000-member groups); pre-aggregation is
+    # map-side combinable and caps the join output at one row per
+    # (new doc, key).
+    oldmin = oldd.groupBy("h").agg(F.min("doc_id").alias("match_id"))
+    ex = newd.join(oldmin, "h").select("doc_id", "match_id")
 
     def _keyed(side: DataFrame) -> DataFrame:
         return dd.lsh_band_incidence(
@@ -4208,9 +4212,13 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     nb = _keyed(d.where(is_new))
-    ob = _keyed(d.where(~is_new)).select(F.col("doc_id").alias("old_id"), "band_key")
+    obmin = (
+        _keyed(d.where(~is_new))
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("old_id"))
+    )
     nr = (
-        nb.join(ob, "band_key")
+        nb.join(obmin, "band_key")
         .join(ex.select("doc_id"), "doc_id", "left_anti")
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("match_id"))
