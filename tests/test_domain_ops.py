@@ -677,3 +677,28 @@ def test_bucketed_layout_drops_exchange_and_preserves_results(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_curated_documents_make_exact_dedup_exchange_free(spark):
+    """A curated documents copy with a STORED content_hash bucket
+    column (the ingest-time corpus-store convention): dedup_exact must
+    produce identical rows and a plan with no shuffle exchange."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain = set(map(tuple, qs["dedup_exact"](spark, sf).collect()))
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    try:
+        docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+            "content_hash", F.md5("text")
+        )
+        lay.write_bucketed(docs, name, "content_hash", n_buckets=8)
+        df = qs["dedup_exact"](spark, sf)
+        assert set(map(tuple, df.collect())) == plain
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
