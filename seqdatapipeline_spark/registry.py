@@ -489,8 +489,11 @@ def q_pe_mate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy pivot, no pair enumeration at all. The form a well-formed
     mate table (one record per read per mate) should run at 100 TB;
     under duplicate keys it collapses to max-per-side where
-    pe_mate_join enumerates pairs."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    pe_mate_join enumerates pairs. Inherits the curated-layout fast
+    path: on a copy bucketed by l_orderkey the pivot groupBy runs
+    exchange-free (see q_pe_mate_join)."""
+    src, _ = lay.curated_or_parquet(spark, sf_dir, "lineitem", "l_orderkey")
+    li = src.select(
         F.col("l_orderkey").alias("read_id"),
         F.col("l_linenumber").alias("mate"),
         F.col("l_quantity").alias("qty"),
