@@ -6157,3 +6157,58 @@ def q_minhash_band_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+@q(
+    "cluster_safe_split",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+          FROM cc)
+    """,
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the hash-bucket gate of
+    dataset_split applied to the near-dup CLUSTER id instead of the
+    doc id, so an entire duplicate cluster always lands in one split —
+    the guard that keeps eval members' near-copies out of train (the
+    classic contamination path a doc-level split cannot close: two
+    near-identical docs hash independently and straddle the
+    boundary). Same transitive closure as dedup_clusters (full-text
+    md5 OR 100-char-prefix md5 buckets, star-contraction CC), then
+    one shuffle-free row-wise hash of the cluster label; split
+    assignment stays deterministic, rerun-stable, and growth-stable
+    (adding a new copy of an old doc cannot move the cluster). At
+    100 TB the CC is the already-gated scalable shape and the split
+    itself adds zero exchanges."""
+    from .extensions import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    return cp.dataset_split(cc, id_col="cluster_id")

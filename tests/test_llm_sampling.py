@@ -658,3 +658,24 @@ def test_knn_graph_drops_zero_norm_sources(spark, tmp_path):
     assert all(r.cos is not None for r in rows)
     ids_seen = {r.src_id for r in rows} | {r.nbr_id for r in rows}
     assert zids.isdisjoint(ids_seen)
+
+
+# --------------------------------------------------------- cluster_safe_split
+
+def test_cluster_safe_split_never_straddles_clusters(spark):
+    """Every near-dup cluster must land wholly in one split (the
+    leakage guard), and the assignment must agree with hashing the
+    cluster id through the dataset_split gate."""
+    sf = "/root/testdata/sf0.01"
+    rows = _q("cluster_safe_split")(spark, sf).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    clusters = {r.doc_id: r.cluster_id for r in _q("dedup_clusters")(spark, sf).collect()}
+    assert all(clusters[r.doc_id] == r.cluster_id for r in rows)
+    # real duplication exists, and the guard is non-trivial: at least
+    # one multi-doc cluster is present
+    assert any(len([d for d, c in clusters.items() if c == cid]) > 1 for cid in set(clusters.values()))
