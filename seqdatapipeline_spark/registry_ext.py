@@ -6212,3 +6212,82 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), "cluster_id"
     )
     return cp.dataset_split(cc, id_col="cluster_id")
+
+
+@q(
+    "split_leakage_report",
+    """
+    WITH RECURSIVE inc AS (
+      SELECT doc_id AS node, md5(text) AS key FROM documents
+      UNION
+      SELECT doc_id AS node, md5(substr(text, 1, 100)) AS key FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.node AS a, b.node AS b FROM inc a JOIN inc b USING (key)
+    ),
+    reach(node, comp) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM inc)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT cluster_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, cluster_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+            FROM cc)
+    ),
+    per_cluster AS (
+      SELECT cluster_id, count(*) AS n_docs,
+             count(DISTINCT split) AS n_splits,
+             sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS n_eval
+      FROM labeled GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+           CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_docs_affected,
+           CAST(sum(CASE WHEN n_splits > 1 THEN (n_docs - n_eval) * n_eval ELSE 0 END) AS BIGINT)
+             AS n_leaky_pairs
+    FROM per_cluster
+    """,
+)
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination audit that motivates cluster_safe_split: under
+    the doc-level hash split (dataset_split's exact gate), how many
+    near-dup clusters straddle the train/eval boundary, how many docs
+    sit in those clusters, and how many train-doc x eval-doc near-dup
+    pairs leak across it. One row; every aggregate is
+    map-side-combinable over the CC output, so the report costs the
+    already-gated cluster pass plus one scalar aggregate at any
+    corpus size. A zero n_leaky_clusters here is the acceptance
+    criterion for a leakage-safe split policy."""
+    from .extensions import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        F.col("doc_id").alias("node"), F.md5(F.col("text")).alias("key")
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.md5(F.substring(F.col("text"), 1, 100)).alias("key"),
+        )
+    )
+    cc = dd.connected_components(inc).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    labeled = cp.dataset_split(cc, id_col="doc_id")
+    per_cluster = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).alias("n_eval"),
+    )
+    leaky = F.col("n_splits") > 1
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(leaky.cast("int")).cast("long").alias("n_leaky_clusters"),
+        F.sum(F.when(leaky, F.col("n_docs")).otherwise(0)).cast("long").alias("n_docs_affected"),
+        F.sum(
+            F.when(leaky, (F.col("n_docs") - F.col("n_eval")) * F.col("n_eval")).otherwise(0)
+        ).cast("long").alias("n_leaky_pairs"),
+    )

@@ -679,3 +679,27 @@ def test_cluster_safe_split_never_straddles_clusters(spark):
     # real duplication exists, and the guard is non-trivial: at least
     # one multi-doc cluster is present
     assert any(len([d for d, c in clusters.items() if c == cid]) > 1 for cid in set(clusters.values()))
+
+
+def test_split_leakage_report_consistent_with_components(spark):
+    """The leakage counts must match a hand recomputation from
+    dedup_clusters + dataset_split, and cluster_safe_split must be the
+    policy that zeroes them."""
+    sf = "/root/testdata/sf0.01"
+    rep = _q("split_leakage_report")(spark, sf).first()
+    clusters = {r.doc_id: r.cluster_id for r in _q("dedup_clusters")(spark, sf).collect()}
+    splits = {r.doc_id: r.split for r in _q("dataset_split")(spark, sf).collect()}
+    by_c: dict = {}
+    for d, c in clusters.items():
+        by_c.setdefault(c, []).append(d)
+    leaky = {c: ds for c, ds in by_c.items() if len({splits[d] for d in ds}) > 1}
+    assert rep.n_clusters == len(by_c)
+    assert rep.n_leaky_clusters == len(leaky)
+    assert rep.n_docs_affected == sum(len(ds) for ds in leaky.values())
+    expect_pairs = sum(
+        sum(1 for d in ds if splits[d] == "train") * sum(1 for d in ds if splits[d] != "train")
+        for ds in leaky.values()
+    )
+    assert rep.n_leaky_pairs == expect_pairs
+    safe = {r.doc_id: r.split for r in _q("cluster_safe_split")(spark, sf).collect()}
+    assert all(len({safe[d] for d in ds}) == 1 for ds in by_c.values())
