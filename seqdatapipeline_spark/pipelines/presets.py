@@ -44,10 +44,14 @@ def rna_stages(
     chrom_col: str = "l_returnflag",
     chrm: str = "R",
     gene_col: str = "l_partkey",
+    pre_partitioned: bool = False,
 ) -> list[Stage]:
     """RNA-seq quantification (reference mainScript.py:230-260):
     exclude chrM, collapse PCR duplicates (keep first by position),
-    count reads per gene — the htseq-count tail (tools.py:625-674)."""
+    count reads per gene — the htseq-count tail (tools.py:625-674).
+    ``pre_partitioned``: the source is already clustered on
+    l_orderkey (a curated bucketed copy) — the chrM filter preserves
+    that clustering, so the dedup stage must not repartition."""
     return [
         Stage("filter_chrm", lambda df: flt.filter_not_chrm(df, chrom_col, chrm)),
         Stage(
@@ -56,6 +60,7 @@ def rna_stages(
                 df,
                 keys=["l_orderkey", gene_col],
                 order=["l_linenumber", "l_quantity"],
+                pre_partitioned=pre_partitioned,
             ),
         ),
         Stage(

@@ -2345,12 +2345,14 @@ def q_pipeline_rna(spark: SparkSession, sf_dir: str) -> DataFrame:
     rna_stages: chrM filter -> PCR dedup -> per-gene counts,
     reference mainScript.py:230-260). Catalyst fuses the staged plan:
     the filter pushes into the scan and dedup+count share exchanges.
-    The oracle is the algebraic collapse of the three stages."""
+    The oracle is the algebraic collapse of the three stages. On a
+    curated copy bucketed by l_orderkey the dedup stage inherits the
+    exchange-free path (the filter preserves the scan's clustering),
+    so the composite's only shuffle is the final per-gene count."""
     from .pipelines import presets
 
-    return presets.compose(
-        _t(spark, sf_dir, "lineitem"), presets.rna_stages()
-    )
+    src, curated = lay.curated_or_parquet(spark, sf_dir, "lineitem", "l_orderkey")
+    return presets.compose(src, presets.rna_stages(pre_partitioned=curated))
 
 
 @q(

@@ -702,3 +702,32 @@ def test_curated_documents_make_exact_dedup_exchange_free(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_pipeline_rna_curated_single_exchange(spark):
+    """On a curated l_orderkey-bucketed copy the RNA composite's dedup
+    stage fuses exchange-free into the scan stage; the only shuffle
+    left is the final per-gene count. Results identical to the plain
+    path."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain = set(map(tuple, qs["pipeline_rna"](spark, sf).collect()))
+    name = lay.bucketed_table_name(sf, "lineitem", "l_orderkey")
+    try:
+        lay.write_bucketed(
+            spark.read.parquet(f"{sf}/lineitem.parquet"), name, "l_orderkey",
+            n_buckets=8,
+        )
+        df = qs["pipeline_rna"](spark, sf)
+        assert set(map(tuple, df.collect())) == plain
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("Exchange hashpartitioning") == 1, final
+        assert "Bucketed: true" in final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
