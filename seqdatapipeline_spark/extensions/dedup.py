@@ -64,8 +64,17 @@ def word_shingles_of(words: Column, n: int = 3) -> Column:
     measured 3x slower at 32 partitions (23x on one) than referencing
     a bound attribute. Inside a codegen'd Project (non-explode
     callers) CSE handles it, so ``word_shingles`` below stays the
-    convenient form."""
-    idx = F.sequence(F.lit(1), (F.size(words) - (n - 1)).cast("int"))
+    convenient form.
+
+    Docs with fewer than ``n`` words yield an EMPTY array: Spark's
+    sequence(1, 0) auto-steps NEGATIVE ([1, 0]) instead of returning
+    empty, and the grams it would build then element_at past the end
+    of the word array (ANSI ArrayIndexOutOfBounds) — guard with an
+    explicit emptiness branch."""
+    cnt = (F.size(words) - (n - 1)).cast("int")
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + k) for k in range(n)])
     return F.array_distinct(F.transform(idx, gram))
 
@@ -241,6 +250,13 @@ def minhash_signature(
     return (
         fan_out(docs, id_col)
         .withColumn("__w", F.split(F.col(text_col), " "))
+        # A doc with fewer than shingle_n words has an EMPTY shingle
+        # set: its minhash is undefined, and the SQL mirror (shingle
+        # explode) drops it before the signature aggregate. Without
+        # this filter every such doc would carry the identical
+        # all-init sentinel signature and they would all band
+        # together — a silent divergence AND a degenerate mega-bucket.
+        .filter(F.size(F.col("__w")) >= F.lit(shingle_n))
         .select(F.col(id_col), hp.alias("__hp"))
         .select(F.col(id_col), fold.alias("__sig"))
         .select(
@@ -1000,14 +1016,27 @@ def minhash_estimate_pairs(
     table that tells you whether num_hashes is sized right for your
     dedup threshold before you trust the sketch at corpus scale.
 
-    The signature table is localCheckpoint'ed once and feeds all
-    three consumers (band pairs + both sides of the pair join) — the
+    The signature table is persisted once and feeds all three
+    consumers (band pairs + both sides of the pair join) — the
     production pattern of materializing sketches rather than
     recomputing the shingle/hash pipeline per branch. The true-Jaccard
     branch joins the exact shingle sets only for candidate DOCUMENTS
-    (the pair join prunes first), never all pairs."""
-    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    sig = sig.localCheckpoint(eager=True)
+    (the pair join prunes first), never all pairs.
+
+    Exact duplicates are pre-collapsed (collapse_exact_text): both
+    est and true Jaccard are pure functions of the two TEXTS, so the
+    scoring joins run over distinct-content representative pairs and
+    the doc-level pair list fans back out arithmetically —
+    cross-group pairs carry the rep pair's scores verbatim; a
+    within-group pair of identical texts scores est = 1.0 (identical
+    signatures) and truth = 1.0 for a non-empty shingle set, 0.0 for
+    an empty one (0/0 → the same `otherwise` the pair form hits).
+    Without this, 1000x mass duplication pushes the doc-level scoring
+    joins to ~10^9 rows per side (the r6 SCALING note's known gap);
+    the contract OUTPUT is still every candidate pair."""
+    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    reps = groups.select(F.col("__rep").alias(id_col), text_col)
+    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
     sa = sig.select(
@@ -1027,18 +1056,19 @@ def minhash_estimate_pairs(
         F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
     )
 
-    # Exact shingle SETS as one checkpointed array column (distinct by
-    # construction in word_shingles): the pair join then computes the
-    # true Jaccard with array_intersect — no shingle explode, no
-    # per-branch re-shingling of the corpus. Like the signatures, at
-    # production scale this table would persist to storage once.
+    # Exact shingle SETS as one persisted array column (distinct by
+    # construction in word_shingles), built for REPRESENTATIVES only:
+    # the pair join then computes the true Jaccard with
+    # array_intersect — no shingle explode, no per-branch
+    # re-shingling. At production scale this table persists to
+    # storage once.
     sh_arr = (
-        fan_out(docs, id_col)
+        fan_out(reps, id_col)
         .withColumn("__w", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     shared = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - shared
@@ -1059,12 +1089,44 @@ def minhash_estimate_pairs(
             .alias("true_jaccard"),
         )
     )
-    return (
-        est.join(truth, ["doc_a", "doc_b"])
-        .withColumn(
-            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
+    rep_scored = est.join(truth, ["doc_a", "doc_b"]).withColumn(
+        "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
+    )
+    # Fan back out to the doc level: cross-group pairs inherit the rep
+    # pair's scores; within-group pairs of identical texts score
+    # est=1.0 / truth=__has_sh.
+    ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
+    cross = (
+        rep_scored.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "est_jaccard",
+            "true_jaccard",
+            "abs_err",
         )
     )
+    # Only groups with a non-empty shingle set pair within themselves:
+    # shingle-less docs never get a signature (minhash_signature drops
+    # them, like the SQL mirror's explode), so identical short texts
+    # are NOT candidates in the pair form either. For the emitted
+    # pairs est = truth = 1.0 exactly.
+    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
+    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
+    within = (
+        wa.join(wb, "__rep")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(1.0).alias("true_jaccard"),
+            F.lit(0.0).alias("abs_err"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_hamming_pairs(

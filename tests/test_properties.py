@@ -580,3 +580,66 @@ def test_lsh_candidate_pairs_match_naive_banding(spark, texts):
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from([
+            "aa bb cc dd ee",          # base
+            "aa bb cc dd ff",          # near variant
+            "zz yy xx ww vv",          # distinct
+            "aa bb cc dd ee",          # exact duplicate of base
+            "x y",                     # empty shingle set (< n words)
+            "p q",                     # another short doc
+        ]),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_estimate_pairs_match_naive_scoring(spark, texts):
+    """The collapsed minhash_estimate_pairs must equal naive per-doc
+    banding + per-pair scoring — including within-duplicate-group
+    pairs (est 1.0, truth 1.0/0.0) and empty-shingle docs whose
+    all-init signatures band together with truth 0.0."""
+    import hashlib
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    NH, BS, MOD = 12, 2, 1 << 56
+
+    def shingles(text):
+        ws = text.split(" ")
+        return list(dict.fromkeys(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)))
+
+    def sig_of(text):
+        mins = [1 << 62] * NH
+        for s in shingles(text):
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(h[0:14], 16), int(h[14:28], 16)
+            for j in range(NH):
+                mins[j] = min(mins[j], (h1 + j * h2) % MOD)
+        return mins
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    # shingle-less docs get no signature (the SQL mirror's explode
+    # drops them before the aggregate) and can never pair
+    sigs = {i: sig_of(t) for i, t in docs if shingles(t)}
+    expect = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            if a < b and a in sigs and b in sigs and any(
+                sigs[a][k * BS:(k + 1) * BS] == sigs[b][k * BS:(k + 1) * BS]
+                for k in range(NH // BS)
+            ):
+                est = round(sum(sigs[a][j] == sigs[b][j] for j in range(NH)) / NH, 6)
+                A, B = set(shingles(ta)), set(shingles(tb))
+                union = len(A | B)
+                truth = round(len(A & B) / union, 6) if union else 0.0
+                expect[(a, b)] = (est, truth, round(abs(est - truth), 6))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.est_jaccard, r.true_jaccard, r.abs_err)
+        for r in dd.minhash_estimate_pairs(df).collect()
+    }
+    assert got == expect
