@@ -1387,10 +1387,19 @@ def minhash_containment_pairs(
     Estimated intersection from the MinHash Jaccard estimate:
     I = J/(1+J) · (|A|+|B|) (inclusion-exclusion solved for I), then
     C = I/|size|. Same physical shape as minhash_estimate_pairs:
-    checkpointed signature table feeds bands + both join sides; exact
-    shingle sets join only onto CANDIDATE pairs."""
-    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
-    sig = sig.localCheckpoint(eager=True)
+    persisted signature table feeds bands + both join sides; exact
+    shingle sets join only onto CANDIDATE pairs.
+
+    Exact duplicates are pre-collapsed (the minhash_estimate_pairs
+    move): every score is a pure function of the two texts, so the
+    joins run over representative pairs; the doc-level fan-out SWAPS
+    the directional columns when least/greatest flips the pair's
+    orientation relative to its rep pair, and within-group pairs of
+    identical texts emit 1.0 across the board (A = B makes both
+    directions exact and the estimate saturates)."""
+    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    reps = groups.select(F.col("__rep").alias(id_col), text_col)
+    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
     sa = sig.select(
@@ -1409,18 +1418,18 @@ def minhash_containment_pairs(
     )
 
     sh_arr = (
-        fan_out(docs, id_col)
+        fan_out(reps, id_col)
         .withColumn("__w", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     shared = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     za = F.size("__sha").cast("double")
     zb = F.size("__shb").cast("double")
     est_i = F.col("__j") / (1 + F.col("__j")) * (za + zb)
-    return (
+    rep_scored = (
         est.join(
             sh_arr.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha")),
             "doc_a",
@@ -1439,6 +1448,39 @@ def minhash_containment_pairs(
             F.round(shared / zb, 6).alias("true_cont_b_in_a"),
         )
     )
+    ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
+    keep = F.col("__ida") < F.col("__idb")  # does least/greatest keep rep order?
+    swap = lambda fwd, rev: F.when(keep, F.col(fwd)).otherwise(F.col(rev))
+    cross = (
+        rep_scored.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            F.col("est_jaccard"),
+            swap("est_cont_a_in_b", "est_cont_b_in_a").alias("est_cont_a_in_b"),
+            swap("est_cont_b_in_a", "est_cont_a_in_b").alias("est_cont_b_in_a"),
+            swap("true_cont_a_in_b", "true_cont_b_in_a").alias("true_cont_a_in_b"),
+            swap("true_cont_b_in_a", "true_cont_a_in_b").alias("true_cont_b_in_a"),
+        )
+    )
+    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
+    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
+    within = (
+        wa.join(wb, "__rep")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(1.0).alias("est_cont_a_in_b"),
+            F.lit(1.0).alias("est_cont_b_in_a"),
+            F.lit(1.0).alias("true_cont_a_in_b"),
+            F.lit(1.0).alias("true_cont_b_in_a"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def setsim_prefix_join(

@@ -643,3 +643,69 @@ def test_minhash_estimate_pairs_match_naive_scoring(spark, texts):
         for r in dd.minhash_estimate_pairs(df).collect()
     }
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from([
+            "aa bb cc dd ee",
+            "aa bb cc dd ff",
+            "aa bb cc dd ee ff gg hh",   # superset-ish (containment asymmetry)
+            "zz yy xx ww vv",
+            "aa bb cc dd ee",            # exact duplicate
+        ]),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_containment_pairs_match_naive(spark, texts):
+    """Collapsed directional containment must equal naive per-doc
+    banding + scoring, with the a/b directions following the
+    least/greatest id order after duplicate fan-out."""
+    import hashlib
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    NH, BS, MOD = 12, 2, 1 << 56
+
+    def shingles(text):
+        ws = text.split(" ")
+        return list(dict.fromkeys(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)))
+
+    def sig_of(text):
+        mins = [1 << 62] * NH
+        for s in shingles(text):
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(h[0:14], 16), int(h[14:28], 16)
+            for j in range(NH):
+                mins[j] = min(mins[j], (h1 + j * h2) % MOD)
+        return mins
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sigs = {i: sig_of(t) for i, t in docs if shingles(t)}
+    expect = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            if a < b and a in sigs and b in sigs and any(
+                sigs[a][k * BS:(k + 1) * BS] == sigs[b][k * BS:(k + 1) * BS]
+                for k in range(NH // BS)
+            ):
+                j = sum(sigs[a][k] == sigs[b][k] for k in range(NH)) / NH
+                A, B = set(shingles(ta)), set(shingles(tb))
+                shared, za, zb = len(A & B), float(len(A)), float(len(B))
+                est_i = j / (1 + j) * (za + zb)
+                expect[(a, b)] = (
+                    round(j, 6),
+                    round(min(est_i / za, 1.0), 6), round(min(est_i / zb, 1.0), 6),
+                    round(shared / za, 6), round(shared / zb, 6),
+                )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.est_jaccard, r.est_cont_a_in_b, r.est_cont_b_in_a,
+            r.true_cont_a_in_b, r.true_cont_b_in_a,
+        )
+        for r in dd.minhash_containment_pairs(df).collect()
+    }
+    assert got == expect
