@@ -81,7 +81,7 @@ BEST_KNOWN = {
     "fragment_length_histogram": 0.178,  # r4
     "gene_read_count": 0.167,          # r4
     "group_route_jobs": 0.223,         # r4
-    "incremental_ingest_dedup": 0.658,  # r7
+    "incremental_ingest_dedup": 0.996,  # r7* corpus-side pre-agg (see BASELINE.md)
     "ivf_pq_topk": 1.090,  # r7
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
