@@ -67,6 +67,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+def _t_events_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events preferring a session-curated copy bucketed (and sorted)
+    on (user_id, ts): per-user windows and groupBys then run with NO
+    exchange, and with one file per bucket the scan also reports the
+    sort order, deleting the window's SortExec — the layout a 100 TB
+    behavioral store curates at ingest. The curated copy stores the
+    already-converted micros timestamp, so both paths see identical
+    values; plain path falls back to the nanos-as-long reader."""
+    name = lay.bucketed_table_name(sf_dir, "events", "user_id")
+    try:
+        if spark.catalog.tableExists(name):
+            return spark.table(name)
+    except Exception:
+        pass
+    return _t(spark, sf_dir, "events")
+
+
 def _scratch(tag: str) -> str:
     os.makedirs(SCRATCH, exist_ok=True)
     return os.path.join(SCRATCH, f"{tag}-{uuid.uuid4().hex[:8]}")

@@ -16,7 +16,7 @@ from .extensions import multimodal as mm
 from .extensions import similarity as sim
 from .extensions import textstats as tx
 from .io import layout as lay
-from .registry import _t, q
+from .registry import _t, _t_events_curated, q
 from .session import fan_out
 
 # Shared CTE fragments for shingle-based oracles.
@@ -1579,8 +1579,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy, then a single-row summary over the
     per-user aggregate (user-cardinality-sized, not fact-sized).
     Strict inequalities: a later stage counts only when its first
-    occurrence follows the previous stage's first occurrence."""
-    e = _t(spark, sf_dir, "events")
+    occurrence follows the previous stage's first occurrence.
+    Prefers a curated copy bucketed on user_id (exchange-free
+    groupBy; see registry._t_events_curated)."""
+    e = _t_events_curated(spark, sf_dir)
     stages = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
@@ -2702,10 +2704,13 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-path census (ops.windows.top_event_paths): each user's
     first 3 event types as an ordered 'a>b>c' path, counted across
     users. Keyed window ranks, rows past depth drop before path
-    assembly, struct-sort makes ordering partition-independent."""
+    assembly, struct-sort makes ordering partition-independent.
+    Prefers a curated copy bucketed+sorted on (user_id, ts): the
+    per-user window then needs neither an exchange nor a sort
+    (registry._t_events_curated)."""
     from .ops import windows as win
 
-    return win.top_event_paths(_t(spark, sf_dir, "events"), depth=3)
+    return win.top_event_paths(_t_events_curated(spark, sf_dir), depth=3)
 
 
 @q(

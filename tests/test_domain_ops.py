@@ -731,3 +731,44 @@ def test_pipeline_rna_curated_single_exchange(spark):
         assert "Bucketed: true" in final
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_curated_events_make_behavioral_windows_exchange_free(spark):
+    """A curated events copy bucketed on user_id: funnel_conversion's
+    per-user aggregate runs with no hash exchange (only the 1-row
+    summary SinglePartition), and top_event_paths' per-user window
+    needs no exchange — the only one left is the path census, whose
+    key the data cannot be pre-clustered on. Results identical to the
+    plain path on both."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.registry import _t
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain_f = set(map(tuple, qs["funnel_conversion"](spark, sf).collect()))
+    plain_p = set(map(tuple, qs["top_event_paths"](spark, sf).collect()))
+    name = lay.bucketed_table_name(sf, "events", "user_id")
+    try:
+        lay.write_bucketed(
+            _t(spark, sf, "events"), name, "user_id", n_buckets=8, sort_cols=["ts"]
+        )
+        df_f = qs["funnel_conversion"](spark, sf)
+        df_p = qs["top_event_paths"](spark, sf)
+        assert set(map(tuple, df_f.collect())) == plain_f
+        assert set(map(tuple, df_p.collect())) == plain_p
+        pf = (
+            df_f._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert pf.count("Exchange hashpartitioning") == 0, pf
+        pp = (
+            df_p._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)", pp)
+        assert all(k.startswith("path") for k in keys), pp
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
