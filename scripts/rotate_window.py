@@ -37,6 +37,12 @@ CANARIES = [
 
 # Queries whose implementation changed this round: re-verify the NEW
 # code path externally even though an older round passed them.
+# r8 note: late-r7 changes landed AFTER the r7 window was fixed —
+# recheck dedup_exact, pipeline_rna, incremental_ingest_dedup,
+# funnel_conversion (curated-layout detection / pre-aggregation);
+# minhash_jaccard_estimate, minhash_containment, top_event_paths,
+# cluster_safe_split, split_leakage_report are still never-checked
+# and belong in FRONT.
 RECHECK = [
     # r7: zero-norm guards, LSH band cap, layout fast paths, probe fold
     "dedup_minhash_lsh", "semdedup_prune", "feature_interval_join",
