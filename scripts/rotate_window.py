@@ -37,25 +37,22 @@ CANARIES = [
 
 # Queries whose implementation changed this round: re-verify the NEW
 # code path externally even though an older round passed them.
-# r8 note: late-r7 changes landed AFTER the r7 window was fixed —
-# recheck dedup_exact, pipeline_rna, incremental_ingest_dedup,
-# funnel_conversion (curated-layout detection / pre-aggregation);
-# minhash_jaccard_estimate, minhash_containment, top_event_paths,
-# cluster_safe_split, split_leakage_report are still never-checked
-# and belong in FRONT.
 RECHECK = [
-    # r7: zero-norm guards, LSH band cap, layout fast paths, probe fold
-    "dedup_minhash_lsh", "semdedup_prune", "feature_interval_join",
-    "pe_mate_join", "dedup_alignments",
+    # r8: the three r7 external reds, reshaped to driver-hashable
+    # scalar outputs (VERDICT r7 item 1) — MUST lead the window.
+    "embedding_normalize", "embedding_quantize", "embedding_pq_codes",
+    # r8: late-r7 code changes that landed after the r7 window froze
+    # (curated-layout detection / ingest pre-aggregation).
+    "dedup_exact", "pipeline_rna", "funnel_conversion",
+    "incremental_ingest_dedup",
 ]
 
 # Never-checked queries to front-load before registry-order fill.
-# r7: the VERDICT item-1 headliners + the remaining streaming tier.
+# r8: the latent array-output fix + the new r7 operators.
 FRONT = [
-    "ivf_pq_topk", "knn_graph", "lm_doc_score", "pagerank_weighted",
-    "dataset_split", "bm25_topk", "lang_id_ngram_model", "pagerank_iter",
-    "stream_late_monitor", "stream_quantile_sketch", "stream_vocab_topk",
-    "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "quality_features_vector",
+    "cluster_safe_split", "split_leakage_report",
+    "minhash_containment", "minhash_jaccard_estimate", "top_event_paths",
 ]
 
 

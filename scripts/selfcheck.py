@@ -83,6 +83,21 @@ def main():
             fails.append(name)
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             continue
+        if name in oracles:
+            # The driver's pandas canonicalizer cannot hash array/map
+            # cells (CORRECTNESS_r07 embedding trio): oracle-checked
+            # outputs must be scalar-only.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                fails.append(name)
+                print(f"FAIL  {name}: non-driver-hashable output columns {bad}")
+                continue
         if name not in oracles:
             rows_only += 1
             print(f"rows  {name}: {len(srows)} rows (no oracle)")

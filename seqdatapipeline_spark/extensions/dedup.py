@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import fan_out
+from ..session import fan_out, ring_persist
 
 
 def _bucket_pairs(keyed: DataFrame, id_col: str, bucket_col: str, max_bucket: int | None = None) -> DataFrame:
@@ -307,7 +307,7 @@ def lsh_candidate_pairs(
         sig.select(F.col(id_col), F.concat_ws("|", *mh_cols).alias("__sk"))
         .groupBy("__sk")
         .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
-        .persist()
+        .transform(ring_persist)
     )
     if max_bucket is not None:
         # Multiplicity pre-cut: an m-copy group with m > max_bucket
@@ -1036,7 +1036,7 @@ def minhash_estimate_pairs(
     the contract OUTPUT is still every candidate pair."""
     groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
-    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).transform(ring_persist)
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
     sa = sig.select(
@@ -1068,7 +1068,7 @@ def minhash_estimate_pairs(
         .select(
             F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
         )
-        .persist()
+        .transform(ring_persist)
     )
     shared = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - shared
@@ -1399,7 +1399,7 @@ def minhash_containment_pairs(
     directions exact and the estimate saturates)."""
     groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
-    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).transform(ring_persist)
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
     sa = sig.select(
@@ -1423,7 +1423,7 @@ def minhash_containment_pairs(
         .select(
             F.col(id_col), word_shingles_of(F.col("__w"), shingle_n).alias("__sh")
         )
-        .persist()
+        .transform(ring_persist)
     )
     shared = F.size(F.array_intersect("__sha", "__shb")).cast("double")
     za = F.size("__sha").cast("double")

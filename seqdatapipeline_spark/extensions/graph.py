@@ -23,7 +23,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import fan_out
+from ..session import fan_out, ring_persist
 
 # Memoized final rank tables for pagerank/weighted_pagerank:
 # (canonicalized edge plan, params) -> checkpointed ranks DataFrame.
@@ -52,8 +52,28 @@ def _rank_memo_put(key, ranks: DataFrame) -> None:
     if key is None:
         return
     while len(_RANK_MEMO) >= _RANK_MEMO_CAP:
-        _RANK_MEMO.popitem(last=False)
+        _, old = _RANK_MEMO.popitem(last=False)
+        try:
+            # CacheManager holds SQL cache entries until explicitly
+            # released (never GC-reclaimed): dropping the handle
+            # without unpersist would leak the evicted rank table's
+            # executor storage for the session lifetime.
+            old.unpersist()
+        except Exception:
+            pass
     _RANK_MEMO[key] = ranks
+
+
+def _rank_memo_clear() -> None:
+    """Release every memoized rank table (bench/test hook — bench.py
+    calls this inside drop_persisted() so warm timings measure the
+    algorithm, not a memo hit)."""
+    while _RANK_MEMO:
+        _, old = _RANK_MEMO.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def co_occurrence_edges(
@@ -89,7 +109,7 @@ def co_occurrence_edges(
         .select(F.col("src"), F.explode(F.col("__items")).alias("dst"))
         .filter(F.col("src") < F.col("dst"))
         .distinct()
-        .persist()
+        .transform(ring_persist)
     )
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -581,7 +601,7 @@ def co_occurrence_weighted_edges(
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist()
+        .transform(ring_persist)
     )
     return und.unionByName(
         und.select(

@@ -96,34 +96,40 @@ def bucketed_table_name(sf_dir: str, table: str, bucket_col: str) -> str:
     return f"sg_{tag}_{table}_by_{bucket_col}"
 
 
-def write_bucketed(
+def write_curated_bucketed(
     df: DataFrame,
     name: str,
     bucket_col: str,
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Write ``df`` as a bucketed+sorted parquet TABLE (Hive bucketing
-    via saveAsTable — plain ``.parquet(path)`` cannot carry a bucket
-    spec, so this is the one layout operator that must go through the
-    catalog). A scan of the result reports hash-partitioning on
-    ``bucket_col`` to Catalyst, so joins/groupBys keyed on it (or on
-    any superset of it) need NO Exchange — for a 100 TB alignment
-    store curated this way, coordinate dedup and mate pairing become
-    scan + map-side work, deleting the single largest shuffle in the
-    genomics tier (the r6 1000x spot-check measured dedup_alignments
-    at 53.4s and pe_mate_join at 24.0s, both pure shuffle).
+    """Write ``df`` as a single-key curated bucketed+sorted parquet
+    TABLE — the curation-time convenience over the general
+    ``io.sinks.write_bucketed`` (one delegates to the other; this
+    variant additionally pre-repartitions on the bucket key so each
+    bucket lands as ONE file instead of one-per-input-task). A scan of
+    the result reports hash-partitioning on ``bucket_col`` to
+    Catalyst, so joins/groupBys keyed on it (or on any superset of it)
+    need NO Exchange — for a 100 TB alignment store curated this way,
+    coordinate dedup and mate pairing become scan + map-side work,
+    deleting the single largest shuffle in the genomics tier (the r6
+    1000x spot-check measured dedup_alignments at 53.4s and
+    pe_mate_join at 24.0s, both pure shuffle).
 
     ``n_buckets`` sizes reducer-side parallelism for every future
     exchange-free consumer: pick ~(total size / 128 MB) at curation
     time. Sorting within buckets by (bucket_col, *sort_cols) adds
     parquet min/max row-group skipping for point lookups on the key.
     """
-    w = df.repartition(n_buckets, F.col(bucket_col)).write.mode("overwrite")
-    w = w.bucketBy(n_buckets, bucket_col)
-    if sort_cols:
-        w = w.sortBy(bucket_col, *sort_cols)
-    w.format("parquet").saveAsTable(name)
+    from .sinks import write_bucketed
+
+    write_bucketed(
+        df.repartition(n_buckets, F.col(bucket_col)),
+        name,
+        [bucket_col],
+        n_buckets=n_buckets,
+        sort_cols=[bucket_col, *(sort_cols or [])],
+    )
 
 
 def curated_or_parquet(spark, sf_dir: str, table: str, bucket_col: str):

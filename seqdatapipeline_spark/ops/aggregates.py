@@ -82,7 +82,7 @@ def dedup_keep_first(
 
     ``pre_partitioned``: the caller asserts the source is already
     clustered on (a prefix of) ``keys`` — e.g. a bucketed table from
-    io.layout.write_bucketed — so fan_out must NOT touch it (its
+    io.layout.write_curated_bucketed — so fan_out must NOT touch it (its
     repartition would discard the scan's reported partitioning and
     re-add the exchange the layout exists to delete)."""
     from ..session import fan_out

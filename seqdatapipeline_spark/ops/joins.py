@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 _ADAPTIVE_STATS: "OrderedDict" = OrderedDict()
 
 
+def _adaptive_stats_clear() -> None:
+    """Release every memoized stats/plan entry (bench/test hook —
+    bench.py calls this inside drop_persisted() so warm timings
+    measure stats jobs + plan build, not a memo hit)."""
+    while _ADAPTIVE_STATS:
+        _, (*_, old_bc, _out) = _ADAPTIVE_STATS.popitem(last=False)
+        try:
+            old_bc.unpersist()
+        except Exception:
+            pass
+
+
 def pe_mate_join(
     r1: DataFrame,
     r2: DataFrame,

@@ -470,7 +470,7 @@ def q_pe_mate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join semantics incl. duplicate keys); the two-source
     equi-join form remains ops.joins.pe_mate_join. When the session
     carries a curated copy bucketed on l_orderkey
-    (io.layout.write_bucketed), the scan reports that clustering and
+    (io.layout.write_curated_bucketed), the scan reports that clustering and
     the groupBy's exchange disappears — the pairing becomes pure
     scan + map-side work, the shape a 100 TB alignment store wants."""
     src, _ = lay.curated_or_parquet(spark, sf_dir, "lineitem", "l_orderkey")
@@ -708,7 +708,7 @@ def q_dedup_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orderkey, partkey, linenumber) duplicates, and a deterministic
     total order is what makes oracle hashes stable (SURVEY.md §7 risk
     5). When a curated copy bucketed on l_orderkey exists
-    (io.layout.write_bucketed), the scan's hash clustering satisfies
+    (io.layout.write_curated_bucketed), the scan's hash clustering satisfies
     the (l_orderkey, l_partkey) grouping — bucket cols are a prefix of
     the keys — so the dedup runs with NO exchange: the one shuffle
     this op has, and at 1000x replication its entire 53s cost."""

@@ -39,7 +39,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy — one map-side-combinable
     shuffle at any scale. When the session carries a curated corpus
     copy with a STORED content_hash column, bucketed on it
-    (io.layout.write_bucketed — the ingest-time convention a real
+    (io.layout.write_curated_bucketed — the ingest-time convention a real
     100 TB corpus store follows), even that one exchange disappears:
     the groupBy runs against the scan's reported clustering. The
     stored hash is definitionally md5(text), so both paths are
@@ -1766,19 +1766,30 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embedding_normalize",
     """
-    SELECT vec_id,
-           list_transform(CAST(embedding AS DOUBLE[]),
-             x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6)
-           ) AS unit_vec
-    FROM embeddings
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6)
+             ) AS unit_vec
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, unnest(range(0, len(unit_vec))) AS dim, unit_vec FROM s
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim, unit_vec[dim + 1] AS unit_val FROM e
     """,
 )
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization (extensions.similarity.l2_normalize):
     cosine becomes a dot product downstream. Codegen array fold +
-    transform; oracle mirrors with list lambdas."""
+    transform. Contract output is the posexploded (vec_id, dim,
+    unit_val) long form — scalar columns only, so the external
+    hash-compare can canonicalize it (array cells are unhashable in
+    the driver's pandas canonicalizer); the array form stays available
+    via sim.l2_normalize for in-pipeline use."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.l2_normalize(emb).select("vec_id", "unit_vec")
+    u = sim.l2_normalize(emb)
+    return u.select("vec_id", F.posexplode("unit_vec").alias("dim", "unit_val"))
 
 
 @q(
@@ -1790,9 +1801,9 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, round(scale, 6) AS scale,
-           CASE WHEN scale > 0
+           array_to_string(CASE WHEN scale > 0
                 THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
-                ELSE list_transform(v, x -> 0) END AS qvec
+                ELSE list_transform(v, x -> 0) END, ',') AS qvec_csv
     FROM s
     """,
 )
@@ -1800,9 +1811,17 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (extensions.similarity
     .quantize_int8): 4x smaller vectors with per-vector scale. Both
     engines round half-away-from-zero, so the quantized codes match
-    bit-for-bit."""
+    bit-for-bit. Contract output serializes the int8 codes to a CSV
+    string (ints render identically in both engines) so the external
+    hash-compare gets scalar cells; the array form stays available via
+    sim.quantize_int8 for in-pipeline use."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.quantize_int8(emb).select("vec_id", "scale", "qvec")
+    qdf = sim.quantize_int8(emb)
+    return qdf.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+    )
 
 
 @q(
@@ -4307,19 +4326,21 @@ def q_late_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks), 6) AS f_stopword
       FROM tok
     )
-    SELECT doc_id,
-           [f_chars, f_tokens, f_mean_tok_len, f_ttr, f_stopword] AS features
+    SELECT doc_id, f_chars, f_tokens, f_mean_tok_len, f_ttr, f_stopword
     FROM feat
     """,
 )
 def q_quality_features_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier feature assembly: one narrow scan emitting a
-    fixed-width array<double> per doc (chars, tokens, mean token
+    fixed-width feature vector per doc (chars, tokens, mean token
     length, type-token ratio, stopword share) — the feature matrix a
-    fastText/logreg quality filter trains on. Everything folds in
-    whole-stage codegen (split + higher-order array functions, zero
-    Python, zero shuffles); at 100 TB this is a map-only job whose
-    output columnar-compresses next to the corpus."""
+    fastText/logreg quality filter trains on. Contract output is the
+    unpacked scalar columns (a fixed-width vector IS five columns —
+    and scalar cells are what the external hash-compare can
+    canonicalize). Everything folds in whole-stage codegen (split +
+    higher-order array functions, zero Python, zero shuffles); at
+    100 TB this is a map-only job whose output columnar-compresses
+    next to the corpus."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("double")
@@ -4328,13 +4349,13 @@ def q_quality_features_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return d.select(
         "doc_id",
-        F.array(
-            F.col("n_chars").cast("double"),
-            n_tok,
-            F.round(F.col("n_chars").cast("double") / n_tok, 6),
-            F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6),
-            F.round(stop / n_tok, 6),
-        ).alias("features"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+        n_tok.alias("f_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("f_mean_tok_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias(
+            "f_ttr"
+        ),
+        F.round(stop / n_tok, 6).alias("f_stopword"),
     )
 
 
@@ -4974,7 +4995,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT vec_id,
-           list(cent ORDER BY sub) AS codes,
+           array_to_string(list(cent ORDER BY sub), ',') AS codes_csv,
            round(sum(dist), 6) + 0.0 AS recon_err
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
@@ -5020,10 +5041,15 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__b")
     )
     return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", F.col("__b.cent").alias("cent")))),
-            lambda s: s["cent"],
-        ).alias("codes"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", F.col("__b.cent").alias("cent")))
+                ),
+                lambda s: s["cent"].cast("string"),
+            ),
+        ).alias("codes_csv"),
         (F.round(F.sum("__b.dist"), 6) + 0.0).alias("recon_err"),
     )
 

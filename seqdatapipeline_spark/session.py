@@ -10,6 +10,7 @@ thresholds replace the reference's shared-memory genome index
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,6 +108,43 @@ def fan_out(df: DataFrame, *cols: str, min_partitions: int | None = None) -> Dat
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+# Bounded registry of library-internal persists (ring_persist). Spark's
+# CacheManager holds SQL cache entries until explicitly released — the
+# blocks are LRU-evictable but the ENTRIES are not GC-reclaimed — so a
+# library that persists per call over varying inputs leaks entries for
+# the session lifetime unless something releases them.
+_PERSIST_RING: "list[DataFrame]" = []
+_PERSIST_RING_CAP = 16
+
+
+def ring_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() with a bounded session-lifetime: registers the frame
+    in a FIFO ring (cap 16) and unpersists the oldest entry on
+    overflow. Evicting a frame that a long-lived returned plan still
+    references is CORRECT (the plan recomputes that subtree on next
+    use) — the ring trades bounded recompute for a hard bound on
+    CacheManager entries, mirroring _ADAPTIVE_STATS/_RANK_MEMO."""
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSIST_RING.append(out)
+    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+        old = _PERSIST_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def ring_clear() -> None:
+    """Release every ring-registered persist (bench/test hook)."""
+    while _PERSIST_RING:
+        old = _PERSIST_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -135,17 +173,30 @@ def plan_fingerprint(df: DataFrame) -> str | None:
     """Canonicalized-plan identity for prepared-plan/statistics memo
     keys, or None when the plan has no durable data identity.
 
-    File-backed scans canonicalize with their file listing, so equal
-    strings mean equal data (up to file mutation — the same staleness
-    contract as Spark's own plan cache). Driver-built inputs
-    (createDataFrame -> LogicalRDD / LocalRelation / LocalTableScan)
-    canonicalize WITHOUT their rows — two different literal datasets
-    print identically — so memoizing them would serve one dataset's
-    result for another; refuse."""
+    The canonicalized analyzed plan alone is NOT a data identity: on
+    Spark 4.x a parquet relation canonicalizes as
+    ``Relation [none#0L,...] parquet`` with the path elided, so two
+    different datasets with the same schema print identically. The key
+    therefore combines the plan string with a hash of the sorted
+    ``df.inputFiles()`` listing — equal keys mean equal plan over the
+    same concrete files (up to in-place file mutation, the same
+    staleness contract as Spark's own plan cache). A file-backed plan
+    that reports no input files, and driver-built inputs
+    (createDataFrame -> LogicalRDD / LocalRelation / LocalTableScan,
+    which canonicalize WITHOUT their rows), have no durable identity —
+    refuse (return None) rather than risk serving one dataset's
+    result for another."""
     try:
         s = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:
         return None  # connect mode / plan-access failure
     if "LogicalRDD" in s or "LocalRelation" in s or "LocalTableScan" in s:
         return None
-    return s
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    return f"{h}:{s}"

@@ -661,7 +661,7 @@ def test_bucketed_layout_drops_exchange_and_preserves_results(spark):
     plain_mate = set(map(tuple, qs["pe_mate_join"](spark, sf).collect()))
     name = lay.bucketed_table_name(sf, "lineitem", "l_orderkey")
     try:
-        lay.write_bucketed(
+        lay.write_curated_bucketed(
             spark.read.parquet(f"{sf}/lineitem.parquet"), name, "l_orderkey",
             n_buckets=8, sort_cols=["l_partkey", "l_linenumber"],
         )
@@ -695,7 +695,7 @@ def test_curated_documents_make_exact_dedup_exchange_free(spark):
         docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
             "content_hash", F.md5("text")
         )
-        lay.write_bucketed(docs, name, "content_hash", n_buckets=8)
+        lay.write_curated_bucketed(docs, name, "content_hash", n_buckets=8)
         df = qs["dedup_exact"](spark, sf)
         assert set(map(tuple, df.collect())) == plain
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -717,7 +717,7 @@ def test_pipeline_rna_curated_single_exchange(spark):
     plain = set(map(tuple, qs["pipeline_rna"](spark, sf).collect()))
     name = lay.bucketed_table_name(sf, "lineitem", "l_orderkey")
     try:
-        lay.write_bucketed(
+        lay.write_curated_bucketed(
             spark.read.parquet(f"{sf}/lineitem.parquet"), name, "l_orderkey",
             n_buckets=8,
         )
@@ -752,7 +752,7 @@ def test_curated_events_make_behavioral_windows_exchange_free(spark):
     plain_p = set(map(tuple, qs["top_event_paths"](spark, sf).collect()))
     name = lay.bucketed_table_name(sf, "events", "user_id")
     try:
-        lay.write_bucketed(
+        lay.write_curated_bucketed(
             _t(spark, sf, "events"), name, "user_id", n_buckets=8, sort_cols=["ts"]
         )
         df_f = qs["funnel_conversion"](spark, sf)

@@ -461,3 +461,27 @@ def test_plan_fingerprint_refuses_driver_built_frames(spark, sf_dir):
     a = plan_fingerprint(spark.read.parquet(p))
     b = plan_fingerprint(spark.read.parquet(p))
     assert a is not None and a == b
+
+
+def test_plan_fingerprint_distinguishes_same_schema_datasets(spark, tmp_path):
+    """The canonicalized analyzed plan ELIDES the parquet path on
+    Spark 4.x ('Relation [none#0L...] parquet' for any dataset of the
+    schema), so the fingerprint must fold in the concrete file listing
+    — otherwise the stats/rank memos serve dataset A's cached result
+    for dataset B (the r7 ADVICE-high collision, reproduced on
+    interval_count_adaptive)."""
+    from seqdatapipeline_spark.session import plan_fingerprint
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(10).selectExpr("id AS src", "id + 1 AS dst").write.parquet(pa)
+    spark.range(20).selectExpr("id * 2 AS src", "id AS dst").write.parquet(pb)
+    fa = plan_fingerprint(spark.read.parquet(pa))
+    fb = plan_fingerprint(spark.read.parquet(pb))
+    assert fa is not None and fb is not None
+    assert fa != fb
+    # identical transformations over different files still differ
+    ta = plan_fingerprint(spark.read.parquet(pa).filter("src > 2"))
+    tb = plan_fingerprint(spark.read.parquet(pb).filter("src > 2"))
+    assert ta != tb
+    # ... and the same file re-read fingerprints identically
+    assert plan_fingerprint(spark.read.parquet(pa)) == fa

@@ -161,13 +161,12 @@ def test_quality_features_vector_shape_and_values(spark):
     docs = {r.doc_id: r for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
     assert len(rows) == len(docs)
     for r in rows:
-        assert len(r.features) == 5
         d = docs[r.doc_id]
         toks = d.text.split(" ")
-        assert r.features[0] == float(d.n_chars)
-        assert r.features[1] == float(len(toks))
-        assert abs(r.features[3] - round(len(set(toks)) / len(toks), 6)) < 1e-9
-        assert 0.0 <= r.features[4] <= 1.0
+        assert r.f_chars == float(d.n_chars)
+        assert r.f_tokens == float(len(toks))
+        assert abs(r.f_ttr - round(len(set(toks)) / len(toks), 6)) < 1e-9
+        assert 0.0 <= r.f_stopword <= 1.0
 
 
 # ---------------------------------------------- quality_percentile_by_source
@@ -331,7 +330,7 @@ def test_embedding_pq_codes_matches_numpy(spark):
             err += float(d[c])
         expect[vid] = (tuple(codes), round(err, 6))
     got = {
-        r.vec_id: (tuple(r.codes), r.recon_err)
+        r.vec_id: (tuple(int(c) for c in r.codes_csv.split(",")), r.recon_err)
         for r in _q("embedding_pq_codes")(spark, SF).collect()
     }
     assert got == expect

@@ -64,9 +64,33 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def _assert_driver_hashable(name, schema):
+    """The driver's canonicalizer (pandas sort_values + hash) dies on
+    array/map cells with `TypeError: unhashable type: 'list'` — the
+    exact failure mode of CORRECTNESS_r07's embedding trio. The local
+    Python tuple-sort happily orders list cells, so without this guard
+    the mirror passes what the driver fails. Oracle-checked queries
+    must emit scalar (hashable) columns only: posexplode the array to
+    long form, serialize to CSV/JSON, or unpack fixed-width vectors
+    into columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-checked output has non-scalar columns {bad} — "
+        "the external hash-compare cannot canonicalize array/map/struct "
+        "cells; reshape to scalar columns (posexplode / CSV / unpack)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
+    _assert_driver_hashable(name, sdf.schema)
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
 
@@ -81,6 +105,25 @@ def test_oracle_parity(spark, sf_dir, name):
     dk = _rows_key(d_rows, d_cols)
     mism = [i for i, (a, b) in enumerate(zip(sk, dk)) if a != b][:3]
     assert sk == dk, f"{name}: first value mismatches at {[(i, sk[i], dk[i]) for i in mism]}"
+
+
+def test_hashable_guard_rejects_array_output(spark):
+    """The guard itself must fire on a deliberately array-outputting
+    frame (and on map/struct), and pass a scalar-only one — otherwise
+    it guards nothing."""
+    import pyspark.sql.functions as F
+
+    arr = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("v"))
+    with pytest.raises(AssertionError, match="non-scalar"):
+        _assert_driver_hashable("fixture_arr", arr.schema)
+    mp = spark.range(1).select(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+    with pytest.raises(AssertionError, match="non-scalar"):
+        _assert_driver_hashable("fixture_map", mp.schema)
+    st = spark.range(1).select(F.struct(F.lit(1).alias("a")).alias("s"))
+    with pytest.raises(AssertionError, match="non-scalar"):
+        _assert_driver_hashable("fixture_struct", st.schema)
+    ok = spark.range(1).select(F.lit("x").alias("a"), F.lit(1.5).alias("b"))
+    _assert_driver_hashable("fixture_ok", ok.schema)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
