@@ -86,7 +86,10 @@ BEST_KNOWN = {
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
     "pack_sequences": 0.311,           # r4
-    "pagerank_iter": 0.312,  # r7
+    "pagerank_iter": 1.492,  # r8 memo-cleared: drop_persisted() now
+    # clears _RANK_MEMO between timed runs, so the pin measures the
+    # tiered iteration itself (the r7 0.312 pin was a memo dict hit
+    # and could not detect an algorithm regression).
     "pe_mate_join": 0.446,             # r2
     "peak_call": 0.269,                # r4
     "qc_read_stats": 0.120,            # r4

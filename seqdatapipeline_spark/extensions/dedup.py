@@ -427,7 +427,58 @@ def minhash_dedup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 12, band_size: int = 2, shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash + LSH near-dup candidates end-to-end."""
+    """MinHash + LSH near-dup candidates end-to-end.
+
+    When ``docs`` carries a stored ``content_hash`` column (the
+    curated corpus convention — io.layout.write_curated_bucketed on
+    that column), exact duplicates are collapsed FIRST: on a curated
+    scan the collapse groupBy runs against the reported clustering
+    (no Exchange), and the expensive md5-per-shingle signature stage
+    runs over DISTINCT texts only — under mass duplication that cuts
+    the dominant map stage by the duplication factor, mirroring the
+    genomics bucketed-layout win. Doc-level pairs come back by
+    member fan-out, exactly the setsim_prefix_join_collapsed
+    recovery: identical texts have identical signatures, so
+    x~y ⟺ rep(x)~rep(y) for cross-group pairs, and a non-empty
+    shingle set means every within-group pair shares all bands
+    (empty-shingle docs have no bands and never pair, matching the
+    uncollapsed form where they vanish at the explode). Output set
+    is identical either way."""
+    if "content_hash" in docs.columns:
+        groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+        reps = groups.select(F.col("__rep").alias(id_col), text_col)
+        sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n)
+        rep_pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+        ma = members.select(
+            F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida")
+        )
+        mb = members.select(
+            F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb")
+        )
+        cross = (
+            rep_pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(
+                F.least("__ida", "__idb").alias("doc_a"),
+                F.greatest("__ida", "__idb").alias("doc_b"),
+            )
+        )
+        wa = members.filter("__has_sh").select(
+            "__rep", F.col(id_col).alias("__ida")
+        )
+        wb = members.filter("__has_sh").select(
+            "__rep", F.col(id_col).alias("__idb")
+        )
+        within = (
+            wa.join(wb, "__rep")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select(
+                F.col("__ida").alias("doc_a"), F.col("__idb").alias("doc_b")
+            )
+        )
+        # Disjoint by construction: cross pairs span two rep groups,
+        # within pairs share one — no distinct needed over the union.
+        return cross.unionByName(within)
     sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
     return lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
@@ -1641,6 +1692,7 @@ def collapse_exact_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-duplicate pre-collapse for similarity operators whose
     metric is a pure function of the text (shingle Jaccard, minhash
@@ -1670,11 +1722,24 @@ def collapse_exact_text(
 
     Cost: one map-side-combinable groupBy on the content hash (the
     dedup_exact shuffle) + one equi-join back. Both scale linearly.
+    And when ``docs`` carries a STORED ``content_hash`` column — the
+    curated corpus convention (io.layout.write_curated_bucketed,
+    bucketed on that column) — the groupBy keys on the stored column
+    instead of recomputing md5, so on a curated scan Catalyst sees
+    the clustering and BOTH the groupBy and the members join-back run
+    exchange-free: the whole text-tier collapse becomes scan-side
+    work, mirroring the genomics bucketed-layout win. The stored hash
+    is definitionally md5(text), so the two paths are bit-identical.
     """
+    key = (
+        F.col("content_hash")
+        if "content_hash" in docs.columns
+        else F.md5(F.col(text_col))
+    )
     base = docs.select(
         F.col(id_col),
         F.col(text_col),
-        F.md5(F.col(text_col)).alias("__k"),
+        key.alias("__k"),
     )
     groups = (
         base.groupBy("__k")
@@ -1687,8 +1752,14 @@ def collapse_exact_text(
             "__has_sh",
             F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n),
         )
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        # Materialized once: it feeds the rep-level similarity
+        # pipeline, the identity buckets, and the fan-out join.
+        # checkpoint=False exposes the lineage plan so callers (and
+        # the curated-layout tests) can verify the collapse groupBy
+        # runs against the scan's reported clustering.
+        groups = groups.localCheckpoint(eager=True)
     members = base.select(F.col(id_col), "__k").join(
         groups.select("__k", "__rep", "__has_sh"), "__k"
     )

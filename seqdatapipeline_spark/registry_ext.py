@@ -54,6 +54,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _docs_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table, preferring the curated copy (stored
+    content_hash column, bucketed on it) when this session carries
+    one. Consumers that collapse on content hash
+    (dedup.collapse_exact_text) then group against the scan's
+    reported clustering — no Exchange — and skip the md5 recompute;
+    on the plain path this is exactly _t(spark, sf_dir, 'documents').
+    Queries stay layout-agnostic: same rows either way."""
+    src, curated = lay.curated_or_parquet(spark, sf_dir, "documents", "content_hash")
+    if curated and "content_hash" in src.columns:
+        return src
+    return _t(spark, sf_dir, "documents")
+
+
 def _minhash_ctes(num_hashes: int = 12, band_size: int = 2) -> str:
     # Mirrors extensions.dedup.minhash_signature: K-M double hashing,
     # mh_j = min((h1 + j*h2) % 2^56) over the two 56-bit md5 halves.
@@ -101,9 +115,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: shingle → 12-hash signature →
     6 band keys → equi-join on band key. No pair outside a shared
     bucket is ever materialized (the 100 TB requirement). Hashes are
-    lexicographic-min over md5 hex — engine-portable, no murmur seed."""
+    lexicographic-min over md5 hex — engine-portable, no murmur seed.
+    On a curated corpus (stored content_hash, bucketed) the signature
+    stage runs over distinct texts only with an exchange-free collapse
+    (dedup.minhash_dedup_pairs curated path)."""
     return dd.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=12, band_size=2, shingle_n=3
+        _docs_maybe_curated(spark, sf_dir), num_hashes=12, band_size=2, shingle_n=3
     )
 
 
@@ -2042,10 +2059,27 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate bucket costs q rows per propagation round, not q²/2
     pairs — the LSH clustering form that survives corpus-scale
     mega-buckets. Every doc is labeled (singletons label themselves);
-    the oracle closes the same band graph with a recursive CTE."""
-    sig = dd.minhash_signature(
-        _t(spark, sf_dir, "documents"), num_hashes=12, shingle_n=3
-    )
+    the oracle closes the same band graph with a recursive CTE.
+    On a curated corpus (stored content_hash, bucketed) signatures
+    and the CC run over DISTINCT texts with an exchange-free
+    collapse; labels fan back out through the membership map — the
+    component minimum over reps IS the minimum over members because
+    each rep is its group's min id, and empty-shingle docs drop out
+    of both paths identically (no bands → not in the incidence)."""
+    docs = _docs_maybe_curated(spark, sf_dir)
+    if "content_hash" in docs.columns:
+        groups, members = dd.collapse_exact_text(docs, "doc_id", "text", 3)
+        reps = groups.select(F.col("__rep").alias("doc_id"), "text")
+        sig = dd.minhash_signature(reps, num_hashes=12, shingle_n=3)
+        cc = dd.connected_components(
+            dd.lsh_band_incidence(sig, num_hashes=12, band_size=2),
+            node_col="doc_id",
+            key_col="band_key",
+        ).select(F.col("doc_id").alias("__ccrep"), "cluster_id")
+        return members.join(cc, members["__rep"] == cc["__ccrep"]).select(
+            members["doc_id"], cc["cluster_id"]
+        )
+    sig = dd.minhash_signature(docs, num_hashes=12, shingle_n=3)
     inc = dd.lsh_band_incidence(sig, num_hashes=12, band_size=2)
     cc = dd.connected_components(inc, node_col="doc_id", key_col="band_key")
     return cc.select("doc_id", "cluster_id")
@@ -2560,7 +2594,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature table is checkpointed once and reused by the band
     pairing and both join sides — materialize sketches, don't
     recompute them per branch."""
-    return dd.minhash_estimate_pairs(_t(spark, sf_dir, "documents"))
+    return dd.minhash_estimate_pairs(_docs_maybe_curated(spark, sf_dir))
 
 
 def _simhash_hamming_oracle(
@@ -3318,7 +3352,7 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion) that symmetric Jaccard thresholds miss. Signature
     table checkpointed once; exact shingle sets join only candidate
     pairs."""
-    return dd.minhash_containment_pairs(_t(spark, sf_dir, "documents"))
+    return dd.minhash_containment_pairs(_docs_maybe_curated(spark, sf_dir))
 
 
 @q(
@@ -3415,7 +3449,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (setsim_prefix_join_collapsed) so duplicate groups cost one
     verification, not a quadratic candidate shuffle."""
     return dd.setsim_prefix_join_collapsed(
-        _t(spark, sf_dir, "documents"), threshold=0.7, shingle_n=3
+        _docs_maybe_curated(spark, sf_dir), threshold=0.7, shingle_n=3
     )
 
 
@@ -3559,7 +3593,7 @@ def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.setsim_clusters_collapsed). Oracle recomputes the fixpoint
     as a DuckDB recursive CTE — independent algorithm, same
     semantics."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_maybe_curated(spark, sf_dir)
     return dd.setsim_clusters_collapsed(d, threshold=0.7, shingle_n=3)
 
 
@@ -3624,7 +3658,7 @@ def q_lsh_recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth side nor the candidate side ever materializes duplicate
     cliques. Both rep-level pair sets are equi-join derived; the
     census counts broadcast-cross into one summary row."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_maybe_curated(spark, sf_dir)
     return dd.lsh_recall_counts(d, threshold=0.7, shingle_n=3)
 
 

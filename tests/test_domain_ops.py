@@ -772,3 +772,55 @@ def test_curated_events_make_behavioral_windows_exchange_free(spark):
         assert all(k.startswith("path") for k in keys), pp
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_curated_documents_text_tier_parity_and_collapse_exchange_free(spark):
+    """The curated-corpus convention extended to the text tier: with a
+    documents copy carrying a STORED content_hash column (bucketed on
+    it), every collapse-based similarity op must produce IDENTICAL
+    rows to the plain path, while the exact-dup collapse groupBy —
+    the tier's corpus-wide shuffle — runs against the scan's reported
+    clustering with NO hash exchange. The top-level query plans can't
+    be string-compared here (the collapse is behind an eager
+    localCheckpoint, and AQE plan strings interleave per-stage
+    Initial Plan sections), so the plan assertion targets the
+    collapse lineage directly via checkpoint=False."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    ops = [
+        "dedup_minhash_lsh",
+        "dedup_minhash_clusters",
+        "setsim_clusters",
+        "setsim_prefix_join",
+        "minhash_jaccard_estimate",
+        "minhash_containment",
+    ]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in ops}
+    # Plain-path collapse: md5 computed in-query, groupBy must shuffle.
+    plain_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    g_plain, _ = dd.collapse_exact_text(plain_docs, checkpoint=False)
+    p_plain = g_plain._jdf.queryExecution().executedPlan().toString()
+    assert p_plain.count("Exchange hashpartitioning") >= 1
+
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    try:
+        docs = plain_docs.withColumn("content_hash", F.md5("text"))
+        lay.write_curated_bucketed(docs, name, "content_hash", n_buckets=8)
+        src, curated = lay.curated_or_parquet(
+            spark, sf, "documents", "content_hash"
+        )
+        assert curated
+        g_cur, _ = dd.collapse_exact_text(src, checkpoint=False)
+        p_cur = g_cur._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_cur, p_cur
+        assert p_cur.count("Exchange hashpartitioning") == 0, p_cur
+        # And the rows the whole tier produces are layout-invariant.
+        for op in ops:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
