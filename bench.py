@@ -145,17 +145,28 @@ def main() -> None:
         # the ALGORITHM regresses.
         from seqdatapipeline_spark.extensions.graph import _rank_memo_clear
         from seqdatapipeline_spark.ops.joins import _adaptive_stats_clear
+        from seqdatapipeline_spark.session import ring_clear
 
         _rank_memo_clear()
         _adaptive_stats_clear()
+        ring_clear()  # release ring-registered SQL cache entries
+        # cleanly before the raw unpersist sweep below
         jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = jmap.values().iterator()
         while it.hasNext():
             it.next().unpersist(True)
 
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",")
+        if q.strip()
+    }  # dev loop: time a subset; headline JSON is only meaningful unfiltered
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         fn = queries.get(name)
         if fn is None:
             continue

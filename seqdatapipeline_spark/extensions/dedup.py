@@ -827,6 +827,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    return connected_components_edges(
+        edges, nodes, node_col, max_iter, local_finish_edges
+    )
+
+
+def connected_components_edges(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    max_iter: int = 25,
+    local_finish_edges: int = 100_000,
+) -> DataFrame:
+    """Star-contraction connected components over a READY edge list —
+    the core `connected_components` delegates to after contracting its
+    node-bucket incidence. Call this directly when the input already
+    IS an edge list (a verified near-dup pair set): wrapping pairs
+    back into a synthetic incidence costs an incidence distinct, a
+    bucket-min groupBy, and an edge-rebuild join — three corpus-pair
+    -sized shuffles that exist only to recover the edges you started
+    with (measured ~0.4s of fixed stage latency at sf0.1 on
+    setsim_clusters, and at 100 TB three needless shuffles of the
+    full pair set).
+
+    Contract: ``edges`` holds (u, v) with u > v, deduplicated, and
+    should be checkpoint/persist-backed (it is counted, iterated, and
+    joined — an expensive lineage would re-execute per round).
+    ``nodes`` is the full node universe (isolated nodes label
+    themselves). Labels: every node → minimum node id of its
+    component, exactly as `connected_components`."""
     n_edges = edges.count()
 
     def _local_finish(e: DataFrame) -> DataFrame:
@@ -1855,16 +1884,31 @@ def setsim_clusters_collapsed(
     """
     groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
-    pairs = setsim_prefix_join(reps, id_col, text_col, threshold, shingle_n)
-    pair_key = F.concat_ws("|", F.col("doc_a"), F.col("doc_b"))
-    bucket = pairs.select(
-        F.col("doc_a").alias("node"), pair_key.alias("key")
-    ).unionByName(pairs.select(F.col("doc_b").alias("node"), pair_key.alias("key")))
-    ident = groups.select(
-        F.col("__rep").alias("node"),
-        F.concat(F.lit("self|"), F.col("__rep")).alias("key"),
+    # Materialize the qualified pair list ONCE: the incidence below
+    # references it from BOTH union branches (doc_a and doc_b sides),
+    # and Spark does not dedupe common subplans across union arms —
+    # without this the whole prefix-join + verify subtree executes
+    # twice inside connected_components' incidence checkpoint
+    # (measured 2.91s → ≈2.3s at sf0.1). The pair list is true-pair
+    # sized (output-bound), so the checkpoint is tiny at any scale.
+    from ..session import ring_persist
+
+    # ring_persist, not localCheckpoint: the pair table is consumed by
+    # the CC count, the contraction/local-finish, and the label join —
+    # persist shares one materialization without localCheckpoint's
+    # driver-side analysis+toRdd cost (the r7 lsh-signature lesson),
+    # and the bounded ring releases the CacheManager entry later.
+    pairs = ring_persist(
+        setsim_prefix_join(reps, id_col, text_col, threshold, shingle_n)
     )
-    cc = connected_components(bucket.unionByName(ident))
+    # The verified pair list IS the edge list (doc_a < doc_b, distinct
+    # by construction) — feed it to the star contraction directly
+    # instead of wrapping it into a synthetic per-pair incidence,
+    # which costs three pair-set-sized shuffles just to recover these
+    # edges. Isolated reps label themselves via the node universe.
+    edges = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    nodes = groups.select(F.col("__rep").alias("node"))
+    cc = connected_components_edges(edges, nodes)
     return members.join(cc, members["__rep"] == cc["node"]).select(
         members[id_col],
         F.when(members["__has_sh"], cc["cluster_id"])
