@@ -173,6 +173,8 @@ OPS = [
 
 
 def build_scaled(spark) -> None:
+    os.makedirs(SCALED, exist_ok=True)  # callers other than main()
+    # (ad-hoc gate scripts) import build_scaled directly
     only = {t for t in _ONLY.split(",") if t} or set(TABLES)
     for name, (key, stride) in TABLES.items():
         out = os.path.join(SCALED, f"{name}.parquet")
