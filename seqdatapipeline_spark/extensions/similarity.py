@@ -279,6 +279,7 @@ def ivf_topk_cosine(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe best cells per query.
     The query↔corpus join is an *equi-join on cell id*, so at 100 TB
@@ -289,8 +290,24 @@ def ivf_topk_cosine(
     but only as good as that partition's geometry). Default is a
     trained quantizer: deterministic k-means-lite cells
     (``kmeans_cells``) + nearest-cell corpus assignment — the real IVF
-    construction, still pure DataFrame ops."""
-    if cell_col is not None:
+    construction, still pure DataFrame ops.
+
+    ``index=(cents, cells)`` serves from a PREBUILT index (the curated
+    layout: io.layout.write_curated_ivf stores the trained centroid
+    table and the cell-assigned corpus bucketed on ``cell``): training
+    and the whole-corpus assignment map are skipped, and — the actual
+    IVF promise at 100 TB — the union of probed cells is collected
+    (model-sized: ≤ queries × nprobe ints) and pushed as an IN filter
+    onto the bucketed scan, so Spark's bucket pruning reads only the
+    probed lists' buckets (`SelectedBucketsCount` in the plan) instead
+    of the full corpus. Results are bit-identical to the trained path
+    because the stored centroids ARE that path's deterministic
+    training output and assignment is a pure function of them.
+    ``cells`` must hold (cell, ``c_id``, ``c_vec``) with ``c_vec``
+    already array<double>."""
+    if index is not None:
+        cents, cells = index
+    elif cell_col is not None:
         cents = ivf_centroids(corpus, cell_col=cell_col, vec_col=c_vec)
         cells = corpus.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
     else:
@@ -303,6 +320,11 @@ def ivf_topk_cosine(
         )
         cells = assigned.select("cell", c_id, F.col("__av").alias(c_vec))
     probed = ivf_assign(queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec)
+    if index is not None:
+        probe_cells = [
+            int(r["cell"]) for r in probed.select("cell").distinct().collect()
+        ]
+        cells = cells.filter(F.col("cell").isin(probe_cells))
     scored = probed.join(cells, "cell").withColumn(
         "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     )

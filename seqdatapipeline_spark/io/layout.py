@@ -132,6 +132,70 @@ def write_curated_bucketed(
     )
 
 
+def ivf_table_names(sf_dir: str) -> tuple[str, str]:
+    """(cells table, centroids table) names for the curated IVF index
+    over ``sf_dir``'s embeddings."""
+    base = bucketed_table_name(sf_dir, "embeddings", "cell")
+    return base, base + "_centroids"
+
+
+def write_curated_ivf(
+    spark,
+    sf_dir: str,
+    kmeans_k: int = 10,
+    kmeans_iters: int = 3,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the curated IVF index for ``sf_dir``'s embeddings: train
+    the deterministic coarse quantizer ONCE, store the centroid table,
+    and store the corpus with its cell assignment — bucketed on
+    ``cell`` so probe-time IN filters bucket-prune the scan
+    (SelectedBucketsCount ≈ probed/total). This is the index-build
+    step every production vector store runs at ingest; query time
+    then skips training AND the whole-corpus assignment map, and
+    reads only the probed lists. Serving results are bit-identical to
+    the train-at-query-time path because kmeans_cells is
+    deterministic and assignment is a pure function of the stored
+    centroids."""
+    import os
+
+    from ..extensions import similarity as sim
+
+    cells_name, cents_name = ivf_table_names(sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = sim.kmeans_cells(
+        emb, k=kmeans_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    asg = sim.assign_best_cell(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__av")
+        ),
+        cents,
+        vec_expr="__av",
+        id_col=id_col,
+    ).select(id_col, "cell")
+    write_curated_bucketed(emb.join(asg, id_col), cells_name, "cell", n_buckets)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
+
+
+def curated_ivf_or_none(spark, sf_dir: str):
+    """(centroids, cells) DataFrames of the curated IVF index when
+    this session's catalog carries one, else None. Session-catalog
+    scoped like curated_or_parquet — stale warehouse dirs never shadow
+    fresh parquet."""
+    cells_name, cents_name = ivf_table_names(sf_dir)
+    try:
+        if spark.catalog.tableExists(cells_name) and spark.catalog.tableExists(
+            cents_name
+        ):
+            return spark.table(cents_name), spark.table(cells_name)
+    except Exception:
+        pass
+    return None
+
+
 def curated_or_parquet(spark, sf_dir: str, table: str, bucket_col: str):
     """Read ``table`` preferring the curated bucketed copy when one
     exists in this session's catalog: returns ``(df, curated)``.

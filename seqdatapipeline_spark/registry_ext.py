@@ -383,11 +383,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical to exact brute force, so the brute-force SQL
     oracle is a valid hash check (tests/test_extensions.py asserts the
     equivalence, and separately recall ≥ 0.8 on the pruned nprobe=3
-    path that production would run)."""
+    path that production would run). When the session carries a
+    curated IVF index (io.layout.write_curated_ivf: stored centroids
+    + cell-assigned corpus bucketed on cell), serving skips training
+    and assignment and bucket-prunes the scan to the probed lists —
+    same rows either way."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
+    idx = lay.curated_ivf_or_none(spark, sf_dir)
+    if idx is not None:
+        cents, ctab = idx
+        cells = ctab.select(
+            "cell",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        return sim.ivf_topk_cosine(
+            queries, emb, k=5, nprobe=10, index=(cents, cells)
+        )
     return sim.ivf_topk_cosine(queries, emb, k=5, nprobe=10, kmeans_k=10)
 
 

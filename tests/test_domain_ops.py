@@ -824,3 +824,54 @@ def test_curated_documents_text_tier_parity_and_collapse_exchange_free(spark):
             assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_curated_ivf_index_parity_and_bucket_pruning(spark):
+    """The curated IVF index: stored centroids + cell-assigned corpus
+    bucketed on cell. Serving must (a) return bit-identical rows to
+    the train-at-query-time path — the stored centroids ARE that
+    path's deterministic training output — at full probe AND at a
+    pruned nprobe, and (b) bucket-prune the corpus scan to the probed
+    lists (SelectedBucketsCount < total) when nprobe < ncells."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from seqdatapipeline_spark.extensions import similarity as sim
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.registry import _t
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    plain_full = set(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
+    plain_pruned = set(
+        map(
+            tuple,
+            sim.ivf_topk_cosine(queries, emb, k=5, nprobe=2, kmeans_k=10).collect(),
+        )
+    )
+    cells_name, cents_name = lay.ivf_table_names(sf)
+    try:
+        lay.write_curated_ivf(spark, sf, kmeans_k=10, n_buckets=16)
+        assert set(map(tuple, qs["ann_ivf_topk"](spark, sf).collect())) == plain_full
+        cents, ctab = lay.curated_ivf_or_none(spark, sf)
+        cells = ctab.select(
+            "cell",
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        pruned = sim.ivf_topk_cosine(
+            queries, emb, k=5, nprobe=2, index=(cents, cells)
+        )
+        assert set(map(tuple, pruned.collect())) == plain_pruned
+        import re
+
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
