@@ -1782,16 +1782,28 @@ def collapse_exact_text(
             F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n),
         )
     )
+    members = base.select(F.col(id_col), "__k").join(
+        groups.select("__k", "__rep", "__has_sh"), "__k"
+    )
     if checkpoint:
-        # Materialized once: it feeds the rep-level similarity
+        # Materialized once: groups feeds the rep-level similarity
         # pipeline, the identity buckets, and the fan-out join.
         # checkpoint=False exposes the lineage plan so callers (and
         # the curated-layout tests) can verify the collapse groupBy
         # runs against the scan's reported clustering.
         groups = groups.localCheckpoint(eager=True)
-    members = base.select(F.col(id_col), "__k").join(
-        groups.select("__k", "__rep", "__has_sh"), "__k"
-    )
+        # members is referenced by EVERY fan-out branch (pair sides,
+        # within-group sides — up to 4 uses), and each use would
+        # otherwise re-scan the source and recompute md5 over the
+        # heavy text column. ring_persist shares one narrow
+        # (id, hash, rep, has_sh) materialization across them; must
+        # rebuild on the checkpointed groups so the persisted plan
+        # doesn't re-run the collapse aggregate per branch.
+        members = ring_persist(
+            base.select(F.col(id_col), "__k").join(
+                groups.select("__k", "__rep", "__has_sh"), "__k"
+            )
+        )
     return groups, members
 
 
@@ -1891,8 +1903,6 @@ def setsim_clusters_collapsed(
     # twice inside connected_components' incidence checkpoint
     # (measured 2.91s → ≈2.3s at sf0.1). The pair list is true-pair
     # sized (output-bound), so the checkpoint is tiny at any scale.
-    from ..session import ring_persist
-
     # ring_persist, not localCheckpoint: the pair table is consumed by
     # the CC count, the contraction/local-finish, and the label join —
     # persist shares one materialization without localCheckpoint's

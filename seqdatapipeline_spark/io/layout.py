@@ -180,6 +180,65 @@ def write_curated_ivf(
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
 
 
+def curate_corpus(
+    spark, sf_dir: str, n_buckets: int = 32, ivf_k: int = 10
+) -> dict[str, str]:
+    """Build EVERY curated layout this engine's consumers detect, in
+    one call — the ingest-time step a production deployment runs once
+    per dataset so all subsequent queries take the fast paths:
+
+    - lineitem bucketed on l_orderkey (genomics tier:
+      dedup_alignments / pe_mate_join / pipeline_rna exchange-free);
+    - events bucketed on user_id, sorted on ts (behavioral tier:
+      per-user aggregates and windows exchange-free, SortExec
+      deleted);
+    - documents + STORED content_hash, bucketed on it (text tier:
+      exact-dup collapse exchange-free; minhash/setsim over distinct
+      texts);
+    - embeddings IVF index (ANN tier: stored centroids +
+      cell-bucketed corpus, probe-time bucket pruning).
+
+    Sizes ``n_buckets`` to ~(table size / 128 MB) at real scale.
+    Returns {tier: catalog table name}. Detection stays
+    session-catalog-scoped; every consumer is layout-agnostic and
+    parity-tested against the plain path."""
+    import os
+
+    from ..registry import _t
+
+    out = {}
+    li_name = bucketed_table_name(sf_dir, "lineitem", "l_orderkey")
+    write_curated_bucketed(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        li_name,
+        "l_orderkey",
+        n_buckets,
+    )
+    out["genomics"] = li_name
+    ev_name = bucketed_table_name(sf_dir, "events", "user_id")
+    write_curated_bucketed(
+        _t(spark, sf_dir, "events"),
+        ev_name,
+        "user_id",
+        n_buckets,
+        sort_cols=["ts"],
+    )
+    out["events"] = ev_name
+    doc_name = bucketed_table_name(sf_dir, "documents", "content_hash")
+    write_curated_bucketed(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+            "content_hash", F.md5("text")
+        ),
+        doc_name,
+        "content_hash",
+        n_buckets,
+    )
+    out["text"] = doc_name
+    write_curated_ivf(spark, sf_dir, kmeans_k=ivf_k, n_buckets=n_buckets)
+    out["ann"] = ivf_table_names(sf_dir)[0]
+    return out
+
+
 def curated_ivf_or_none(spark, sf_dir: str):
     """(centroids, cells) DataFrames of the curated IVF index when
     this session's catalog carries one, else None. Session-catalog

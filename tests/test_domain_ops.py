@@ -875,3 +875,29 @@ def test_curated_ivf_index_parity_and_bucket_pruning(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {cells_name}")
         spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
+
+
+def test_curate_corpus_builds_all_tiers(spark):
+    """One-call ingest-time curation: after curate_corpus every tier's
+    detection finds its table, and a representative consumer from
+    each tier still matches its plain-path rows."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    reps = ["dedup_alignments", "funnel_conversion", "dedup_exact", "ann_ivf_topk"]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in reps}
+    names = {}
+    try:
+        names = lay.curate_corpus(spark, sf, n_buckets=8)
+        assert set(names) == {"genomics", "events", "text", "ann"}
+        for n in names.values():
+            assert spark.catalog.tableExists(n), n
+        assert lay.curated_ivf_or_none(spark, sf) is not None
+        for op in reps:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+    finally:
+        for n in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        spark.sql(f"DROP TABLE IF EXISTS {lay.ivf_table_names(sf)[1]}")
