@@ -709,3 +709,57 @@ def test_minhash_containment_pairs_match_naive(spark, texts):
         for r in dd.minhash_containment_pairs(df).collect()
     }
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),  # (u, v) any order
+        min_size=0,
+        max_size=40,
+    ),
+    extra_nodes=st.lists(st.integers(0, 20), max_size=6),
+)
+@settings(**SETTINGS)
+def test_connected_components_edges_matches_union_find(spark, edges, extra_nodes):
+    """The edge-direct CC entry point (setsim_clusters' path) must
+    agree with a reference union-find on ANY random edge list, label
+    isolated nodes as themselves, and produce the same answer on the
+    driver local-finish tier and the distributed star-contraction
+    tier (local_finish_edges=0 forces the latter)."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+
+    e = [(max(u, v), min(u, v)) for u, v in edges if u != v]
+    e = sorted(set(e))
+    nodes = sorted({n for p in e for n in p} | set(extra_nodes))
+    if not nodes:
+        nodes = [0]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(e, "u long, v long") if e else ndf.select(
+        F.col("node").alias("u"), F.col("node").alias("v")
+    ).filter(F.lit(False))
+    edf = edf.localCheckpoint(eager=True)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in e:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in nodes}
+
+    for cutover in (100_000, 0):
+        got = {
+            r.node: r.cluster_id
+            for r in dd.connected_components_edges(
+                edf, ndf, local_finish_edges=cutover
+            ).collect()
+        }
+        assert got == want, (cutover, got, want)
