@@ -336,6 +336,84 @@ def ivf_topk_cosine(
     )
 
 
+def pq_ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 8,
+    n_cents: int = 16,
+    n_subs: int = 8,
+    sub_dim: int = 8,
+) -> tuple[DataFrame, ...]:
+    """The IVF+PQ index construction (FAISS IVFx,PQy), shared by the
+    ivf_pq_topk query and the curated-index writer so build-at-query
+    and build-at-curation are definitionally the same deterministic
+    plan: coarse centroids and the PQ codebook are the ``n_coarse`` /
+    ``n_cents`` lowest-id vectors (order stable by construction), the
+    corpus assigns to its max-cosine coarse cell, and each subvector
+    encodes as its argmin-L2 codebook centroid (ties on lower id in
+    both). Returns (v, coarse, cscore, cb, scored, vassign, codes):
+
+    - v: (vec_id, emb array<double>) projection;
+    - coarse: (ccell, ccent) — model-sized, broadcast everywhere;
+    - cscore: corpus × coarse cosine table (filter to a query set for
+      probe selection);
+    - cb: (sub, cent, cvec) PQ codebook, model-sized;
+    - scored: corpus × codebook subvector L2 table (filter to a query
+      set for ADC distance tables);
+    - vassign: (vec_id, ccell) inverted-list assignment — one
+      full-corpus scoring pass;
+    - codes: (vec_id, sub, cent) PQ codes — the other full-corpus
+      pass. The two corpus passes are exactly what the curated layout
+      (io.layout.write_curated_pq) stores so serving never repeats
+      them."""
+    spark = corpus.sparkSession
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    w = Window.orderBy("vec_id")
+    coarse = (
+        v.orderBy("vec_id")
+        .limit(n_coarse)
+        .select((F.row_number().over(w) - 1).alias("ccell"), F.col("emb").alias("ccent"))
+    )
+    cscore = v.join(F.broadcast(coarse)).withColumn(
+        "__cos", cosine(F.col("emb"), F.col("ccent"))
+    )
+    vassign = cscore.groupBy("vec_id").agg(
+        F.max_by(
+            "ccell", F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n"))
+        ).alias("ccell")
+    )
+    cb0 = (
+        v.orderBy("vec_id")
+        .limit(n_cents)
+        .select((F.row_number().over(w) - 1).alias("cent"), "emb")
+    )
+    subs = spark.range(n_subs).select(F.col("id").cast("int").alias("sub"))
+    cb = cb0.crossJoin(F.broadcast(subs)).select(
+        "sub", "cent", F.expr(f"slice(emb, sub * {sub_dim} + 1, {sub_dim})").alias("cvec")
+    )
+    vs = v.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub", F.expr(f"slice(emb, sub * {sub_dim} + 1, {sub_dim})").alias("svec")
+    )
+    sq = F.aggregate(
+        F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "cent", sq.alias("d2")
+    )
+    codes = scored.groupBy("vec_id", "sub").agg(
+        F.max_by(
+            "cent", F.struct((-F.col("d2")).alias("__nd"), (-F.col("cent")).alias("__nc"))
+        ).alias("cent")
+    )
+    return v, coarse, cscore, cb, scored, vassign, codes
+
+
 def l2_normalize(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec", ndigits: int = 6
 ) -> DataFrame:

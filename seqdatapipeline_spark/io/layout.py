@@ -236,7 +236,50 @@ def curate_corpus(
     out["text"] = doc_name
     write_curated_ivf(spark, sf_dir, kmeans_k=ivf_k, n_buckets=n_buckets)
     out["ann"] = ivf_table_names(sf_dir)[0]
+    write_curated_pq(spark, sf_dir)
+    out["ann_pq"] = pq_table_name(sf_dir)
     return out
+
+
+def pq_table_name(sf_dir: str) -> str:
+    """Catalog name of the curated IVF+PQ code table for ``sf_dir``'s
+    embeddings (long form: vec_id, ccell, sub, cent — bucketed on
+    ccell)."""
+    return bucketed_table_name(sf_dir, "embeddings_pq", "ccell")
+
+
+def write_curated_pq(spark, sf_dir: str, n_buckets: int = 8) -> None:
+    """Build the curated IVF+PQ code table: run the deterministic
+    index construction (similarity.pq_ivf_build) ONCE and store the
+    coded corpus — (vec_id, ccell, sub, cent), bucketed on the coarse
+    cell so probe-time IN filters bucket-prune to the probed inverted
+    lists. Serving then skips BOTH full-corpus passes (coarse
+    assignment and PQ encoding); the model-sized pieces (coarse
+    centroids, codebook, per-query distance tables) are recomputed at
+    query time from their lowest-id-vector definitions — identical by
+    construction, so results match the build-at-query path
+    bit-for-bit."""
+    import os
+
+    from ..extensions import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _, _, _, _, _, vassign, codes = sim.pq_ivf_build(emb)
+    write_curated_bucketed(
+        codes.join(vassign, "vec_id"), pq_table_name(sf_dir), "ccell", n_buckets
+    )
+
+
+def curated_pq_or_none(spark, sf_dir: str):
+    """The curated IVF+PQ code table when this session's catalog
+    carries one, else None (session-scoped like curated_or_parquet)."""
+    name = pq_table_name(sf_dir)
+    try:
+        if spark.catalog.tableExists(name):
+            return spark.table(name)
+    except Exception:
+        pass
+    return None
 
 
 def curated_ivf_or_none(spark, sf_dir: str):

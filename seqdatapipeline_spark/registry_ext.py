@@ -5281,44 +5281,15 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; candidate selection and code lookup are equi-joins on
     (ccell) and (subspace, centroid). The recall/cost dial is
     (n_probe, n_cells) — ann_recall_report shows how to calibrate it
-    against the exact path."""
+    against the exact path. Index construction lives in
+    similarity.pq_ivf_build, shared with io.layout.write_curated_pq:
+    when the session carries the curated code table (bucketed on
+    ccell), serving skips both full-corpus passes (coarse assignment
+    + PQ encoding) and bucket-prunes the code scan to the probed
+    inverted lists — same rows either way (the construction is
+    deterministic)."""
     e = _t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    w = Window.orderBy("vec_id")
-    coarse = (
-        v.orderBy("vec_id")
-        .limit(8)
-        .select((F.row_number().over(w) - 1).alias("ccell"), F.col("emb").alias("ccent"))
-    )
-    cscore = v.join(F.broadcast(coarse)).withColumn(
-        "__cos", dd.cosine(F.col("emb"), F.col("ccent"))
-    )
-    vassign = cscore.groupBy("vec_id").agg(
-        F.max_by("ccell", F.struct(F.col("__cos"), (-F.col("ccell")).alias("__n"))).alias("ccell")
-    )
-    cb0 = (
-        v.orderBy("vec_id")
-        .limit(16)
-        .select((F.row_number().over(w) - 1).alias("cent"), "emb")
-    )
-    subs = spark.range(8).select(F.col("id").cast("int").alias("sub"))
-    cb = cb0.crossJoin(F.broadcast(subs)).select(
-        "sub", "cent", F.expr("slice(emb, sub * 8 + 1, 8)").alias("cvec")
-    )
-    vs = v.crossJoin(F.broadcast(subs)).select(
-        "vec_id", "sub", F.expr("slice(emb, sub * 8 + 1, 8)").alias("svec")
-    )
-    sq = F.aggregate(
-        F.zip_with("svec", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = vs.join(F.broadcast(cb), "sub").select("vec_id", "sub", "cent", sq.alias("d2"))
-    codes = scored.groupBy("vec_id", "sub").agg(
-        F.max_by(
-            "cent", F.struct((-F.col("d2")).alias("__nd"), (-F.col("cent")).alias("__nc"))
-        ).alias("cent")
-    )
+    _, _, cscore, _, scored, vassign, codes = sim.pq_ivf_build(e)
     wq = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "ccell")
     probes = (
         cscore.where(F.col("vec_id") < 8)
@@ -5330,18 +5301,33 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtab = scored.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "sub", "cent", "d2"
     )
-    cand = (
-        F.broadcast(probes)
-        .join(vassign, "ccell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
-    approx = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(dtab), ["query_id", "sub", "cent"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
-    )
+    coded = lay.curated_pq_or_none(spark, sf_dir)
+    if coded is not None:
+        probe_cells = [
+            int(r["ccell"]) for r in probes.select("ccell").distinct().collect()
+        ]
+        coded = coded.filter(F.col("ccell").isin(probe_cells))
+        approx = (
+            F.broadcast(probes)
+            .join(coded, "ccell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(dtab), ["query_id", "sub", "cent"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+        )
+    else:
+        cand = (
+            F.broadcast(probes)
+            .join(vassign, "ccell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        approx = (
+            cand.join(codes, "vec_id")
+            .join(F.broadcast(dtab), ["query_id", "sub", "cent"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("adc_dist"))
+        )
     wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         approx.withColumn("rank", F.row_number().over(wr).cast("long"))

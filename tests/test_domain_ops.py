@@ -886,12 +886,18 @@ def test_curate_corpus_builds_all_tiers(spark):
 
     sf = "/root/testdata/sf0.001"
     qs = entrymod.queries()
-    reps = ["dedup_alignments", "funnel_conversion", "dedup_exact", "ann_ivf_topk"]
+    reps = [
+        "dedup_alignments",
+        "funnel_conversion",
+        "dedup_exact",
+        "ann_ivf_topk",
+        "ivf_pq_topk",
+    ]
     plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in reps}
     names = {}
     try:
         names = lay.curate_corpus(spark, sf, n_buckets=8)
-        assert set(names) == {"genomics", "events", "text", "ann"}
+        assert set(names) == {"genomics", "events", "text", "ann", "ann_pq"}
         for n in names.values():
             assert spark.catalog.tableExists(n), n
         assert lay.curated_ivf_or_none(spark, sf) is not None
@@ -901,3 +907,29 @@ def test_curate_corpus_builds_all_tiers(spark):
         for n in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {n}")
         spark.sql(f"DROP TABLE IF EXISTS {lay.ivf_table_names(sf)[1]}")
+
+
+def test_curated_pq_codes_parity_and_bucket_pruning(spark):
+    """The curated IVF+PQ code table: serving from stored codes must
+    return the exact rows of the build-at-query path (construction is
+    deterministic), and the code scan must bucket-prune to the probed
+    inverted lists (SelectedBucketsCount < total)."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain = set(map(tuple, qs["ivf_pq_topk"](spark, sf).collect()))
+    name = lay.pq_table_name(sf)
+    try:
+        lay.write_curated_pq(spark, sf, n_buckets=8)
+        df = qs["ivf_pq_topk"](spark, sf)
+        assert set(map(tuple, df.collect())) == plain
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
