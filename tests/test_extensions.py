@@ -854,3 +854,72 @@ def test_pca_project_invariants(spark, sf_dir):
         cov[r.dim_i, r.dim_j] = r.cov
     evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:k]
     assert np.allclose(np.sort(var)[::-1], evals, rtol=1e-4, atol=1e-8)
+
+
+def test_curated_collapse_short_and_empty_text_parity(spark, tmp_path):
+    """Curated-vs-plain parity on the adversarial corpus the generated
+    tables may not contain: duplicated sub-shingle texts (< 3 words,
+    empty string) alongside real near-dup groups. Empty-shingle docs
+    have no bands and undefined Jaccard — they must vanish from pair
+    lists and cluster labelings identically on both paths."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.io import layout as lay
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog today"),
+        (3, ""),
+        (4, ""),
+        (5, "two words"),
+        (6, "two words"),
+        (7, "completely different text about spark physical plans"),
+    ]
+    sf = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    plain_docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    plain_pairs = set(map(tuple, dd.minhash_dedup_pairs(plain_docs).collect()))
+    sig = dd.minhash_signature(plain_docs, num_hashes=12, shingle_n=3)
+    inc = dd.lsh_band_incidence(sig, num_hashes=12, band_size=2)
+    plain_cc = set(
+        map(tuple, dd.connected_components(inc, node_col="doc_id", key_col="band_key").collect())
+    )
+
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    try:
+        lay.write_curated_bucketed(
+            plain_docs.withColumn("content_hash", F.md5("text")),
+            name,
+            "content_hash",
+            n_buckets=4,
+        )
+        cur = spark.table(name)
+        assert set(map(tuple, dd.minhash_dedup_pairs(cur).collect())) == plain_pairs
+        # the registry's curated clusters branch, replicated here on
+        # the fixture corpus
+        groups, members = dd.collapse_exact_text(cur, "doc_id", "text", 3)
+        reps = groups.select(F.col("__rep").alias("doc_id"), "text")
+        rsig = dd.minhash_signature(reps, num_hashes=12, shingle_n=3)
+        rcc = dd.connected_components(
+            dd.lsh_band_incidence(rsig, num_hashes=12, band_size=2),
+            node_col="doc_id",
+            key_col="band_key",
+        ).select(F.col("doc_id").alias("__ccrep"), "cluster_id")
+        got = set(
+            map(
+                tuple,
+                members.join(rcc, members["__rep"] == rcc["__ccrep"])
+                .select(members["doc_id"], rcc["cluster_id"])
+                .collect(),
+            )
+        )
+        assert got == plain_cc, (got, plain_cc)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
