@@ -180,6 +180,61 @@ def write_curated_ivf(
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
 
 
+def append_curated_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Append a new batch INTO an existing curated bucketed table —
+    the ingest loop of a live 100 TB store, where rebuilding the whole
+    curated copy per arrival is a non-starter. `insertInto` on a
+    Hive-bucketed table hashes the incoming rows with the TABLE's
+    bucket spec, so each append adds one file per (non-empty) bucket
+    and every scan keeps reporting the clustering: consumers stay
+    exchange-free, now over base + appended data. Pre-repartitioning
+    on the bucket key keeps it to at most one new file per bucket per
+    batch (run compact_layout periodically to fold small files).
+    ``n_buckets``/``sort_cols`` are read from the table's own spec by
+    Spark — parameters here are only for the repartition hint and an
+    optional within-batch sort to preserve row-group skipping."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = 32
+    batch = df.repartition(n_buckets, F.col(bucket_col))
+    if sort_cols:
+        batch = batch.sortWithinPartitions(bucket_col, *sort_cols)
+    # insertInto resolves columns BY POSITION; align to the table.
+    cols = spark.table(name).columns
+    batch.select(*cols).write.mode("append").insertInto(name)
+
+
+def refresh_curated_ivf(spark, sf_dir: str, new_vectors: DataFrame) -> None:
+    """Assign ONLY the new vectors to their cells with the STORED
+    centroids (assignment is a pure function of them — no retraining,
+    no touching the existing corpus) and append them into the curated
+    IVF cells table. This is how a production ANN index absorbs
+    ingest: O(batch) work per batch; re-run write_curated_ivf when
+    drift warrants a retrain. The refreshed index serves the union,
+    still bucket-pruned."""
+    from ..extensions import similarity as sim
+
+    cells_name, cents_name = ivf_table_names(sf_dir)
+    cents = spark.table(cents_name)
+    asg = sim.assign_best_cell(
+        new_vectors.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__av")
+        ),
+        cents,
+        vec_expr="__av",
+        id_col="vec_id",
+    ).select("vec_id", "cell")
+    append_curated_bucketed(
+        new_vectors.join(asg, "vec_id"), cells_name, "cell"
+    )
+
+
 def curate_corpus(
     spark, sf_dir: str, n_buckets: int = 32, ivf_k: int = 10
 ) -> dict[str, str]:

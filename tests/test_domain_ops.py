@@ -933,3 +933,95 @@ def test_curated_pq_codes_parity_and_bucket_pruning(spark):
         assert int(m.group(1)) < int(m.group(2)), m.group(0)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_append_curated_bucketed_keeps_clustering_and_parity(spark, tmp_path):
+    """The ingest loop: curate half the corpus, append the other half
+    as a batch. The appended table must (a) hold exactly the full
+    corpus rows, (b) still satisfy the collapse groupBy with no
+    exchange (insertInto hashes the batch with the table's bucket
+    spec), and (c) give consumers the same answers as a plain scan of
+    the full corpus."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "content_hash", F.md5("text")
+    )
+    plain_pairs = set(map(tuple, qs["dedup_minhash_lsh"](spark, sf).collect()))
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    try:
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        lay.write_curated_bucketed(half, name, "content_hash", n_buckets=8)
+        lay.append_curated_bucketed(rest, name, "content_hash", n_buckets=8)
+        cur = spark.table(name)
+        assert cur.count() == docs.count()
+        assert set(map(tuple, cur.select("doc_id").collect())) == set(
+            map(tuple, docs.select("doc_id").collect())
+        )
+        g_cur, _ = dd.collapse_exact_text(cur, checkpoint=False)
+        p_cur = g_cur._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_cur, p_cur
+        assert p_cur.count("Exchange hashpartitioning") == 0, p_cur
+        assert (
+            set(map(tuple, qs["dedup_minhash_lsh"](spark, sf).collect()))
+            == plain_pairs
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_refresh_curated_ivf_appends_assignments(spark):
+    """IVF ingest: index half the vectors, refresh with the rest. The
+    refreshed index must contain every vector exactly once, with cell
+    assignments identical to a from-scratch build (stored centroids =
+    the full build's centroids when trained on the same seed set),
+    and ann_ivf_topk over the refreshed index must match the plain
+    path."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.registry import _t
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain = set(map(tuple, qs["ann_ivf_topk"](spark, sf).collect()))
+    emb = _t(spark, sf, "embeddings")
+    cells_name, cents_name = lay.ivf_table_names(sf)
+    try:
+        lay.write_curated_ivf(spark, sf, kmeans_k=10, n_buckets=16)
+        full = {
+            (r["vec_id"], r["cell"])
+            for r in spark.table(cells_name).select("vec_id", "cell").collect()
+        }
+        # Simulate a half-ingested store: keep the full build's
+        # centroids (training is curation-time state) but rebuild the
+        # cells table with only the even-id vectors, then refresh
+        # with the odd half.
+        kept = spark.table(cells_name).filter(F.col("vec_id") % 2 == 0)
+        rebuilt_name = cells_name
+        kept.write.mode("overwrite").format("parquet").saveAsTable(
+            rebuilt_name + "_tmp"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {rebuilt_name}")
+        lay.write_curated_bucketed(
+            spark.table(rebuilt_name + "_tmp"), rebuilt_name, "cell", 16
+        )
+        lay.refresh_curated_ivf(
+            spark, sf, emb.filter(F.col("vec_id") % 2 == 1)
+        )
+        got = {
+            (r["vec_id"], r["cell"])
+            for r in spark.table(cells_name).select("vec_id", "cell").collect()
+        }
+        assert got == full
+        assert set(map(tuple, qs["ann_ivf_topk"](spark, sf).collect())) == plain
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {cells_name}_tmp")
+        spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
