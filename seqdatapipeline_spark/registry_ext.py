@@ -5179,12 +5179,23 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vs.join(F.broadcast(cb), "sub").select(
         "vec_id", "sub", "cent", F.sqrt(sq).alias("dist"), sq.alias("d2")
     )
-    codes = scored.groupBy("vec_id", "sub").agg(
-        F.max_by(
-            "cent",
-            F.struct((-F.col("dist")).alias("__nd"), (-F.col("cent")).alias("__nc")),
-        ).alias("cent")
-    )
+    stored = lay.curated_pq_or_none(spark, sf_dir)
+    if stored is not None:
+        # The curated IVF+PQ code table's codes are definitionally
+        # these codes (argmin over sqrt(d2) == argmin over d2, same
+        # lower-cent tie-break): serve from storage, skip the
+        # corpus x codebook encode pass. ccell is simply unused here —
+        # plain PQ ADC scans every code but never a float vector.
+        codes = stored.select("vec_id", "sub", "cent")
+    else:
+        codes = scored.groupBy("vec_id", "sub").agg(
+            F.max_by(
+                "cent",
+                F.struct(
+                    (-F.col("dist")).alias("__nd"), (-F.col("cent")).alias("__nc")
+                ),
+            ).alias("cent")
+        )
     dtab = scored.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "sub", "cent", "d2"
     )

@@ -922,11 +922,15 @@ def test_curated_pq_codes_parity_and_bucket_pruning(spark):
     sf = "/root/testdata/sf0.001"
     qs = entrymod.queries()
     plain = set(map(tuple, qs["ivf_pq_topk"](spark, sf).collect()))
+    plain_pq = set(map(tuple, qs["pq_ann_topk"](spark, sf).collect()))
     name = lay.pq_table_name(sf)
     try:
         lay.write_curated_pq(spark, sf, n_buckets=8)
         df = qs["ivf_pq_topk"](spark, sf)
         assert set(map(tuple, df.collect())) == plain
+        assert (
+            set(map(tuple, qs["pq_ann_topk"](spark, sf).collect())) == plain_pq
+        )
         plan = df._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
         assert m, plan
