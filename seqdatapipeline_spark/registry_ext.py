@@ -2931,10 +2931,18 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the node key so every round reuses one exchange. The undirected
     edge set guarantees no dangling mass; the node count is the only
     driver scalar. Output is mean-1 normalized so the fixed 6-dp
-    rounding keeps resolution at any graph size."""
+    rounding keeps resolution at any graph size. The eager phases
+    (edge-list build + the fixed-round matvec) run under
+    session.no_aqe: the co-order graph's group size is bounded
+    (max_group=64) and both matvec sides are co-partitioned by
+    construction, so AQE's per-shuffle-stage re-planning barrier can
+    improve nothing and costs ~0.15-0.2s per stage."""
+    from .session import no_aqe
+
     li = _t(spark, sf_dir, "lineitem")
-    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
-    pr = gr.pagerank(edges, iters=3, damping=0.85, normalize=True)
+    with no_aqe(spark):
+        edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
+        pr = gr.pagerank(edges, iters=3, damping=0.85, normalize=True)
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
 

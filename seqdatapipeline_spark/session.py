@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -143,6 +144,27 @@ def ring_clear() -> None:
             old.unpersist()
         except Exception:
             pass
+
+
+@contextmanager
+def no_aqe(spark):
+    """Temporarily disable adaptive query execution around the
+    materialization of an iterative sub-plan whose partitioning and
+    stats are already known. AQE materializes EVERY shuffle stage as
+    a separate job to re-plan with runtime statistics — for a
+    fixed-round matvec whose join sides are co-partitioned by
+    construction that re-planning can change nothing, but its
+    per-stage barrier costs ~0.15-0.2s each on local[32] (measured
+    within-session A/B: pagerank_iter sf0.1 2.42s -> 1.82s with 3
+    rounds ≈ 7 stages). Restore is in a finally. Scope this ONLY to
+    plans with known-uniform keys — anything that might be skewed at
+    100 TB should keep AQE's runtime skew-splitting."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def table_path(sf_dir: str, name: str) -> str:
