@@ -154,3 +154,39 @@ def stream_attribution_join(
         & (c[click_ts] <= F.expr(f"{pur_ts} + INTERVAL {within}"))
     )
     return c.join(p, cond, "inner").drop(p[key])
+
+
+def stream_into_curated(
+    stream_df: DataFrame,
+    table: str,
+    bucket_col: str,
+    checkpoint: str,
+    n_buckets: int = 32,
+    sort_cols: "list[str] | None" = None,
+    transform=None,
+    once: bool = True,
+):
+    """Streaming ingest INTO the curated bucketed store: each
+    micro-batch lands via io.layout.append_curated_bucketed, so the
+    exchange-free fast paths (dedup_alignments, the text-tier
+    collapse, funnel windows) stay current as data arrives —
+    `writeStream.bucketBy` does not exist in Spark, but foreachBatch
+    makes each batch an ordinary bucketed-table insert, which hashes
+    the rows with the TABLE's bucket spec and preserves the reported
+    clustering. ``transform`` (optional) runs per batch before the
+    append — e.g. stamping the stored content_hash on a documents
+    stream. Exactly-once within a batch comes from the stream
+    checkpoint: a replayed batch re-appends, so keep ingest idempotent
+    upstream (dedup on a stored key) or run compact_layout with a
+    dedup pass periodically, exactly as a production lakehouse does.
+    Pair with periodic compact_layout to fold the one-file-per-bucket
+    -per-batch accumulation."""
+    from ..io.layout import append_curated_bucketed
+
+    def _sink(df: DataFrame, epoch_id: int) -> None:
+        batch = transform(df) if transform is not None else df
+        append_curated_bucketed(
+            batch, table, bucket_col, n_buckets=n_buckets, sort_cols=sort_cols
+        )
+
+    return run_batches(stream_df, _sink, checkpoint, once=once)

@@ -592,3 +592,59 @@ def test_late_monitor_kernel_via_real_readstream(spark):
         assert got[2] == (2, 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_into_curated_keeps_fast_paths_current(spark):
+    """Streaming ingest into the curated text store: seed the bucketed
+    table with half the corpus, stream the other half in as two
+    micro-batch files, and the curated-path consumer must equal the
+    plain full-corpus answer while the collapse plan still reports the
+    bucketed clustering with no exchange."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    plain_pairs = set(map(tuple, qs["dedup_minhash_lsh"](spark, sf).collect()))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    os.makedirs(inbox)
+    try:
+        lay.write_curated_bucketed(
+            docs.select("doc_id", "text")
+            .filter(F.col("doc_id") % 2 == 0)
+            .withColumn("content_hash", F.md5("text")),
+            name,
+            "content_hash",
+            n_buckets=8,
+        )
+        rest = docs.filter(F.col("doc_id") % 2 == 1).collect()
+        half = len(rest) // 2
+        import json
+
+        for fname, rows in (("b1.json", rest[:half]), ("b2.json", rest[half:])):
+            with open(os.path.join(inbox, fname), "w") as f:
+                for r in rows:
+                    f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(inbox)
+        watch.stream_into_curated(
+            stream,
+            name,
+            "content_hash",
+            ckpt,
+            n_buckets=8,
+            transform=lambda df: df.withColumn("content_hash", F.md5("text")),
+        )
+        cur = spark.table(name)
+        assert cur.count() == docs.count()
+        assert set(map(tuple, qs["dedup_minhash_lsh"](spark, sf).collect())) == plain_pairs
+        g_cur, _ = dd.collapse_exact_text(cur, checkpoint=False)
+        p_cur = g_cur._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_cur
+        assert p_cur.count("Exchange hashpartitioning") == 0, p_cur
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
