@@ -34,6 +34,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # Python equality treats -0.0 == 0.0, but a bit-pattern
+            # value hash (the driver's pandas path, selfcheck's %.6g)
+            # distinguishes them — same asymmetric-canonicalizer class
+            # as the r7 array-output bug, guarded explicitly.
+            return "-0.0"
         return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
