@@ -763,3 +763,69 @@ def test_connected_components_edges_matches_union_find(spark, edges, extra_nodes
             ).collect()
         }
         assert got == want, (cutover, got, want)
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=16, max_size=16
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pq_ivf_build_matches_numpy_reference(spark, data):
+    """The shared IVF+PQ construction must agree with a direct numpy
+    reference on ANY small vector set: coarse assignment = argmax
+    cosine vs the first-k vectors (ties to the lower cell), PQ code =
+    argmin subvector L2 vs the first-m vectors (ties to the lower
+    centroid). This is the construction the curated code table stores,
+    so its determinism IS the curated-serving parity guarantee."""
+    import numpy as np
+
+    from seqdatapipeline_spark.extensions import similarity as sim
+
+    n_coarse = min(2, len(data))
+    n_cents = min(4, len(data))
+    sub_dim, n_subs = 4, 4
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    _, _, _, _, _, vassign, codes = sim.pq_ivf_build(
+        df, n_coarse=n_coarse, n_cents=n_cents, n_subs=n_subs, sub_dim=sub_dim
+    )
+    got_assign = {r["vec_id"]: r["ccell"] for r in vassign.collect()}
+    got_codes = {(r["vec_id"], r["sub"]): r["cent"] for r in codes.collect()}
+
+    arr = np.asarray(data, dtype=np.float64)
+    coarse = arr[:n_coarse]
+    cb = arr[:n_cents]
+    for i, v in enumerate(arr):
+        nv = np.linalg.norm(v)
+        best_cell, best_cos = None, -np.inf
+        for c in range(n_coarse):
+            nc = np.linalg.norm(coarse[c])
+            if nv == 0 or nc == 0:
+                continue  # engine cosine is NULL there; max_by skips
+            cos = float(v @ coarse[c]) / (nv * nc)
+            if cos > best_cos + 1e-12:
+                best_cell, best_cos = c, cos
+        if best_cell is None:
+            # all cosines NULL (zero-norm vector or all-zero coarse
+            # set): max_by's struct ordering treats the NULL cosine
+            # field as smallest-and-equal, so the -ccell tiebreak
+            # deterministically lands the vector in the LOWEST cell —
+            # harmless (its cosine to any query is NULL, so it never
+            # outranks a real candidate) and stable for the stored
+            # code table.
+            best_cell = 0
+        assert got_assign[i] == best_cell, (i, got_assign[i], best_cell)
+        for s in range(n_subs):
+            sv = v[s * sub_dim : (s + 1) * sub_dim]
+            d2 = [float(((sv - cb[c][s * sub_dim : (s + 1) * sub_dim]) ** 2).sum()) for c in range(n_cents)]
+            best = min(range(n_cents), key=lambda c: (d2[c] + 0.0, c))
+            # tolerate float-association ties: accept any centroid
+            # within 1e-9 of the reference minimum
+            assert abs(d2[got_codes[(i, s)]] - d2[best]) < 1e-9, (i, s)
