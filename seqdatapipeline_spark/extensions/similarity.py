@@ -426,8 +426,10 @@ def l2_normalize(
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    # try_divide: a zero vector has norm 0 and ANSI division throws
+    # mid-job; NULL elements match the DuckDB oracle's /0 behavior.
     return df.withColumn(
-        out_col, F.transform(v, lambda x: F.round(x / norm, ndigits))
+        out_col, F.transform(v, lambda x: F.round(F.try_divide(x, norm), ndigits))
     )
 
 

@@ -81,7 +81,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(words).cast("long")
     mean_word_len = (n_chars - (n_words - 1)) / n_words  # single-spaced text
     n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
-    punct_ratio = n_punct / n_chars
+    # try_divide: an EMPTY text has n_chars 0, and ANSI division
+    # throws mid-job; NULL matches the DuckDB oracle's /0 behavior,
+    # and least() skips the NULL identically in both engines.
+    punct_ratio = F.try_divide(n_punct, n_chars)
     stop_lit = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_lit, F.lower(w)))).cast("long")
     stop_ratio = n_stop / n_words

@@ -5668,7 +5668,9 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_score = (
         0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
         + 0.4 * F.least(stop / n_tok * 5.0, F.lit(1.0))
-        + 0.2 * (1.0 - F.least(punct / F.length("text") * 10.0, F.lit(1.0)))
+        # try_divide: empty text has length 0; NULL ratio matches the
+        # DuckDB oracle and least() skips it in both engines
+        + 0.2 * (1.0 - F.least(F.try_divide(punct, F.length("text")) * 10.0, F.lit(1.0)))
     )
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

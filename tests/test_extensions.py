@@ -923,3 +923,56 @@ def test_curated_collapse_short_and_empty_text_parity(spark, tmp_path):
         assert got == plain_cc, (got, plain_cc)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_adversarial_corpus_no_ansi_crashes(spark, tmp_path):
+    """Spark 4 runs with ANSI enabled, where ANY division by zero
+    throws mid-job. Empty/whitespace texts and zero-norm embeddings —
+    guaranteed to exist in a real crawl corpus — must produce rows,
+    not DIVIDE_BY_ZERO (r8 found five such latent crashes:
+    punct_ratio on empty text, the datacard's inline quality blend,
+    l2_normalize, and cosine on zero vectors). NULL ratios are the
+    contract: DuckDB's /0 is NULL and least() skips NULLs in both
+    engines."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    adv = str(tmp_path / "adv")
+    os.makedirs(adv, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events",
+    ]:
+        os.symlink(os.path.join(src, f"{t}.parquet"), os.path.join(adv, f"{t}.parquet"))
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("word"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("  "))
+        .otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(f"{adv}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.array(*[F.lit(0.0).cast("float")] * dim)
+        ).otherwise(F.col("embedding")),
+    ).write.mode("overwrite").parquet(f"{adv}/embeddings.parquet")
+
+    qs = entrymod.queries()
+    probe = [
+        "text_quality_score", "corpus_prepare", "corpus_datacard",
+        "quality_percentile_by_source", "embedding_normalize",
+        "quality_features_vector", "dsir_importance_weights",
+        "ann_topk_cosine", "ann_ivf_topk", "semdedup_prune", "knn_graph",
+        "dedup_minhash_lsh", "setsim_prefix_join", "token_entropy",
+        "tokenizer_fertility", "clean_text", "lang_id_ngram_model",
+    ]
+    for name in probe:
+        qs[name](spark, adv).limit(10000).collect()  # must not raise
