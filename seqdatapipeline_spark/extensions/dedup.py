@@ -685,7 +685,9 @@ def embedding_near_dup_pairs(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = np.inf  # zero vectors score 0, never NaN
+        m = m / norms
         out_a, out_b, out_c = [], [], []
         for lo in range(0, n, chunk_rows):
             hi = min(lo + chunk_rows, n)

@@ -80,7 +80,9 @@ def brute_topk_cosine(
         return spark.createDataFrame([], f"{q_id} long, neighbor_id long, cos double, rank long")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero vectors score 0, never NaN
+    qm = qm / norms
     bq = spark.sparkContext.broadcast((qids, qm))
 
     def score(batches):
@@ -90,7 +92,9 @@ def brute_topk_cosine(
                 continue
             cm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[c_vec]])
             ids = pdf[c_id].to_numpy(dtype=np.int64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0] = np.inf  # zero vectors score 0, never NaN
+            cm = cm / norms
             scores = np.round(cm @ q_mat.T, 6)  # |batch| x |Q|
             for qi in range(len(q_ids)):
                 col = scores[:, qi]
@@ -207,7 +211,9 @@ def assign_best_cell(
         )
     cells = np.asarray([r["cell"] for r in crows], dtype=np.int64)
     cm = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
-    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    norms = np.linalg.norm(cm, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero vectors score 0, never NaN
+    cm = cm / norms
     order = np.argsort(cells)  # ascending cell id => argmax tie-break on lower id
     cells, cm = cells[order], cm[order]
     bc = spark.sparkContext.broadcast((cells, cm))
