@@ -3728,10 +3728,17 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking a recommender actually wants (repeat co-purchases count
     more than one-off baskets). Same one-join-one-agg round shape and
     exchange reuse as the uniform variant; the per-edge share is
-    precomputed once so rounds are pure multiply-sum."""
+    precomputed once so rounds are pure multiply-sum. Eager phases run
+    under session.no_aqe, same rationale as pagerank_iter (bounded
+    groups, co-partitioned fixed-round matvec)."""
+    from .session import no_aqe
+
     li = _t(spark, sf_dir, "lineitem")
-    edges = gr.co_occurrence_weighted_edges(li, "l_orderkey", "l_partkey", max_group=64)
-    pr = gr.weighted_pagerank(edges, iters=3, damping=0.85, normalize=True)
+    with no_aqe(spark):
+        edges = gr.co_occurrence_weighted_edges(
+            li, "l_orderkey", "l_partkey", max_group=64
+        )
+        pr = gr.weighted_pagerank(edges, iters=3, damping=0.85, normalize=True)
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
 
