@@ -197,6 +197,11 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }
+    if only:
+        # A lingering SPARK_GRAFT_QUERIES filter must never masquerade
+        # as a full headline run: stamp the artifact so a partial JSON
+        # is self-identifying (ADVICE r8).
+        out["filtered"] = sorted(only)
     if sf == 0.1:
         # Confirm before flagging: a min-of-5 can still sit on sustained
         # host contention (measured: feature_interval_join min-of-5 at

@@ -33,7 +33,12 @@ def _norm(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # Full precision (repr round-trips the exact double). %.6g
+        # masked CORRECTNESS_r08's quantile_normalize red: a 1-ulp
+        # flip in the 6th DECIMAL of a 5-digit-integer-part value is
+        # invisible at 6 SIGNIFICANT digits. The driver hashes at
+        # full precision; the mirror must too.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -1794,9 +1794,6 @@ def collapse_exact_text(
             F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n),
         )
     )
-    members = base.select(F.col(id_col), "__k").join(
-        groups.select("__k", "__rep", "__has_sh"), "__k"
-    )
     if checkpoint:
         # Materialized once: groups feeds the rep-level similarity
         # pipeline, the identity buckets, and the fan-out join.
@@ -1804,18 +1801,18 @@ def collapse_exact_text(
         # the curated-layout tests) can verify the collapse groupBy
         # runs against the scan's reported clustering.
         groups = groups.localCheckpoint(eager=True)
-        # members is referenced by EVERY fan-out branch (pair sides,
-        # within-group sides — up to 4 uses), and each use would
-        # otherwise re-scan the source and recompute md5 over the
-        # heavy text column. ring_persist shares one narrow
-        # (id, hash, rep, has_sh) materialization across them; must
-        # rebuild on the checkpointed groups so the persisted plan
-        # doesn't re-run the collapse aggregate per branch.
-        members = ring_persist(
-            base.select(F.col(id_col), "__k").join(
-                groups.select("__k", "__rep", "__has_sh"), "__k"
-            )
-        )
+    # members is built AFTER the checkpoint branch decides which
+    # `groups` to use (building it first and rebuilding on the
+    # checkpointed frame was dead plan construction). It is referenced
+    # by EVERY fan-out branch (pair sides, within-group sides — up to
+    # 4 uses), and each use would otherwise re-scan the source and
+    # recompute md5 over the heavy text column — ring_persist shares
+    # one narrow (id, hash, rep, has_sh) materialization across them.
+    members = base.select(F.col(id_col), "__k").join(
+        groups.select("__k", "__rep", "__has_sh"), "__k"
+    )
+    if checkpoint:
+        members = ring_persist(members)
     return groups, members
 
 

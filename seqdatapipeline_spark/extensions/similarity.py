@@ -327,6 +327,13 @@ def ivf_topk_cosine(
         cells = assigned.select("cell", c_id, F.col("__av").alias(c_vec))
     probed = ivf_assign(queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec)
     if index is not None:
+        # The probe-cell collect runs an eager job at plan-build time
+        # and the scored join re-executes the same assignment subtree —
+        # persist it so both consumers share one materialization
+        # (query-assignment is model-sized: |queries| x nprobe rows).
+        from ..session import ring_persist
+
+        probed = ring_persist(probed)
         probe_cells = [
             int(r["cell"]) for r in probed.select("cell").distinct().collect()
         ]

@@ -422,6 +422,7 @@ def quantile_normalize(
     val_col: str,
     tiebreak_cols: list[str],
     out_col: str = "norm_value",
+    decimal_scale: int = 2,
 ) -> DataFrame:
     """Quantile normalization — the cross-sample distribution
     alignment standard in expression analysis (rank each value within
@@ -433,15 +434,45 @@ def quantile_normalize(
     partition = one sample's rows), then the rank-mean partitioned by
     rank (each partition = one row per sample). Both keys are
     high-cardinality, so nothing funnels through a single task, and
-    no join-back is needed (the second window replaces it). Means
-    rounded to 6 for engine-stable hashes."""
+    no join-back is needed (the second window replaces it).
+
+    The rank-mean is rounded to 6 decimals in EXACT integer
+    arithmetic, not float: ``round(avg(double), 6)`` is not an
+    engine-stable quantity — at sf0.01 one rank partition's true mean
+    lands exactly on a 6-decimal half-boundary and Spark's vs DuckDB's
+    FP summation orders round it to opposite sides (1-ulp flip,
+    CORRECTNESS_r08). Instead each value is snapped to
+    ``decimal(18, decimal_scale)`` (exact for money-like inputs),
+    summed as integer sub-units, and the half-up-rounded mean in
+    micro-units is ``(2*S*10^(6-scale) + n) DIV (2*n)`` — pure integer
+    ops both engines compute identically. The final ``/ 1e6`` is a
+    single correctly-rounded IEEE division, also engine-stable.
+    Assumes non-negative values (half-up == half-away) and partition
+    sums below ~9e14 sub-units (BIGINT headroom for the *2*10^4);
+    at larger scale widen the interior to decimal(38,0)."""
     wr = Window.partitionBy(sample_col).orderBy(
         F.col(val_col), *[F.col(c) for c in tiebreak_cols]
     )
-    ranked = df.withColumn("rank", F.row_number().over(wr))
+    sub_units = 10**decimal_scale
+    micro_mult = 10 ** (6 - decimal_scale)
+    ranked = df.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "_qn_sub",
+        (F.col(val_col).cast(f"decimal(18,{decimal_scale})") * sub_units).cast(
+            "long"
+        ),
+    )
     wm = Window.partitionBy("rank")
-    return ranked.withColumn(
-        out_col, F.round(F.avg(val_col).over(wm), 6)
+    return (
+        ranked.withColumn("_qn_s", F.sum("_qn_sub").over(wm))
+        .withColumn("_qn_n", F.count(F.lit(1)).over(wm))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CAST((2 * _qn_s * {micro_mult} + _qn_n) DIV (2 * _qn_n) "
+                "AS DOUBLE) / 1000000.0"
+            ),
+        )
+        .drop("_qn_sub", "_qn_s", "_qn_n")
     )
 
 

@@ -76,11 +76,9 @@ def _t_events_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-converted micros timestamp, so both paths see identical
     values; plain path falls back to the nanos-as-long reader."""
     name = lay.bucketed_table_name(sf_dir, "events", "user_id")
-    try:
-        if spark.catalog.tableExists(name):
-            return spark.table(name)
-    except Exception:
-        pass
+    df = lay._cached_table_or_none(spark, name)
+    if df is not None:
+        return df
     return _t(spark, sf_dir, "events")
 
 

@@ -51,7 +51,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return src.groupBy("content_hash").agg(
             F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
         )
-    return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    # Reuse the detection read — re-reading via _t() paid a second
+    # driver-side parquet footer/schema pass per call (r8 bench creep).
+    return dd.exact_dedup_groups(src)
 
 
 def _docs_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +67,9 @@ def _docs_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, curated = lay.curated_or_parquet(spark, sf_dir, "documents", "content_hash")
     if curated and "content_hash" in src.columns:
         return src
-    return _t(spark, sf_dir, "documents")
+    # src IS the plain documents read here (layout memoizes it) —
+    # calling _t() again would re-pay the parquet footer read.
+    return src
 
 
 def _minhash_ctes(num_hashes: int = 12, band_size: int = 2) -> str:
@@ -2545,8 +2549,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_normalize",
     """
     SELECT l_suppkey, l_orderkey, l_linenumber, rank,
-           round(avg(l_extendedprice) OVER (PARTITION BY rank), 6) AS norm_value
-    FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           CAST((2 * sum(cents) OVER (PARTITION BY rank) * 10000
+                 + count(*) OVER (PARTITION BY rank))
+                // (2 * count(*) OVER (PARTITION BY rank)) AS DOUBLE)
+               / 1000000.0 AS norm_value
+    FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
                  row_number() OVER (PARTITION BY l_suppkey
                                     ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank
           FROM lineitem)
@@ -2556,7 +2564,11 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization across samples (ops.windows.
     quantile_normalize — the expression-matrix batch-effect
     remover): rank within sample, replace with cross-sample
-    rank-mean. Two keyed high-cardinality windows, no join-back."""
+    rank-mean. Two keyed high-cardinality windows, no join-back.
+    The rank-mean rounds to 6 decimals in exact integer arithmetic
+    (half-up on integer cents) because round(avg(double), 6) is not
+    engine-stable — CORRECTNESS_r08's 1-ulp flip at rank 555. The
+    oracle mirrors the identical integer formula."""
     from .ops import windows as win
 
     li = _t(spark, sf_dir, "lineitem")

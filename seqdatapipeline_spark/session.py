@@ -116,6 +116,8 @@ def fan_out(df: DataFrame, *cols: str, min_partitions: int | None = None) -> Dat
 # the session lifetime unless something releases them.
 _PERSIST_RING: "list[DataFrame]" = []
 _PERSIST_RING_CAP = 16
+_PERSIST_RING_LOCK = __import__("threading").Lock()
+_ring_log = __import__("logging").getLogger("seqdatapipeline_spark.ring")
 
 
 def ring_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -124,11 +126,26 @@ def ring_persist(df: DataFrame, storage_level=None) -> DataFrame:
     overflow. Evicting a frame that a long-lived returned plan still
     references is CORRECT (the plan recomputes that subtree on next
     use) — the ring trades bounded recompute for a hard bound on
-    CacheManager entries, mirroring _ADAPTIVE_STATS/_RANK_MEMO."""
+    CacheManager entries, mirroring _ADAPTIVE_STATS/_RANK_MEMO.
+
+    Known sharp edge (ADVICE r8): the ring is process-global and
+    shared by batch AND streaming consumers — a long-lived streaming
+    query whose plan references a ring-evicted persist silently
+    recomputes that subtree per micro-batch. Eviction is logged
+    (INFO) so such recompute cliffs are diagnosable; list mutation is
+    lock-guarded for multi-threaded callers."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _PERSIST_RING.append(out)
-    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
-        old = _PERSIST_RING.pop(0)
+    evicted = []
+    with _PERSIST_RING_LOCK:
+        _PERSIST_RING.append(out)
+        while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+            evicted.append(_PERSIST_RING.pop(0))
+    for old in evicted:
+        _ring_log.info(
+            "persist-ring eviction (cap %d): unpersisting oldest entry — "
+            "any live plan referencing it recomputes on next use",
+            _PERSIST_RING_CAP,
+        )
         try:
             old.unpersist()
         except Exception:
@@ -138,8 +155,9 @@ def ring_persist(df: DataFrame, storage_level=None) -> DataFrame:
 
 def ring_clear() -> None:
     """Release every ring-registered persist (bench/test hook)."""
-    while _PERSIST_RING:
-        old = _PERSIST_RING.pop(0)
+    with _PERSIST_RING_LOCK:
+        drained, _PERSIST_RING[:] = _PERSIST_RING[:], []
+    for old in drained:
         try:
             old.unpersist()
         except Exception:
@@ -158,7 +176,16 @@ def no_aqe(spark):
     within-session A/B: pagerank_iter sf0.1 2.42s -> 1.82s with 3
     rounds ≈ 7 stages). Restore is in a finally. Scope this ONLY to
     plans with known-uniform keys — anything that might be skewed at
-    100 TB should keep AQE's runtime skew-splitting."""
+    100 TB should keep AQE's runtime skew-splitting.
+
+    CONCURRENCY CONTRACT: this toggles the session-global
+    ``spark.sql.adaptive.enabled`` conf, so a query executing
+    concurrently on the same SparkSession (or nested no_aqe blocks
+    restored out of order) silently loses/regains AQE — including its
+    skew handling. The engine assumes a single-threaded driver per
+    session (true for the registry/bench/driver paths); a
+    multi-threaded caller must serialize no_aqe sections or use
+    separate sessions (`spark.newSession()` gives an isolated conf)."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

@@ -23,3 +23,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _fresh_curated_detection():
+    """Curated-layout detection is memoized per session
+    (io.layout._DETECT_CACHE); tests create and DROP curated tables
+    with raw SQL, which the memo cannot see. Clearing it per test
+    keeps every test's detection decision honest — production
+    sessions don't drop curated tables mid-run (and call
+    detect_cache_clear if they do)."""
+    from seqdatapipeline_spark.io.layout import detect_cache_clear
+
+    detect_cache_clear()
+    yield

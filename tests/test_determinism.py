@@ -69,7 +69,11 @@ REPRESENTATIVE = [
 
 
 def _rows(df):
-    return sorted(map(tuple, df.collect()))
+    # NULL-safe sort key (cube/rollup grouping rows): Python can't
+    # order None against str/float directly.
+    return sorted(
+        tuple((v is None, "" if v is None else v) for v in r) for r in df.collect()
+    )
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
@@ -84,3 +88,47 @@ def test_identical_across_shuffle_partitionings(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b, f"{name} differs across shuffle partitionings"
+
+
+# --------------------------------------------------------------------------
+# Auto-derived float-stability sweep (CORRECTNESS_r08 quantile_normalize
+# lesson): any oracle that ROUNDS an order-dependent double aggregate is
+# exposed to FP-summation-order flips at rounding half-boundaries. The
+# within-engine proxy for that class: perturb BOTH the reduce side
+# (shuffle partitions — changes partial-agg merge order) and the map side
+# (maxPartitionBytes — changes which rows each partial sees) and require
+# bit-identical output. A query that moves here would also flake against
+# DuckDB; fix it with exact decimal/integer arithmetic (see
+# ops.windows.quantile_normalize), never by loosening this test.
+# --------------------------------------------------------------------------
+import re as _re
+
+_ORDER_DEP = _re.compile(
+    r"round\s*\(\s*(avg|sum|stddev|stddev_samp|stddev_pop|var_samp|var_pop|"
+    r"corr|covar_pop|covar_samp)\s*\(",
+    _re.IGNORECASE,
+)
+
+FLOAT_ROUNDERS = sorted(
+    name
+    for name, sql in entrymod.oracle_sql().items()
+    if _ORDER_DEP.search(sql) and name not in REPRESENTATIVE
+)
+
+
+@pytest.mark.parametrize("name", FLOAT_ROUNDERS)
+def test_rounded_float_aggs_stable_under_perturbation(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        a = _rows(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        b = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
+    assert a == b, f"{name} float output moved under partitioning perturbation"
