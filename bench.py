@@ -74,10 +74,18 @@ BEST_KNOWN = {
     "coverage_bin_count": 0.152,       # r4
     "dedup_alignments": 0.388,         # r4
     "dedup_clusters": 0.690,  # r6
-    "dedup_exact": 0.130,              # r5
+    "dedup_exact": 0.106,  # r9: curated-detection memo + reuse of the
+    # detection read removed two per-call driver-side parquet footer
+    # passes (the r6-r8 creep 0.130->0.186->0.236 was exactly that
+    # accumulating fixed overhead; VERDICT r8 item 2 bisect)
     "dedup_minhash_lsh": 0.883,  # r7 persist-over-lazy-checkpoint
     "dsir_importance_weights": 0.671,  # r5
-    "feature_interval_join": 0.549,  # r7
+    "feature_interval_join": 0.855,  # r9† memo-cleared re-pin: the
+    # 0.549 r7 pin predates drop_persisted's _adaptive_stats_clear —
+    # 4 of its 5 warm iterations were memo HITS skipping the two
+    # driver-sequential stats jobs + py4j plan build that the memo
+    # legitimately amortizes in production. Honest memo-cleared wall:
+    # exec ~0.52s + stats/plan ~0.33s (decomposed r9; BASELINE.md)
     "fragment_length_histogram": 0.178,  # r4
     "gene_read_count": 0.167,          # r4
     "group_route_jobs": 0.223,         # r4
@@ -86,22 +94,43 @@ BEST_KNOWN = {
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
     "pack_sequences": 0.311,           # r4
-    "pagerank_iter": 1.492,  # r8 memo-cleared: drop_persisted() now
-    # clears _RANK_MEMO between timed runs, so the pin measures the
-    # tiered iteration itself (the r7 0.312 pin was a memo dict hit
-    # and could not detect an algorithm regression).
+    "pagerank_iter": 2.341,  # r9† ring-cleared re-pin: the 1.492 r8
+    # pin predates ring_clear() in drop_persisted (f95d6eb vs
+    # c0ce6b4), so its timed runs re-served co_occurrence_edges'
+    # ring-persisted half-edge set from the CacheManager — the edge
+    # derivation (~1.3s) was a cache hit, exactly the r7 memo-hit
+    # class one layer down. Honest ring-cleared best-known is the
+    # BENCH_r08 wall itself (2.341, measured under the full-clear
+    # methodology); r9 standalone steal-verified runs: 2.84-2.97.
     "pe_mate_join": 0.446,             # r2
     "peak_call": 0.269,                # r4
     "qc_read_stats": 0.120,            # r4
     "quality_percentile_by_source": 0.818,  # r4
     "rollup_time_bucket": 0.199,       # r4
     "semdedup_prune": 1.308,  # r6
-    "setsim_clusters": 2.592,  # r7
+    "setsim_clusters": 2.072,  # r9: collapse_exact_text no longer
+    # builds its members join twice (dead plan construction before
+    # the checkpoint branch), plus the curated-detection memo; the r7
+    # brief's <=2.4s target is now met in the published bench
     "setsim_prefix_join": 1.653,  # r6
     "text_quality_score": 0.206,  # r6
     "token_count": 0.167,  # r7
     "vocab_top_terms": 0.347,          # r4
 }
+
+
+def _cpu_steal_total() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat, or (0, 0) off
+    Linux. The sandbox's external contention band inflates walls
+    1.3-2x with NO local trace except this counter (BASELINE.md r9
+    measurement-integrity note) — sampling it around each query makes
+    a bench artifact self-adjudicating: a flag measured at ~0% steal
+    is a code fact, one measured under steal is weather."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+        return vals[7], sum(vals)
+    except Exception:
+        return 0, 0
 
 
 def main() -> None:
@@ -164,6 +193,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steal_pct: dict[str, float] = {}
     for name in HEADLINE:
         if only and name not in only:
             continue
@@ -179,14 +209,21 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
         drop_persisted()
         warm = []
+        best_steal = 100.0
         for _ in range(5):  # min-of-5: r3 showed min-of-3 still lets
             # host-load noise move the total ~19% on identical code
+            s0, j0 = _cpu_steal_total()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            warm.append(time.perf_counter() - t0)
+            w = time.perf_counter() - t0
+            s1, j1 = _cpu_steal_total()
+            if not warm or w < min(warm):
+                best_steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
+            warm.append(w)
             drop_persisted()
         timings[name] = round(min(warm), 3)
+        steal_pct[name] = round(best_steal, 2)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -202,6 +239,11 @@ def main() -> None:
         # as a full headline run: stamp the artifact so a partial JSON
         # is self-identifying (ADVICE r8).
         out["filtered"] = sorted(only)
+    noisy = {n: p for n, p in steal_pct.items() if p >= 0.2}
+    if noisy:
+        # Steal observed during the min run of these queries — their
+        # walls carry hypervisor contention, not code cost.
+        out["steal_pct"] = noisy
     if sf == 0.1:
         # Confirm before flagging: a min-of-5 can still sit on sustained
         # host contention (measured: feature_interval_join min-of-5 at
