@@ -352,6 +352,7 @@ def triangle_stats(
     group_col: str,
     item_col: str,
     max_group: int = 64,
+    half: "DataFrame | None" = None,
 ) -> DataFrame:
     """Triangle census of the co-occurrence graph: nodes, unique
     edges, wedges (Σ d·(d-1)/2 from the degree table — never
@@ -366,7 +367,17 @@ def triangle_stats(
     cost (Σ deg²); the `max_group` bound caps it the same way it caps
     pair explosion, and at 100 TB the orientation (v < w) halves the
     candidate set."""
-    und = undirected_edges(facts, group_col, item_col, max_group).localCheckpoint()
+    if half is not None:
+        # Prebuilt (src < dst) half set — the curated graph layout
+        # (io.layout.write_curated_edges): skip the derivation, the
+        # census reads the stored edges directly. localCheckpoint
+        # still isolates the triple self-join from re-reading the
+        # catalog scan three times with three distinct aliases.
+        und = half.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).localCheckpoint()
+    else:
+        und = undirected_edges(facts, group_col, item_col, max_group).localCheckpoint()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -577,6 +588,44 @@ def weighted_pagerank(
     return ranks
 
 
+def co_occurrence_weighted_half(
+    facts: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 64,
+) -> DataFrame:
+    """The (src < dst, w) weighted half-edge set of the co-occurrence
+    graph — the canonical stored form (io.layout.write_curated_edges):
+    every graph consumer derives from it (unweighted = drop w;
+    undirected half = as-is; full directed = mirror union). Bounded
+    in-group generation, one map-side-combinable count."""
+    items = (
+        facts.groupBy(group_col)
+        .agg(F.collect_set(F.col(item_col)).alias("__items"))
+        .filter(F.size("__items").between(2, max_group))
+    )
+    return (
+        items.select(F.explode(F.col("__items")).alias("src"), F.col("__items"))
+        .select(F.col("src"), F.explode(F.col("__items")).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def mirror_edges(half: DataFrame) -> DataFrame:
+    """Full directed edge set from a (src < dst[, w]) half set — a
+    shuffle-free union of the half set and its column-swapped mirror
+    (weights, when present, are symmetric by construction)."""
+    cols = half.columns
+    swapped = half.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *[F.col(c) for c in cols if c not in ("src", "dst")],
+    )
+    return half.unionByName(swapped.select(*cols))
+
+
 def co_occurrence_weighted_edges(
     facts: DataFrame,
     group_col: str,
@@ -590,21 +639,7 @@ def co_occurrence_weighted_edges(
     groups), so only the (src < dst) half is aggregated and the
     mirror is a shuffle-free union — the same halved-shuffle move as
     co_occurrence_edges."""
-    items = (
-        facts.groupBy(group_col)
-        .agg(F.collect_set(F.col(item_col)).alias("__items"))
-        .filter(F.size("__items").between(2, max_group))
+    und = ring_persist(
+        co_occurrence_weighted_half(facts, group_col, item_col, max_group)
     )
-    und = (
-        items.select(F.explode(F.col("__items")).alias("src"), F.col("__items"))
-        .select(F.col("src"), F.explode(F.col("__items")).alias("dst"))
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .transform(ring_persist)
-    )
-    return und.unionByName(
-        und.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
-        )
-    )
+    return mirror_edges(und)

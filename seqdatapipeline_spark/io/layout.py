@@ -296,7 +296,10 @@ def curate_corpus(
       exact-dup collapse exchange-free; minhash/setsim over distinct
       texts);
     - embeddings IVF index (ANN tier: stored centroids +
-      cell-bucketed corpus, probe-time bucket pruning).
+      cell-bucketed corpus, probe-time bucket pruning);
+    - co-order edge list (graph tier: weighted half-edge set bucketed
+      on src — pagerank/triangle/degree consumers skip the per-call
+      edge derivation).
 
     Sizes ``n_buckets`` to ~(table size / 128 MB) at real scale.
     Returns {tier: catalog table name}. Detection stays
@@ -338,6 +341,8 @@ def curate_corpus(
     out["ann"] = ivf_table_names(sf_dir)[0]
     write_curated_pq(spark, sf_dir)
     out["ann_pq"] = pq_table_name(sf_dir)
+    write_curated_edges(spark, sf_dir)
+    out["graph"] = graph_table_name(sf_dir)
     return out
 
 
@@ -368,6 +373,51 @@ def write_curated_pq(spark, sf_dir: str, n_buckets: int = 8) -> None:
     write_curated_bucketed(
         codes.join(vassign, "vec_id"), pq_table_name(sf_dir), "ccell", n_buckets
     )
+
+
+def graph_table_name(sf_dir: str) -> str:
+    """Catalog name of the curated co-order edge table for ``sf_dir``
+    (weighted half-edge set: src < dst, w = co-occurrence count;
+    bucketed on src)."""
+    return bucketed_table_name(sf_dir, "co_order_edges", "src")
+
+
+def write_curated_edges(
+    spark, sf_dir: str, max_group: int = 64, n_buckets: int = 16
+) -> None:
+    """Materialize the co-order graph ONCE — the graph-tier curated
+    layout. Every graph consumer (pagerank_iter, pagerank_weighted,
+    triangle_count, graph_degree_stats) re-derives the same edge list
+    per call: a groupBy(order).collect_set + bounded in-group pair
+    explode + distinct/count over the full fact table — ~1.3 s of the
+    2.3 s pagerank wall at sf0.1, and at 100 TB a multi-TB shuffle
+    repeated per query. A production graph pipeline stores the edge
+    list at ingest and re-derives only on fact-table change.
+
+    Stored form: the WEIGHTED half-edge set (src < dst, w =
+    number of co-occurring groups), which subsumes every consumer —
+    unweighted edges are the projection (weights dropped; the half set
+    is distinct by construction), the undirected half set feeds the
+    triangle census directly, and the full directed set is a
+    shuffle-free mirror union. Bucketed on src so the per-source
+    degree/share aggregations of the pagerank family run
+    exchange-free on the scan's reported clustering. Derivation is
+    deterministic, so consumers are bit-identical to the plain path.
+    """
+    import os
+
+    from ..extensions.graph import co_occurrence_weighted_half
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    half = co_occurrence_weighted_half(li, "l_orderkey", "l_partkey", max_group)
+    write_curated_bucketed(half, graph_table_name(sf_dir), "src", n_buckets)
+
+
+def curated_edges_or_none(spark, sf_dir: str):
+    """The curated weighted half-edge table when this session's
+    catalog carries one, else None (session-scoped, memoized like
+    curated_or_parquet)."""
+    return _cached_table_or_none(spark, graph_table_name(sf_dir))
 
 
 def curated_pq_or_none(spark, sf_dir: str):

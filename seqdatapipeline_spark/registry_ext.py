@@ -72,6 +72,28 @@ def _docs_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src
 
 
+def _co_order_half_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (src < dst, w) half-edge set of the item co-order
+    graph, preferring the curated stored copy
+    (io.layout.write_curated_edges — bucketed on src) when this
+    session carries one. Every graph consumer derives its edge shape
+    from this one table: unweighted = drop w, full directed = mirror
+    union, undirected half = as-is. The derivation is deterministic,
+    so both paths are bit-identical; on the plain path the half set is
+    ring-persisted because the mirror union reads it twice."""
+    from .extensions import graph as gr
+    from .session import ring_persist
+
+    cur = lay.curated_edges_or_none(spark, sf_dir)
+    if cur is not None:
+        return cur
+    return ring_persist(
+        gr.co_occurrence_weighted_half(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", max_group=64
+        )
+    )
+
+
 def _minhash_ctes(num_hashes: int = 12, band_size: int = 2) -> str:
     # Mirrors extensions.dedup.minhash_signature: K-M double hashing,
     # mh_j = min((h1 + j*h2) % 2^56) over the two 56-bit md5 halves.
@@ -2948,12 +2970,16 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.no_aqe: the co-order graph's group size is bounded
     (max_group=64) and both matvec sides are co-partitioned by
     construction, so AQE's per-shuffle-stage re-planning barrier can
-    improve nothing and costs ~0.15-0.2s per stage."""
+    improve nothing and costs ~0.15-0.2s per stage. Prefers the
+    curated stored edge table (_co_order_half_maybe_curated): the
+    per-call groupBy + in-group explode + count derivation — the
+    single largest slice of this query's wall, and at 100 TB a
+    repeated multi-TB shuffle — is replaced by a bucketed scan."""
     from .session import no_aqe
 
-    li = _t(spark, sf_dir, "lineitem")
     with no_aqe(spark):
-        edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
+        half = _co_order_half_maybe_curated(spark, sf_dir)
+        edges = gr.mirror_edges(half.select("src", "dst"))
         pr = gr.pagerank(edges, iters=3, damping=0.85, normalize=True)
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
@@ -2973,10 +2999,10 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree profile of the co-order graph
     (extensions.graph.degree_stats): two wordcount aggregates merged
     full-outer — the skew screen run before any iterative graph
-    algorithm (a hub node here is a hot key there)."""
-    li = _t(spark, sf_dir, "lineitem")
-    edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group=64)
-    return gr.degree_stats(edges)
+    algorithm (a hub node here is a hot key there). Prefers the
+    curated stored edge table (_co_order_half_maybe_curated)."""
+    half = _co_order_half_maybe_curated(spark, sf_dir)
+    return gr.degree_stats(gr.mirror_edges(half.select("src", "dst")))
 
 
 @q(
@@ -3246,9 +3272,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-order graph (extensions.graph.triangle_stats): oriented wedge
     join over a localCheckpoint-ed edge list — three equi-joins, each
     triangle counted once; wedges computed from the degree table,
-    never enumerated."""
+    never enumerated. Prefers the curated stored edge table
+    (_co_order_half_maybe_curated) — the census reads stored edges
+    instead of re-deriving them."""
     li = _t(spark, sf_dir, "lineitem")
-    return gr.triangle_stats(li, "l_orderkey", "l_partkey", max_group=64)
+    half = _co_order_half_maybe_curated(spark, sf_dir)
+    return gr.triangle_stats(
+        li, "l_orderkey", "l_partkey", max_group=64, half=half
+    )
 
 
 @q(
@@ -3742,15 +3773,15 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange reuse as the uniform variant; the per-edge share is
     precomputed once so rounds are pure multiply-sum. Eager phases run
     under session.no_aqe, same rationale as pagerank_iter (bounded
-    groups, co-partitioned fixed-round matvec)."""
+    groups, co-partitioned fixed-round matvec). Prefers the curated
+    stored edge table — the stored half set carries the weights."""
     from .session import no_aqe
 
-    li = _t(spark, sf_dir, "lineitem")
     with no_aqe(spark):
-        edges = gr.co_occurrence_weighted_edges(
-            li, "l_orderkey", "l_partkey", max_group=64
+        half = _co_order_half_maybe_curated(spark, sf_dir)
+        pr = gr.weighted_pagerank(
+            gr.mirror_edges(half), iters=3, damping=0.85, normalize=True
         )
-        pr = gr.weighted_pagerank(edges, iters=3, damping=0.85, normalize=True)
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
 

@@ -892,12 +892,13 @@ def test_curate_corpus_builds_all_tiers(spark):
         "dedup_exact",
         "ann_ivf_topk",
         "ivf_pq_topk",
+        "pagerank_iter",
     ]
     plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in reps}
     names = {}
     try:
         names = lay.curate_corpus(spark, sf, n_buckets=8)
-        assert set(names) == {"genomics", "events", "text", "ann", "ann_pq"}
+        assert set(names) == {"genomics", "events", "text", "ann", "ann_pq", "graph"}
         for n in names.values():
             assert spark.catalog.tableExists(n), n
         assert lay.curated_ivf_or_none(spark, sf) is not None
@@ -907,6 +908,42 @@ def test_curate_corpus_builds_all_tiers(spark):
         for n in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {n}")
         spark.sql(f"DROP TABLE IF EXISTS {lay.ivf_table_names(sf)[1]}")
+
+
+def test_curated_edges_graph_tier_parity(spark):
+    """The curated co-order edge table (io.layout.write_curated_edges):
+    every graph consumer — pagerank_iter, pagerank_weighted,
+    triangle_count, graph_degree_stats — must return its plain-path
+    rows exactly when serving from stored edges (the derivation is
+    deterministic, so the stored table IS the plain derivation's
+    output), and the curated plan must read the catalog table instead
+    of re-deriving from lineitem."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    ops = [
+        "pagerank_iter",
+        "pagerank_weighted",
+        "triangle_count",
+        "graph_degree_stats",
+    ]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in ops}
+    name = lay.graph_table_name(sf)
+    try:
+        lay.write_curated_edges(spark, sf, n_buckets=4)
+        for op in ops:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+        plan = (
+            qs["graph_degree_stats"](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "co_order_edges" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_curated_pq_codes_parity_and_bucket_pruning(spark):
