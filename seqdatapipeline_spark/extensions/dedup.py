@@ -706,7 +706,12 @@ def embedding_near_dup_pairs(
             }
         )
 
-    base = emb.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col))
+    # NULL vectors (or NULL blocks) cannot pair: any cosine against
+    # NULL is NULL and never reaches a threshold — dropping them here
+    # keeps every block's np.stack shape-stable on crawl-dirty data.
+    base = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col)
+    ).filter(F.col(vec_col).isNotNull() & F.col("blk").isNotNull())
     groups = (
         base.groupBy("blk", vec_col)
         .agg(F.min(id_col).alias("__rep"))

@@ -135,7 +135,13 @@ def kmeans_cells(
     a ~1% sample — Lloyd on a sample converges to near-identical
     cells."""
     spark = corpus.sparkSession
-    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    # NULL vectors cannot participate in vector math (a crawl corpus
+    # WILL contain them): dropping them here keeps the seed collect
+    # and every BLAS batch shape-stable; the SQL analog — any cosine/
+    # distance against NULL is NULL — never qualifies either.
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).filter(F.col("__v").isNotNull())
     if iters > 0:
         v = v.cache()
     schema = "cell int, centroid array<double>"
@@ -319,7 +325,9 @@ def ivf_topk_cosine(
     else:
         cents = kmeans_cells(corpus, k=kmeans_k, iters=kmeans_iters, id_col=c_id, vec_col=c_vec)
         assigned = assign_best_cell(
-            fan_out(corpus).select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__av")),
+            fan_out(corpus)
+            .select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__av"))
+            .filter(F.col("__av").isNotNull()),  # NULL vectors: no cell
             cents,
             vec_expr="__av",
             id_col=c_id,
@@ -507,7 +515,14 @@ def embedding_covariance(
     import pandas as pd
 
     spark = emb.sparkSession
-    v = fan_out(emb).select(F.col(vec_col).cast("array<double>").alias("__v"))
+    # NULL vectors would put a shapeless row into every batch's
+    # np.stack; the posexplode means-pass already skips them, so the
+    # Gramian pass must too (same n, same moments).
+    v = (
+        fan_out(emb)
+        .select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+    )
     means_rows = (
         v.select(F.posexplode("__v").alias("dim", "x"))
         .groupBy("dim")

@@ -136,5 +136,9 @@ def reversed_join(arr: Column, sep: str = " ") -> Column:
 
 def sci_notation_num(s: Column) -> Column:
     """Scientific-notation string → double (reference mainChIP.py:150-151
-    genome sizes '2.7e+9')."""
-    return s.cast("double")
+    genome sizes '2.7e+9'). try_cast, not cast: under ANSI a single
+    malformed string (e.g. the 'nue+9' that format_string emits for a
+    NULL argument) would kill the whole job mid-task; NULL-on-malformed
+    is DuckDB TRY_CAST's contract and the right behavior on crawl
+    data."""
+    return s.try_cast("double")

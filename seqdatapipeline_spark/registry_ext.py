@@ -4037,6 +4037,12 @@ def _adaptive_cell_assign(e: DataFrame, vectors: DataFrame | None = None) -> Dat
     import numpy as np
     import pandas as pd
 
+    # NULL embeddings can neither seed nor be assigned a cell (any
+    # cosine against NULL is NULL) — drop them before the seed collect
+    # and the Arrow pass so np.stack stays shape-stable on crawl data.
+    e = e.filter(F.col("embedding").isNotNull())
+    if vectors is not None:
+        vectors = vectors.filter(F.col("embedding").isNotNull())
     spark = e.sparkSession
     k = max(32, e.count() // 16)
     k1 = math.ceil(math.sqrt(k))

@@ -306,7 +306,13 @@ def q_sci_notation_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry exactly two decimals, so no half-way rounding divergence
     between Java and C formatting can occur."""
     e = _t(spark, sf_dir, "events")
-    s = F.format_string("%.2fe+9", F.col("value"))
+    # format_string renders a NULL argument as the literal text "nu"
+    # inside the output ("nue+9") instead of propagating NULL the way
+    # DuckDB's printf does — gate it explicitly so both engines emit
+    # NULL rows for NULL values.
+    s = F.when(
+        F.col("value").isNotNull(), F.format_string("%.2fe+9", F.col("value"))
+    )
     return e.select(
         "event_id", s.alias("genome_size_str"), st.sci_notation_num(s).alias("genome_size")
     )

@@ -976,3 +976,106 @@ def test_adversarial_corpus_no_ansi_crashes(spark, tmp_path):
     ]
     for name in probe:
         qs[name](spark, adv).limit(10000).collect()  # must not raise
+
+
+def test_adversarial_corpus_nulls_no_crashes(spark, tmp_path):
+    """The NULL twin of the ANSI test: a crawl corpus carries NULL
+    payload cells (text, lang, source, embedding, label, value,
+    props), and every operator must produce rows, not crash. r9's
+    all-212 NULL sweep found seven latent failures in exactly two
+    classes — NULL vectors reaching an np.stack inside a BLAS batch
+    or a driver-side seed collect ("all input arrays must have the
+    same shape" / "'NoneType' object is not iterable"), and
+    format_string rendering a NULL argument as literal text that ANSI
+    cast then explodes on ('nue+9'). The fixes drop NULL vectors at
+    each operator's vector-projection entry (the SQL analog: any
+    cosine/distance against NULL is NULL and never qualifies) and
+    gate format_string + try_cast. This pins all seven plus the
+    sci_notation format path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    adv = str(tmp_path / "advn")
+    os.makedirs(adv, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem",
+    ]:
+        os.symlink(os.path.join(src, f"{t}.parquet"), os.path.join(adv, f"{t}.parquet"))
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    (
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("source")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{adv}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    (
+        emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 9 == 0,
+                F.lit(None).cast(emb.schema["embedding"].dataType),
+            ).otherwise(F.col("embedding")),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("vec_id") % 8 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("label")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{adv}/embeddings.parquet")
+    )
+    from seqdatapipeline_spark.registry import _t
+
+    ev = _t(spark, src, "events")
+    (
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 6 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("props")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{adv}/events.parquet")
+    )
+
+    qs = entrymod.queries()
+    probe = [
+        # the seven r9 NULL-sweep failures
+        "ann_ivf_topk", "dedup_embedding_clusters", "dedup_embedding_cosine",
+        "embedding_covariance", "knn_graph", "sci_notation_num",
+        "semdedup_prune",
+        # neighbors in the same two classes, kept honest
+        "kmeans_assign", "ivf_pq_topk", "embedding_normalize",
+        "dedup_minhash_lsh", "text_quality_score", "lang_id_ngram_model",
+    ]
+    for name in probe:
+        qs[name](spark, adv).limit(10000).collect()  # must not raise
