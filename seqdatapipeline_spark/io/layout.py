@@ -413,11 +413,37 @@ def write_curated_edges(
     write_curated_bucketed(half, graph_table_name(sf_dir), "src", n_buckets)
 
 
+def refresh_curated_edges(spark, sf_dir: str, new_facts: DataFrame,
+                          max_group: int = 64) -> None:
+    """Absorb a fact-table batch into the curated edge store — the
+    graph tier's ingest loop. Co-occurrence groups ARE the grouping
+    key's groups (orders), and a group never spans ingest batches, so
+    the batch's half-edges derive from the batch alone: O(batch) work,
+    appended as delta (src, dst, w) rows via the table's own bucket
+    spec. Readers fold duplicates with a groupBy(src, dst).sum(w)
+    that the bucketed layout keeps exchange-free (src is a prefix of
+    the grouping keys), so the served weights equal a from-scratch
+    rebuild's exactly."""
+    from ..extensions.graph import co_occurrence_weighted_half
+
+    delta = co_occurrence_weighted_half(
+        new_facts, "l_orderkey", "l_partkey", max_group
+    )
+    append_curated_bucketed(delta, graph_table_name(sf_dir), "src")
+
+
 def curated_edges_or_none(spark, sf_dir: str):
     """The curated weighted half-edge table when this session's
     catalog carries one, else None (session-scoped, memoized like
-    curated_or_parquet)."""
-    return _cached_table_or_none(spark, graph_table_name(sf_dir))
+    curated_or_parquet). Served FOLDED: appended ingest batches leave
+    one delta row per (src, dst) per batch, so reads aggregate
+    sum(w) — exchange-free on the src-bucketed scan (bucket cols are
+    a prefix of the grouping keys) and the identity map on a
+    freshly-built table."""
+    cur = _cached_table_or_none(spark, graph_table_name(sf_dir))
+    if cur is None:
+        return None
+    return cur.groupBy("src", "dst").agg(F.sum("w").alias("w"))
 
 
 def curated_pq_or_none(spark, sf_dir: str):

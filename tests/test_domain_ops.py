@@ -946,6 +946,44 @@ def test_curated_edges_graph_tier_parity(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_refresh_curated_edges_incremental_parity(spark):
+    """The graph tier's ingest loop: curate the edge store from half
+    the orders, absorb the other half with refresh_curated_edges
+    (O(batch): co-occurrence groups are orders and never span
+    batches), and every consumer must match the full-corpus plain
+    path exactly — the folded sum(w) over appended deltas equals a
+    from-scratch rebuild."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    ops = ["pagerank_weighted", "graph_degree_stats"]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in ops}
+    name = lay.graph_table_name(sf)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    try:
+        from seqdatapipeline_spark.extensions.graph import (
+            co_occurrence_weighted_half,
+        )
+
+        first = li.filter(F.col("l_orderkey") % 2 == 0)
+        second = li.filter(F.col("l_orderkey") % 2 == 1)
+        lay.write_curated_bucketed(
+            co_occurrence_weighted_half(first, "l_orderkey", "l_partkey", 64),
+            name,
+            "src",
+            n_buckets=4,
+        )
+        lay.refresh_curated_edges(spark, sf, second)
+        for op in ops:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_curated_pq_codes_parity_and_bucket_pruning(spark):
     """The curated IVF+PQ code table: serving from stored codes must
     return the exact rows of the build-at-query path (construction is
