@@ -12,6 +12,14 @@ Usage: python scripts/rotate_window.py
 Prints the proposed window as a Python list literal (paste into
 __spark_entry__._PRIORITY) plus coverage stats. Deterministic: fills
 in registry order, so reruns within a round agree.
+
+NOTE (r9): the never-checked backlog closed in r8 — every registered
+query now has at least one external green. The window policy since is
+CHANGED-CODE first (every query whose plan or library path moved this
+round), then the stalest external greens; this script's
+never-checked fill is only relevant again if new operators land
+faster than 50/round. See __spark_entry__._PRIORITY's comment for the
+current round's rationale.
 """
 
 from __future__ import annotations
