@@ -59,21 +59,23 @@ _PRIORITY = [
     "ann_ivf_topk", "ivf_pq_topk", "pq_ann_topk",
     # r9 changed code: events curated-detection memo
     "funnel_conversion", "top_event_paths",
-    # r8-touched, never externally rechecked post-change (no_aqe
-    # scope; try_divide cosine consumers)
-    "pagerank_iter", "pagerank_weighted", "ann_topk_cosine",
-    "knn_graph", "srp_embedding_pairs", "kmeans_assign",
+    # r9 changed code: graph tier (stored-edge detection, mirror
+    # union) and the NULL-guard sweep's touched operators
+    "pagerank_iter", "pagerank_weighted", "triangle_count",
+    "graph_degree_stats", "ann_topk_cosine", "knn_graph",
+    "srp_embedding_pairs", "kmeans_assign", "sci_notation_num",
+    "embedding_covariance", "dedup_embedding_cosine",
     # §2 canaries, r3-vintage greens (stalest externals)
     "software_version_scan", "sqlite_log_sink", "hist_tsv_sink",
     "archive_move_sink", "email_sink", "trim_report_sink",
     "filter_nonzero_size", "anti_join_missing_forms", "sort_names",
     "limit_first_record", "reject_except",
-    # §2 canaries, r4-vintage greens
-    "filter_not_chrm", "filter_mapped_flag", "filter_paired_flag_count",
-    "project_tlen", "filter_jobfile_regex", "filter_application_whitelist",
-    "filter_arity", "metrics_interval_join", "completion_semi_join",
-    "contact_lookup_join", "fragment_length_histogram",
-    "coverage_bin_count", "distinct_sorted", "group_route_jobs",
+    # §2 canaries, r4-vintage greens (the overflow past slot 50 rolls
+    # to the head of the r10 window)
+    "filter_not_chrm", "filter_mapped_flag", "metrics_interval_join",
+    "completion_semi_join", "contact_lookup_join",
+    "fragment_length_histogram", "coverage_bin_count",
+    "distinct_sorted", "group_route_jobs",
 ]
 
 
