@@ -49,6 +49,8 @@ _PRIORITY = [
     "quantile_normalize",
     # family sentinels (every round)
     "form_scan", "gene_read_count",
+    # new in r9 (never externally checked): URL canonicalization tier
+    "url_normalize", "dedup_url", "url_domain_stats",
     # r9 changed code: curated-detection cache + plain-reader reuse
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_clusters",
     "minhash_containment", "minhash_jaccard_estimate",

@@ -142,3 +142,56 @@ def sci_notation_num(s: Column) -> Column:
     is DuckDB TRY_CAST's contract and the right behavior on crawl
     data."""
     return s.try_cast("double")
+
+
+_URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)"
+_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def url_normalize(u: Column) -> Column:
+    """Canonicalize an absolute http(s) URL — the key a crawl-corpus
+    URL dedup actually groups on (raw crawl URLs differ in case,
+    fragments, tracking params, and param order while naming one
+    resource):
+
+    1. fragment stripped;
+    2. scheme://host lowercased, default ports :80/:443 dropped;
+    3. trailing slashes stripped from the path;
+    4. query params split, tracking params (utm_*, fbclid, gclid,
+       ref) and empties dropped, the rest SORTED and rejoined.
+
+    Pure codegen string ops (regexp + array sort), identical
+    semantics in DuckDB (regexp_replace needs its 'g' flag there;
+    list_sort/list_filter mirror array_sort/filter). NULL in → NULL
+    out, both engines."""
+    base = F.regexp_replace(u, "#.*", "")
+    pre = F.regexp_replace(base, r"\?.*", "")
+    query = F.regexp_extract(base, r"\?(.*)", 1)
+    prefix = F.regexp_extract(pre, _URL_PREFIX_RE, 1)
+    path = F.regexp_replace(
+        pre.substr(F.length(prefix) + F.lit(1), F.length(pre)), "/+$", ""
+    )
+    norm_prefix = F.regexp_replace(F.lower(prefix), ":(80|443)$", "")
+    clean_q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != F.lit("")) & (~p.rlike(_URL_TRACKING_RE)),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        norm_prefix,
+        path,
+        F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(F.lit("")),
+    )
+
+
+def url_domain(u: Column) -> Column:
+    """Registered-host extraction (lowercased, port and leading www.
+    dropped) — the grouping key of per-site corpus policy (robots
+    budgets, license tiers, domain mix reports)."""
+    return F.regexp_extract(
+        F.lower(u), r"^[a-z][a-z0-9+.\-]*://(www\.)?([^/:?#]*)", 2
+    )

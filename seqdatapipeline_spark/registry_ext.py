@@ -6436,3 +6436,154 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(leaky, (F.col("n_docs") - F.col("n_eval")) * F.col("n_eval")).otherwise(0)
         ).cast("long").alias("n_leaky_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization tier (crawl-corpus plumbing): raw crawl URLs
+# name one resource in many spellings — case, fragments, tracking
+# params, param order, default ports. Normalization is THE dedup key
+# a web corpus groups on before any content hashing. URLs are
+# synthesized deterministically from documents columns (the same
+# construct-then-operate pattern as sci_notation_num) so both engines
+# operate on identical strings.
+# ---------------------------------------------------------------------------
+
+_URL_NORM_SQL = """
+  regexp_replace(lower(regexp_extract({pre}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1)), ':(80|443)$', '')
+  || regexp_replace(substr({pre}, length(regexp_extract({pre}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1)) + 1), '/+$', '', 'g')
+  || CASE WHEN {cq} <> '' THEN '?' || {cq} ELSE '' END
+"""
+
+_URL_CQ_SQL = """
+  array_to_string(list_sort(list_filter(string_split(regexp_extract({base}, '\\?(.*)', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+"""
+
+
+def _url_norm_ctes(raw_expr: str) -> str:
+    """Shared oracle CTE chain raw -> normalized (mirrors
+    ops.strings.url_normalize step for step)."""
+    return f"""
+    raw AS (SELECT doc_id, lang, source, {raw_expr} AS url_raw FROM documents),
+    s1 AS (SELECT *, regexp_replace(url_raw, '#.*', '', 'g') AS base FROM raw),
+    s2 AS (SELECT *, regexp_replace(base, '\\?.*', '', 'g') AS pre,
+                  {_URL_CQ_SQL.format(base="base")} AS cq
+           FROM s1),
+    normed AS (SELECT doc_id, lang, source, url_raw,
+                      {_URL_NORM_SQL.format(pre="pre", cq="cq")} AS url_norm
+               FROM s2)"""
+
+
+_URL_RAW_MESSY = (
+    "'HTTP://WWW.' || upper(source) || '.Example.COM:80/' || lang || '/doc/' || doc_id"
+    " || '/?utm_source=feed&Page=' || (doc_id % 3) || '&id=' || (doc_id % 7)"
+    " || '#sec' || (doc_id % 5)"
+)
+
+_URL_RAW_SHARED = (
+    "'https://' || source || '.example.com/' || lang || '/page/' || (doc_id % 50)"
+    " || '/?utm_campaign=c' || doc_id || '&v=' || (doc_id % 2) || '#' || doc_id"
+)
+
+
+def _url_raw_messy_col() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://WWW."), F.upper("source"), F.lit(".Example.COM:80/"),
+        F.col("lang"), F.lit("/doc/"), d.cast("string"),
+        F.lit("/?utm_source=feed&Page="), (d % 3).cast("string"),
+        F.lit("&id="), (d % 7).cast("string"),
+        F.lit("#sec"), (d % 5).cast("string"),
+    )
+
+
+def _url_raw_shared_col() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/page/"), (d % 50).cast("string"),
+        F.lit("/?utm_campaign=c"), d.cast("string"),
+        F.lit("&v="), (d % 2).cast("string"),
+        F.lit("#"), d.cast("string"),
+    )
+
+
+@q(
+    "url_normalize",
+    f"""
+    WITH {_url_norm_ctes(_URL_RAW_MESSY)}
+    SELECT doc_id, url_raw, url_norm FROM normed
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (ops.strings.url_normalize): lowercase
+    scheme/host, drop default port, strip fragment and trailing
+    slashes, drop tracking params, SORT the surviving query params.
+    Map-only codegen string ops — scales as a scan."""
+    from .ops import strings as st
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _url_raw_messy_col()
+    return d.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        st.url_normalize(raw).alias("url_norm"),
+    )
+
+
+@q(
+    "dedup_url",
+    f"""
+    WITH {_url_norm_ctes(_URL_RAW_SHARED)}
+    SELECT url_norm, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM normed GROUP BY 1
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup: raw crawl URLs for one resource differ only
+    in tracking junk and fragments, so exact dedup MUST group on the
+    normalized form (here every raw URL is distinct while the
+    normalized key collapses ~docs/(sources x langs x 100) groups).
+    One map-side-combinable groupBy on the canonical key — the
+    cheapest dedup pass a web pipeline runs, upstream of any content
+    hashing."""
+    from .ops import strings as st
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(st.url_normalize(_url_raw_shared_col()).alias("url_norm"), "doc_id")
+        .groupBy("url_norm")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@q(
+    "url_domain_stats",
+    f"""
+    WITH {_url_norm_ctes(_URL_RAW_MESSY)}
+    SELECT regexp_extract(lower(url_raw), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2) AS domain,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
+    FROM normed GROUP BY 1
+    """,
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus census (ops.strings.url_domain): docs,
+    distinct languages, distinct canonical URLs per registered host —
+    the table robots budgets, license tiers, and domain-mix policy
+    key on. Domain cardinality is site-shaped, never corpus-shaped."""
+    from .ops import strings as st
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _url_raw_messy_col()
+    rows = d.select(
+        st.url_domain(raw).alias("domain"),
+        F.col("lang"),
+        st.url_normalize(raw).alias("url_norm"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("url_norm").cast("long").alias("n_urls"),
+    )

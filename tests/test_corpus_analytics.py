@@ -320,3 +320,67 @@ def test_rule_filter_attribution_columns(spark):
     assert out[4].keep == 0 and out[4].pass_repeat == 0
     # repeat ratio: 50 words, 2 distinct -> 0.96
     assert abs(out[4].repeat_ratio - 0.96) < 1e-9
+
+
+# ------------------------------------------------------------------ url tier
+def test_url_normalize_behaviors(spark):
+    """The canonicalization contract, case by case: host/scheme case,
+    default ports, fragments, trailing slashes, tracking params,
+    param ORDER, and NULL propagation."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops import strings as st
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/", "http://www.ex.com/A/b"),
+        ("https://ex.com:443/x?b=2&a=1", "https://ex.com/x?a=1&b=2"),
+        ("https://ex.com/x?utm_source=t&a=1&fbclid=z#frag", "https://ex.com/x?a=1"),
+        ("https://ex.com/x?utm_only=1", "https://ex.com/x"),
+        ("https://ex.com:8080/x", "https://ex.com:8080/x"),  # non-default port kept
+        ("https://ex.com", "https://ex.com"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", st.url_normalize(F.col("u")).alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_url_domain_behaviors(spark):
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops import strings as st
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a", "ex.com"),
+        ("https://sub.ex.com/a?q=1", "sub.ex.com"),
+        ("https://ex.com#f", "ex.com"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", st.url_domain(F.col("u")).alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_dedup_url_collapses_tracking_variants(spark, sf_dir):
+    """dedup_url's premise, asserted directly: every raw URL is
+    distinct (doc_id rides the tracking param and fragment) while the
+    normalized key collapses to the shared resource."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["dedup_url"](spark, sf_dir)
+    rows = out.collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    assert len(rows) < n_docs_total  # genuine collapse happened
+    assert all(r["keep_id"] is not None for r in rows)
