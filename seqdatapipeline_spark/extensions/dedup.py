@@ -709,6 +709,11 @@ def embedding_near_dup_pairs(
     # NULL vectors (or NULL blocks) cannot pair: any cosine against
     # NULL is NULL and never reaches a threshold — dropping them here
     # keeps every block's np.stack shape-stable on crawl-dirty data.
+    # The NULL-block filter is equality-join semantics made explicit,
+    # not a behavior change: the members fan-out join below keys on
+    # blk, and NULL join keys never match, so NULL-block rows already
+    # produced no output pairs (and the SQL oracle's label-equality
+    # join excludes them identically).
     base = emb.select(
         F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col)
     ).filter(F.col(vec_col).isNotNull() & F.col("blk").isNotNull())

@@ -348,7 +348,7 @@ def undirected_edges(
 
 
 def triangle_stats(
-    facts: DataFrame,
+    facts: "DataFrame | None",
     group_col: str,
     item_col: str,
     max_group: int = 64,

@@ -30,6 +30,15 @@ _log = logging.getLogger("seqdatapipeline_spark.layout")
 # invalidate below), so probe once per (session, name) and reuse the
 # immutable DataFrame handle. Miss entries (None) are cached too: the
 # common plain-parquet path must not re-probe per call.
+#
+# Keying by id(spark) is safe against id reuse: every cached
+# DataFrame holds a strong reference to its session, so a session
+# with live entries can never be garbage-collected and its id never
+# recycled. The corresponding trade is a bounded leak — a process
+# that churns through many sequential sessions retains each one's
+# dozen-odd entries until a curated write (or detect_cache_clear)
+# flushes the dict; acceptable for the one-session-per-process
+# bench/driver/test shape this engine runs in.
 _DETECT_CACHE: dict[tuple[int, str], DataFrame | None] = {}
 
 
@@ -47,12 +56,14 @@ def _cached_table_or_none(spark, name: str) -> DataFrame | None:
     key = (id(spark), name)
     if key in _DETECT_CACHE:
         return _DETECT_CACHE[key]
-    df = None
     try:
-        if spark.catalog.tableExists(name):
-            df = spark.table(name)
+        df = spark.table(name) if spark.catalog.tableExists(name) else None
     except Exception:
-        df = None
+        # Transient probe failure (py4j hiccup, metastore timeout):
+        # fall back to the plain path for THIS call but do NOT cache
+        # the miss — a sticky wrong 'plain' would silently misroute
+        # every later call this session.
+        return None
     _DETECT_CACHE[key] = df
     _log.info(
         "curated detection: %s -> %s", name, "CURATED" if df is not None else "plain"

@@ -464,7 +464,10 @@ def quantile_normalize(
     wm = Window.partitionBy("rank")
     return (
         ranked.withColumn("_qn_s", F.sum("_qn_sub").over(wm))
-        .withColumn("_qn_n", F.count(F.lit(1)).over(wm))
+        # count the CONVERTED column, not lit(1): avg() excluded NULL
+        # values from both numerator and denominator, and the integer
+        # form must keep that contract (sum already skips NULLs).
+        .withColumn("_qn_n", F.count(F.col("_qn_sub")).over(wm))
         .withColumn(
             out_col,
             F.expr(

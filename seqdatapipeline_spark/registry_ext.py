@@ -51,6 +51,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return src.groupBy("content_hash").agg(
             F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
         )
+    if curated:
+        # Anomalous curated table (no stored hash — the condition the
+        # guard exists for): degrade to the known-good plain read, do
+        # NOT feed the anomalous table onward.
+        return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
     # Reuse the detection read — re-reading via _t() paid a second
     # driver-side parquet footer/schema pass per call (r8 bench creep).
     return dd.exact_dedup_groups(src)
@@ -67,6 +72,10 @@ def _docs_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, curated = lay.curated_or_parquet(spark, sf_dir, "documents", "content_hash")
     if curated and "content_hash" in src.columns:
         return src
+    if curated:
+        # Curated table without the stored hash — anomalous; degrade
+        # to the known-good plain read rather than serving it.
+        return _t(spark, sf_dir, "documents")
     # src IS the plain documents read here (layout memoizes it) —
     # calling _t() again would re-pay the parquet footer read.
     return src
@@ -86,7 +95,11 @@ def _co_order_half_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = lay.curated_edges_or_none(spark, sf_dir)
     if cur is not None:
-        return cur
+        # Persist the fold for the same reason as the plain path:
+        # mirror_edges' swapped union branch breaks exchange reuse,
+        # so an unpersisted fold would scan+aggregate the stored
+        # table once per branch.
+        return ring_persist(cur)
     return ring_persist(
         gr.co_occurrence_weighted_half(
             _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", max_group=64
@@ -3274,11 +3287,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counted once; wedges computed from the degree table,
     never enumerated. Prefers the curated stored edge table
     (_co_order_half_maybe_curated) — the census reads stored edges
-    instead of re-deriving them."""
-    li = _t(spark, sf_dir, "lineitem")
+    instead of re-deriving them. facts=None: with a prebuilt half set
+    triangle_stats never touches the fact table, and a _t() read here
+    would pay a per-call parquet footer pass for nothing (the r8
+    fixed-overhead class)."""
     half = _co_order_half_maybe_curated(spark, sf_dir)
     return gr.triangle_stats(
-        li, "l_orderkey", "l_partkey", max_group=64, half=half
+        None, "l_orderkey", "l_partkey", max_group=64, half=half
     )
 
 

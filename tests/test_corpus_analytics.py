@@ -384,3 +384,27 @@ def test_dedup_url_collapses_tracking_variants(spark, sf_dir):
     n_docs_total = sum(r["n_docs"] for r in rows)
     assert len(rows) < n_docs_total  # genuine collapse happened
     assert all(r["keep_id"] is not None for r in rows)
+
+
+def test_quantile_normalize_nulls_match_avg_semantics(spark):
+    """The exact-integer rank-mean must keep avg()'s NULL contract:
+    NULL measurements are excluded from BOTH numerator and
+    denominator (a [10.00, NULL] rank partition means 10.0, not
+    5.0)."""
+    from seqdatapipeline_spark.ops import windows as win
+
+    rows = [
+        ("s1", 1, 10.00),
+        ("s1", 2, 20.00),
+        ("s2", 1, None),   # rank-1 partner of s1's 10.00
+        ("s2", 2, 30.00),
+    ]
+    df = spark.createDataFrame(rows, "sample string, k long, v double")
+    out = win.quantile_normalize(df, "sample", "v", ["k"])
+    got = {(r["sample"], r["rank"]): r["norm_value"] for r in out.collect()}
+    # NULL sorts first in s2, taking rank 1; the rank-1 mean over
+    # values [10.00, NULL] is 10.0 under avg semantics.
+    assert got[("s1", 1)] == 10.0, got
+    assert got[("s2", 1)] is None or got[("s2", 1)] == 10.0  # NULL row's own mean column
+    assert got[("s1", 2)] == 25.0, got  # mean(20, 30)
+    assert got[("s2", 2)] == 25.0, got
