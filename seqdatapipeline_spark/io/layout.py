@@ -39,7 +39,10 @@ _log = logging.getLogger("seqdatapipeline_spark.layout")
 # dozen-odd entries until a curated write (or detect_cache_clear)
 # flushes the dict; acceptable for the one-session-per-process
 # bench/driver/test shape this engine runs in.
-_DETECT_CACHE: dict[tuple[int, str], DataFrame | None] = {}
+# Values: DataFrame | None for curated-table probes; (DataFrame,
+# mtime_ns) for memoized plain-parquet reader plans (__plain__ keys),
+# so a directory rewrite invalidates the pinned listing/schema.
+_DETECT_CACHE: dict[tuple[int, str], object] = {}
 
 
 def detect_cache_clear() -> None:
@@ -427,19 +430,34 @@ def write_curated_edges(
 def refresh_curated_edges(spark, sf_dir: str, new_facts: DataFrame,
                           max_group: int = 64) -> None:
     """Absorb a fact-table batch into the curated edge store — the
-    graph tier's ingest loop. Co-occurrence groups ARE the grouping
-    key's groups (orders), and a group never spans ingest batches, so
-    the batch's half-edges derive from the batch alone: O(batch) work,
-    appended as delta (src, dst, w) rows via the table's own bucket
-    spec. Readers fold duplicates with a groupBy(src, dst).sum(w)
-    that the bucketed layout keeps exchange-free (src is a prefix of
-    the grouping keys), so the served weights equal a from-scratch
+    graph tier's ingest loop.
+
+    PRECONDITION (caller's contract, not validated here): each
+    co-occurrence group (l_orderkey) arrives WHOLE in exactly one
+    batch. Co-occurrence groups ARE the grouping key's groups, and
+    under that contract the batch's half-edges derive from the batch
+    alone: O(batch) work, appended as delta (src, dst, w) rows via
+    the table's own bucket spec. A caller that splits one order
+    across batches would silently UNDER-count cross-batch pairs and
+    apply max_group per fragment — the store cannot detect this
+    because it retains edges, not group keys; validation (anti-join
+    the batch's group keys against previously ingested ones) belongs
+    in the ingest framework that still holds both fact sets. Orders
+    are write-once in this data model (reference: one form/order file
+    per submission, parserTools.py's per-form ingestion), so the
+    contract matches how facts actually arrive.
+
+    Readers fold duplicates with a groupBy(src, dst).sum(w) that the
+    bucketed layout keeps exchange-free (src is a prefix of the
+    grouping keys), so the served weights equal a from-scratch
     rebuild's exactly."""
     from ..extensions.graph import co_occurrence_weighted_half
 
     delta = co_occurrence_weighted_half(
         new_facts, "l_orderkey", "l_partkey", max_group
     )
+    # Delta derives from new_facts ALONE — correct only under the
+    # whole-groups-per-batch precondition above.
     append_curated_bucketed(delta, graph_table_name(sf_dir), "src")
 
 
@@ -488,16 +506,32 @@ def curated_or_parquet(spark, sf_dir: str, table: str, bucket_col: str):
     curated copy holds the same rows, only the physical layout
     differs, and every consumer is layout-agnostic. Detection (and the
     plain-path reader plan — ``spark.read.parquet`` re-lists files and
-    re-reads footers per call) is memoized per session."""
+    re-reads footers per call) is memoized per session.
+
+    The memoized plain handle pins the file listing and schema
+    captured at first read. Curated writes invalidate it (they call
+    detect_cache_clear), but an out-of-band rewrite of the plain
+    parquet DIRECTORY would not — so the cache entry carries the
+    directory's mtime and is dropped when that changes (a single
+    os.stat per call, ~1 µs, vs the 40-180 ms footer re-read the memo
+    exists to avoid). Rewrites that preserve the directory mtime
+    (byte-level file surgery) remain the caller's problem:
+    detect_cache_clear() is the escape hatch."""
     name = bucketed_table_name(sf_dir, table, bucket_col)
     df = _cached_table_or_none(spark, name)
     if df is not None:
         return df, True
     import os
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
     plain_key = (id(spark), f"__plain__{sf_dir}/{table}")
-    plain = _DETECT_CACHE.get(plain_key)
-    if plain is None:
-        plain = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-        _DETECT_CACHE[plain_key] = plain
+    hit = _DETECT_CACHE.get(plain_key)
+    if isinstance(hit, tuple) and hit[1] == mtime:
+        return hit[0], False
+    plain = spark.read.parquet(path)
+    _DETECT_CACHE[plain_key] = (plain, mtime)
     return plain, False

@@ -145,7 +145,7 @@ def sci_notation_num(s: Column) -> Column:
 
 
 _URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)"
-_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def url_normalize(u: Column) -> Column:
@@ -158,7 +158,11 @@ def url_normalize(u: Column) -> Column:
     2. scheme://host lowercased, default ports :80/:443 dropped;
     3. trailing slashes stripped from the path;
     4. query params split, tracking params (utm_*, fbclid, gclid,
-       ref) and empties dropped, the rest SORTED and rejoined.
+       ref — with or without a value, so a bare `fbclid` flag is
+       dropped too) and empties dropped, the rest SORTED and
+       rejoined. Note `ref=...` is treated as tracking wholesale;
+       sites using a legitimate `ref` param lose it — the same
+       trade common crawl-dedup canonicalizers make.
 
     Pure codegen string ops (regexp + array sort), identical
     semantics in DuckDB (regexp_replace needs its 'g' flag there;

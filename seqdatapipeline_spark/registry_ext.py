@@ -2585,8 +2585,8 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber, rank,
            CAST((2 * sum(cents) OVER (PARTITION BY rank) * 10000
-                 + count(*) OVER (PARTITION BY rank))
-                // (2 * count(*) OVER (PARTITION BY rank)) AS DOUBLE)
+                 + count(cents) OVER (PARTITION BY rank))
+                // (2 * count(cents) OVER (PARTITION BY rank)) AS DOUBLE)
                / 1000000.0 AS norm_value
     FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
@@ -6471,7 +6471,7 @@ _URL_NORM_SQL = """
 
 _URL_CQ_SQL = """
   array_to_string(list_sort(list_filter(string_split(regexp_extract({base}, '\\?(.*)', 1), '&'),
-      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&')
 """
 
 

@@ -117,6 +117,13 @@ def fan_out(df: DataFrame, *cols: str, min_partitions: int | None = None) -> Dat
 _PERSIST_RING: "list[DataFrame]" = []
 _PERSIST_RING_CAP = 16
 _PERSIST_RING_LOCK = __import__("threading").Lock()
+
+# no_aqe serialization: sections hold the RLock across their body so
+# concurrent no_aqe callers queue instead of interleaving restores;
+# the thread-local depth makes same-thread nesting a no-op below the
+# outermost block.
+_NO_AQE_LOCK = __import__("threading").RLock()
+_NO_AQE_STATE = __import__("threading").local()
 _ring_log = __import__("logging").getLogger("seqdatapipeline_spark.ring")
 
 
@@ -179,19 +186,34 @@ def no_aqe(spark):
     100 TB should keep AQE's runtime skew-splitting.
 
     CONCURRENCY CONTRACT: this toggles the session-global
-    ``spark.sql.adaptive.enabled`` conf, so a query executing
-    concurrently on the same SparkSession (or nested no_aqe blocks
-    restored out of order) silently loses/regains AQE — including its
-    skew handling. The engine assumes a single-threaded driver per
-    session (true for the registry/bench/driver paths); a
-    multi-threaded caller must serialize no_aqe sections or use
-    separate sessions (`spark.newSession()` gives an isolated conf)."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    ``spark.sql.adaptive.enabled`` conf. Two hazards and how each is
+    handled:
+
+    * **Nested / concurrent no_aqe sections** are handled HERE:
+      sections serialize on a process-wide re-entrant lock and a
+      per-thread depth counter makes nesting a no-op below the
+      outermost block, so the pre-entry conf value is always the one
+      restored (out-of-order restores cannot happen).
+    * **A concurrent UNRELATED query on the same SparkSession** would
+      still plan with AQE off — including its skew handling — and
+      this function cannot see it. That is the engine's documented
+      single-threaded-driver-per-session invariant (true for the
+      registry/bench/driver paths); a multi-threaded caller must run
+      such queries on separate sessions (`spark.newSession()` gives
+      an isolated conf while sharing the SparkContext and cache).
+    """
+    with _NO_AQE_LOCK:
+        _NO_AQE_STATE.depth = getattr(_NO_AQE_STATE, "depth", 0) + 1
+        outermost = _NO_AQE_STATE.depth == 1
+        if outermost:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            _NO_AQE_STATE.depth -= 1
+            if outermost:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def table_path(sf_dir: str, name: str) -> str:

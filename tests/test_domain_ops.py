@@ -1104,3 +1104,116 @@ def test_refresh_curated_ivf_appends_assignments(spark):
         spark.sql(f"DROP TABLE IF EXISTS {cells_name}")
         spark.sql(f"DROP TABLE IF EXISTS {cells_name}_tmp")
         spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
+
+
+# ------------------------------------------------ layout-cache + no_aqe invariants
+
+def test_no_aqe_nested_blocks_restore_outermost_value(spark):
+    """Nested no_aqe sections must be a no-op below the outermost
+    block and restore the PRE-ENTRY conf value exactly once — the
+    out-of-order-restore hazard the session.no_aqe concurrency
+    contract rules out mechanically (depth counter + RLock)."""
+    from seqdatapipeline_spark.session import no_aqe
+
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    with no_aqe(spark):
+        assert spark.conf.get(key) == "false"
+        with no_aqe(spark):
+            assert spark.conf.get(key) == "false"
+        # inner exit must NOT restore early
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+    # restores a non-default pre-entry value too
+    spark.conf.set(key, "false")
+    with no_aqe(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "false"
+    spark.conf.set(key, "true")
+
+
+def test_plain_reader_memo_invalidates_on_directory_rewrite(spark, tmp_path):
+    """curated_or_parquet memoizes the plain spark.read.parquet plan
+    per session; that handle pins the file listing captured at first
+    call. A mid-session OVERWRITE of the parquet directory (new part
+    files, old ones gone) must be picked up without an explicit
+    detect_cache_clear — the memo entry carries the directory mtime
+    (ADVICE r9: the staleness class the old per-call read did not
+    have)."""
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = str(tmp_path)
+    path = f"{sf}/documents.parquet"
+    spark.range(10).selectExpr("id AS doc_id").write.parquet(path)
+    df1, curated1 = lay.curated_or_parquet(spark, sf, "documents", "doc_id")
+    assert not curated1 and df1.count() == 10
+    # memo hit returns the same plan object
+    df2, _ = lay.curated_or_parquet(spark, sf, "documents", "doc_id")
+    assert df2 is df1
+    spark.range(25).selectExpr("id AS doc_id").write.mode("overwrite").parquet(path)
+    df3, curated3 = lay.curated_or_parquet(spark, sf, "documents", "doc_id")
+    assert not curated3
+    assert df3.count() == 25  # stale pinned listing would miss/err here
+
+
+def _tier_text(spark, sf, lay, F):
+    name = lay.bucketed_table_name(sf, "documents", "content_hash")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "content_hash", F.md5("text")
+    )
+
+    def probe():
+        got = lay.curated_or_parquet(spark, sf, "documents", "content_hash")
+        return got[0] if got[1] else None
+
+    return probe, lambda: lay.write_curated_bucketed(docs, name, "content_hash", 8), [name]
+
+
+def _tier_edges(spark, sf, lay, F):
+    name = lay.graph_table_name(sf)
+    return (
+        lambda: lay.curated_edges_or_none(spark, sf),
+        lambda: lay.write_curated_edges(spark, sf, n_buckets=4),
+        [name],
+    )
+
+
+def _tier_ivf(spark, sf, lay, F):
+    cells, cents = lay.ivf_table_names(sf)
+    return (
+        lambda: lay.curated_ivf_or_none(spark, sf),
+        lambda: lay.write_curated_ivf(spark, sf, kmeans_k=10, n_buckets=8),
+        [cells, cents],
+    )
+
+
+def _tier_pq(spark, sf, lay, F):
+    name = lay.pq_table_name(sf)
+    return (
+        lambda: lay.curated_pq_or_none(spark, sf),
+        lambda: lay.write_curated_pq(spark, sf, n_buckets=8),
+        [name],
+    )
+
+
+@pytest.mark.parametrize("tier", [_tier_text, _tier_edges, _tier_ivf, _tier_pq])
+def test_every_curated_tier_invalidates_detection_on_write(spark, tier):
+    """LAYOUTS invariant (one test per curated tier): a detection
+    probe that MISSES before the tier's write path must HIT right
+    after it, in the same session, with no manual detect_cache_clear.
+    This pins the sticky-cache bug class the r9 self-review caught
+    (a cached miss silently misrouting every later call)."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    probe, write, tables = tier(spark, sf, lay, F)
+    try:
+        assert probe() is None  # caches the miss
+        write()
+        assert probe() is not None  # write must have flushed the miss
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        lay.detect_cache_clear()
