@@ -265,12 +265,18 @@ def ivf_assign(
     nprobe: int = 3,
     q_id: str = "query_id",
     q_vec: str = "q_vec",
+    snap: int | None = None,
 ) -> DataFrame:
     """Pick the `nprobe` nearest cells per query (broadcast centroids —
-    there are only ~√n of them)."""
-    scored = queries.join(F.broadcast(centroids)).withColumn(
-        "c_cos", cosine(F.col(q_vec), F.col("centroid"))
-    )
+    there are only ~√n of them). ``snap`` rounds the probe cosine to
+    that many decimals BEFORE ranking (ties then break on cell id):
+    probe selection becomes stable under the ~1-ulp cross-engine /
+    cross-plan double drift, which is what lets a pruned serve be
+    oracle-checked externally."""
+    c_cos = cosine(F.col(q_vec), F.col("centroid"))
+    if snap is not None:
+        c_cos = F.round(c_cos, snap)
+    scored = queries.join(F.broadcast(centroids)).withColumn("c_cos", c_cos)
     w = Window.partitionBy(q_id).orderBy(F.col("c_cos").desc(), F.col("cell"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
@@ -292,6 +298,7 @@ def ivf_topk_cosine(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     index: "tuple[DataFrame, DataFrame] | None" = None,
+    snap_model: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe best cells per query.
     The query↔corpus join is an *equi-join on cell id*, so at 100 TB
@@ -333,7 +340,21 @@ def ivf_topk_cosine(
             id_col=c_id,
         )
         cells = assigned.select("cell", c_id, F.col("__av").alias(c_vec))
-    probed = ivf_assign(queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec)
+    if snap_model is not None:
+        # Snap the MODEL, not just the scores: centroid components are
+        # per-cell double means whose summation order differs across
+        # engines/plans by ~1e-16 relative; rounding them (and the
+        # probe cosine, via snap=) makes the probed cell set itself
+        # engine-stable, so the pruned result is deterministic enough
+        # for an external DuckDB hash check. IVF geometry at 6 dp is
+        # unchanged in practice — cell margins are O(1e-2).
+        cents = cents.select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, snap_model)).alias("centroid"),
+        )
+    probed = ivf_assign(
+        queries, cents, nprobe=nprobe, q_id=q_id, q_vec=q_vec, snap=snap_model
+    )
     if index is not None:
         # The probe-cell collect runs an eager job at plan-build time
         # and the scored join re-executes the same assignment subtree —

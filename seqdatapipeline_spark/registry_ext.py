@@ -446,6 +446,70 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ann_ivf_pruned_topk",
+    """
+    WITH queries AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    per_dim AS (
+      SELECT label AS cell, t.i AS dim,
+             round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mu
+      FROM embeddings, generate_series(1, 64) t(i)
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cents AS (SELECT cell, list(mu ORDER BY dim) AS centroid FROM per_dim GROUP BY 1),
+    probe AS (
+      SELECT query_id, q_vec, cell,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(list_cosine_similarity(q_vec, centroid), 6) DESC,
+                                         cell) AS pr
+      FROM queries CROSS JOIN cents
+      QUALIFY pr <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      FROM probe p JOIN embeddings c ON c.label = p.cell
+    )
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNED IVF serve — nprobe (3) < ncells (10), the plan
+    production actually runs at 100 TB, externally hash-checked
+    end-to-end: per-query probe selection (rank cells by cosine to
+    the centroid), cell-pruned candidate equi-join (each query
+    touches ~nprobe/ncells of the corpus), per-query top-k rank.
+
+    Why the label geometry and not the curated trained index: the
+    driver's DuckDB oracle sees only the base parquet tables — it can
+    see neither Spark's session catalog (where the curated IVF tables
+    live) nor a kmeans training loop whose Lloyd rounds amplify
+    cross-engine ulp drift into macroscopically different cells. The
+    data's own coarse partition (`label`, an INTEGER — cell membership
+    is engine-exact) with 6-dp-snapped centroids and probe scores
+    (`snap_model=6`) keeps every float comparison in the same
+    snap-plus-tiebreak class the rest of the green surface uses. The
+    trained-quantizer machinery is externally pinned by ann_ivf_topk
+    (full probe ≡ brute force) and the curated-index serve by the
+    bit-parity + bucket-pruning + recall≥0.8 tests in
+    tests/test_domain_ops.py / test_extensions.py — this entry adds
+    the missing piece: a driver green on the pruned join itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    return sim.ivf_topk_cosine(
+        queries, emb, k=5, nprobe=3, cell_col="label", snap_model=6
+    )
+
+
+@q(
     "status_stream_state",
     """
     WITH last AS (

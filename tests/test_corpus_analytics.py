@@ -408,3 +408,21 @@ def test_quantile_normalize_nulls_match_avg_semantics(spark):
     assert got[("s2", 1)] is None or got[("s2", 1)] == 10.0  # NULL row's own mean column
     assert got[("s1", 2)] == 25.0, got  # mean(20, 30)
     assert got[("s2", 2)] == 25.0, got
+
+
+def test_url_adversarial_corpus_cross_engine_parity(spark):
+    """Every entry of the sweep's adversarial URL corpus (userinfo,
+    IDN/punycode + IPv6 hosts, %-encoding case, duplicate keys, //
+    runs, bare tracking params, schemeless garbage) must normalize
+    IDENTICALLY in the Spark op and the DuckDB oracle fragments —
+    the URL tier's oracles are built from these shared strings, so a
+    divergence here is a latent external red."""
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "adversarial_sweep", "/root/repo/scripts/adversarial_sweep.py"
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    diverged = mod._sweep_urls(spark)
+    assert diverged == [], diverged
