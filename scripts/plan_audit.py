@@ -25,6 +25,7 @@ ALLOW = {
     # BNLJ for broadcast scoring when the fold path is chosen).
     "ann_topk_cosine": (("BNLJ", "double-scan"), "query set filtered from the corpus table; broadcast scoring"),
     "ann_ivf_topk": (("BNLJ", "double-scan"), "query set filtered from the corpus table; broadcast centroid scoring"),
+    "ann_ivf_pruned_topk": (("BNLJ", "scans="), "queries + per-cell centroid aggregate + candidate cells are three linear passes of the corpus table (queries bounded, centroids one map-combinable agg, candidates the cell-pruned join side); the probe join broadcast-crosses the 10-row centroid model — O(ncells) BNLJ by construction"),
     "union_inputs": ("double-scan", "union of two sources is two scans by definition"),
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),

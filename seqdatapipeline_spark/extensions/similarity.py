@@ -323,7 +323,13 @@ def ivf_topk_cosine(
     because the stored centroids ARE that path's deterministic
     training output and assignment is a pure function of them.
     ``cells`` must hold (cell, ``c_id``, ``c_vec``) with ``c_vec``
-    already array<double>."""
+    already array<double>.
+
+    ``snap_model`` (decimals) rounds centroid components and probe
+    scores before ranking — makes a PRUNED serve stable under
+    cross-engine ulp drift so it can be externally oracle-checked
+    (see registry_ext.q_ann_ivf_pruned_topk); leave None for
+    production serving, where ulp-level probe ties are harmless."""
     if index is not None:
         cents, cells = index
     elif cell_col is not None:
