@@ -41,7 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_ivf_pruned_topk (NEW: the nprobe<ncells production serve),
 # pagerank_iter/pagerank_weighted (no_aqe lock + depth mechanics),
 # dedup_exact (plain-reader mtime invalidation sits on its detect
-# path); the IVF trio (ann_ivf_topk/ivf_pq_topk/pq_ann_topk) gained
+# path). Late-r10 pin adjudication additionally rewired registry._t
+# through the memoized plain reader and re-scoped the adaptive
+# dispatcher's stats jobs — code shared by EVERY entry, so all 50
+# window slots re-verify it regardless of ordering (full-surface
+# re-run: scripts/selfcheck.py 50/50 green post-change).
+# The IVF trio (ann_ivf_topk/ivf_pq_topk/pq_ann_topk) gained
 # default-inert snap parameters — default plans are byte-identical,
 # r9-green, and mirrored locally, so they yield their slots to the
 # backlog. (2) Family sentinels. (3) The 4 r9 rotation-overflow

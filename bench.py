@@ -133,6 +133,29 @@ def _cpu_steal_total() -> tuple[int, int]:
         return 0, 0
 
 
+def _job_latency_ms(spark, n: int = 8) -> dict[str, float]:
+    """Per-job fixed launch latency, the SECOND environment stamp
+    (steal is the first). Lesson of the r10 pin adjudication: walls of
+    fixed-cost-dominated queries (tiny data, many stage barriers) are
+    ~ n_jobs x lambda, and lambda on this sandbox moves 2-3x between
+    epochs at ZERO steal — so a flag can carry inflated lambda while
+    its steal stamp reads clean. A trivial 32-task count measures
+    lambda directly: ~30-50 ms at the r9 pin epoch, 97-145 ms during
+    the r10 adjudication session (BASELINE.md r10 note)."""
+    import statistics
+
+    spark.range(1_000_000, numPartitions=32).count()  # codegen warm
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).count()
+        walls.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "min": round(min(walls), 1),
+        "median": round(statistics.median(walls), 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -277,6 +300,10 @@ def main() -> None:
             for name, t in timings.items()
             if name in BEST_KNOWN and t > REGRESSION_FACTOR * BEST_KNOWN[name]
         }
+    # Environment stamp #2: per-job launch latency, measured right
+    # after the timed runs (see _job_latency_ms docstring — inflated
+    # lambda at zero steal is the r10-adjudicated flag class).
+    out["job_latency_ms"] = _job_latency_ms(spark)
     # Stamped AFTER the confirm pass so every steal reading pairs with
     # the run that produced the published wall.
     noisy = {n: p for n, p in steal_pct.items() if p >= 0.2}

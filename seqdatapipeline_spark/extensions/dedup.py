@@ -226,17 +226,22 @@ def minhash_signature(
     # projection: no explode, no groupBy, ZERO shuffles (the former
     # explode+groupBy form shuffled |shingles| rows per doc), and the
     # single fold measures ~20% faster than num_hashes separate
-    # array_min passes. The __hp / __sig intermediates live in their
-    # own projections: CollapseProject's cheap-expression rule keeps
-    # each evaluated once, not once per consumer (SPARK-36718).
+    # array_min passes. The __hx / __hp / __sig intermediates live in
+    # their own projections: CollapseProject's cheap-expression rule
+    # keeps each evaluated once, not once per consumer (SPARK-36718).
     # Words bound to a column (word_shingles_of): interpreted HOF
     # lambdas get no CSE even inside a codegen'd Project, so an
-    # inlined split(text) re-runs per element_at.
+    # inlined split(text) re-runs per element_at — which is also why
+    # the md5 gets its OWN transform (__hx): referencing F.md5(s)
+    # twice inside one lambda (h1 + h2 substrings) evaluates the
+    # digest twice per shingle (measured ~11% of the signature stage
+    # at sf0.1, pure waste at any scale).
+    hx = F.transform(word_shingles_of(F.col("__w"), shingle_n), F.md5)
     hp = F.transform(
-        word_shingles_of(F.col("__w"), shingle_n),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 15, 14), 16, 10).cast("long").alias("h2"),
+        F.col("__hx"),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 15, 14), 16, 10).cast("long").alias("h2"),
         ),
     )
     init = F.array(*[F.lit(1 << 62).cast("long")] * num_hashes)
@@ -257,6 +262,7 @@ def minhash_signature(
         # all-init sentinel signature and they would all band
         # together — a silent divergence AND a degenerate mega-bucket.
         .filter(F.size(F.col("__w")) >= F.lit(shingle_n))
+        .select(F.col(id_col), hx.alias("__hx"))
         .select(F.col(id_col), hp.alias("__hp"))
         .select(F.col(id_col), fold.alias("__sig"))
         .select(

@@ -13,6 +13,7 @@ operators are the periodic compaction pass that repairs that.
 from __future__ import annotations
 
 import logging
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -521,17 +522,29 @@ def curated_or_parquet(spark, sf_dir: str, table: str, bucket_col: str):
     df = _cached_table_or_none(spark, name)
     if df is not None:
         return df, True
-    import os
+    return plain_parquet(spark, os.path.join(sf_dir, f"{table}.parquet")), False
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
+
+def plain_parquet(spark, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(path)`` — the shared plain-table
+    reader behind registry._t and curated_or_parquet. Every naked
+    ``spark.read.parquet`` costs a driver-side footer/schema job
+    (~40-180 ms under load, measured as TWO such jobs at the head of
+    every two-table query — the r8 dedup_exact-creep class); at a
+    real deployment the analog is a metastore round trip per query.
+    One read per (session, path, directory-mtime): the mtime in the
+    key makes an out-of-band directory rewrite re-read instead of
+    serving a pinned stale file listing; mtime-preserving byte surgery
+    remains the caller's problem (detect_cache_clear is the escape
+    hatch)."""
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = None
-    plain_key = (id(spark), f"__plain__{sf_dir}/{table}")
-    hit = _DETECT_CACHE.get(plain_key)
+    key = (id(spark), f"__plain__{path}")
+    hit = _DETECT_CACHE.get(key)
     if isinstance(hit, tuple) and hit[1] == mtime:
-        return hit[0], False
-    plain = spark.read.parquet(path)
-    _DETECT_CACHE[plain_key] = (plain, mtime)
-    return plain, False
+        return hit[0]
+    df = spark.read.parquet(path)
+    _DETECT_CACHE[key] = (df, mtime)
+    return df

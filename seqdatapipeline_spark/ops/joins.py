@@ -710,7 +710,22 @@ def interval_count_adaptive(
         # (the measured dominant cost of repeat calls — see the
         # perf-lessons note on Column-tree build cost).
         return cached[-1]
-    lo, hi = intervals.agg(F.min(ivl_start), F.max(ivl_end)).first()
+    # The two stats actions below are driver-sequential and
+    # latency-bound, not throughput-bound: a min/max over the interval
+    # dim and an agg over the bounded bin-count table. Under AQE each
+    # becomes 3-5 stage-materialization jobs whose per-job launch
+    # latency (~0.1s on a busy local box) dominates — measured r10:
+    # 9 jobs / 0.89-1.08s of plan build vs 3 jobs / ~0.5s with AQE
+    # scoped off. Both aggregates are skew-free by construction
+    # (interval dim is catalog-sized; the bin table is bounded by
+    # domain/bin_size), so AQE's runtime re-planning can improve
+    # nothing here. The RETURNED plan keeps AQE: only the eager stats
+    # phase is scoped.
+    from ..session import no_aqe
+
+    spark = points.sparkSession
+    with no_aqe(spark):
+        lo, hi = intervals.agg(F.min(ivl_start), F.max(ivl_end)).first()
     if lo is None or hi is None:
         return interval_count_binned(
             points.limit(0), intervals, group_cols, bin_size=tuned_bin, **kw
@@ -729,10 +744,16 @@ def interval_count_adaptive(
         "__c",
         "__bin",
     )
-    bin_counts = (
-        pts.groupBy("__c", "__bin").agg(F.count("*").alias("__bn")).persist()
-    )
-    max_bn, n_pts = bin_counts.agg(F.max("__bn"), F.sum("__bn")).first()
+    # persist() INSIDE the no_aqe scope: the CacheManager compiles the
+    # cached plan at registration time with the session conf of that
+    # moment — registered under AQE it materializes as 3 stage-jobs
+    # (measured: jobs of 3/35/68 tasks) even when the triggering
+    # action runs with AQE off.
+    with no_aqe(spark):
+        bin_counts = (
+            pts.groupBy("__c", "__bin").agg(F.count("*").alias("__bn")).persist()
+        )
+        max_bn, n_pts = bin_counts.agg(F.max("__bn"), F.sum("__bn")).first()
     max_bn, n_pts = max_bn or 0, n_pts or 0
     if max_bn <= max_points_per_bin:
         out = interval_count_binned(

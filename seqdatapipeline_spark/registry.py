@@ -47,9 +47,16 @@ def q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain table reader — memoized per (session, path, dir-mtime)
+    via io.layout.plain_parquet: a naked spark.read.parquet costs a
+    driver-side footer/schema job PER CALL, and two of those sat at
+    the head of every two-table query (measured r10: jobs 1-2 of
+    feature_interval_join's 6-job plan-build phase)."""
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from .io.layout import plain_parquet
+
+    return plain_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +65,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions not built by get_spark) and truncate to microseconds —
     exactly what DuckDB's reader does — so both engines see identical
     timestamp values."""
+    from .io.layout import plain_parquet
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    e = plain_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql.types import LongType
 
     if isinstance(e.schema["ts"].dataType, LongType):
