@@ -200,8 +200,10 @@ def q_dir_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run for real through Structured Streaming: file source with
     pathGlobFilter → windowless aggregate → memory sink, drained with
     availableNow (the reference's 12 h poll becomes a trigger)."""
+    from .io.layout import plain_parquet
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = plain_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

@@ -770,7 +770,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import watch as _watch
 
-    doc_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    doc_schema = lay.plain_parquet(spark, os.path.join(sf_dir, "documents.parquet")).schema
     stream = (
         spark.readStream.schema(doc_schema)
         .option("pathGlobFilter", "documents.parquet")
