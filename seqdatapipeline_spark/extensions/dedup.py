@@ -1652,6 +1652,13 @@ def setsim_prefix_join(
     # common-subexpression elimination — split(text) re-evaluates per
     # element_at, measured 3.5s vs 0.15s for the same expression
     # inside a codegen'd projection at sf0.1.
+    #
+    # The eager checkpoints below deliberately KEEP AQE (unlike the
+    # interval dispatcher's stats jobs): an r10 A/B that scoped them
+    # in no_aqe cut 3 launch-latency jobs but cost +0.6 s — AQE's
+    # runtime re-plan turns the router's cold-route join into a
+    # broadcast (the post-agg df table's size is invisible to static
+    # planning), which outweighs the barrier tax here.
     raw = (
         fan_out(docs, id_col)
         .withColumn("__w", F.split(F.col(text_col), " "))
