@@ -451,3 +451,33 @@ def token_entropy(
             F.log("n_tokens") - F.col("__s") / F.col("n_tokens"), 6
         ).alias("entropy_nats"),
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+    disallow_col: str = "disallow",
+) -> DataFrame:
+    """Robots/compliance path filter: drop every page whose path
+    starts with ANY disallow prefix registered for its domain — the
+    gate a crawl corpus applies between URL canonicalization and
+    content processing (robots.txt Disallow lines, site opt-outs,
+    per-directory license carve-outs all share this prefix-match
+    shape).
+
+    The rules side is site-policy-sized by construction (a few rows
+    per domain — robots files are human-written), so it broadcasts
+    and the filter is ONE map-side left_anti pass over the corpus:
+    equi-key on domain, prefix predicate as the residual join
+    condition, no shuffle of page rows at any scale. Pages whose
+    domain has no rules pass through (anti-join semantics), matching
+    robots' allow-by-default."""
+    r = rules.select(
+        F.col(domain_col).alias("__rd"), F.col(disallow_col).alias("__dis")
+    )
+    cond = (F.col(domain_col) == F.col("__rd")) & F.col(path_col).startswith(
+        F.col("__dis")
+    )
+    return pages.join(F.broadcast(r), cond, "left_anti")

@@ -393,3 +393,48 @@ def binned_quantiles(
         * width
     )
     return first.select(*g, F.col("p"), F.round(est, 6).alias("q"))
+
+
+def keyed_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """EXACT per-key smallest-k of ``order_col`` — the skew-bounded
+    form of ``row_number() OVER (PARTITION BY key ORDER BY v) <= k``.
+
+    A keyed window sends EVERY row of a key to one reducer: at crawl
+    scale a viral domain (or user, or template hash) pins a single
+    task with its whole population just to keep k rows of it. Top-k
+    is associative — topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — so this
+    runs two bounded aggregations instead:
+
+    1. groupBy(key, hash(v) % salt_buckets): per-salt sorted slice of
+       at most k values (map-side combinable; any one reduce group
+       holds ≤ its salt share of the key);
+    2. groupBy(key): flatten the ≤ salt_buckets partial arrays
+       (≤ salt_buckets·k values per key — MODEL-sized, independent of
+       the key's population), re-sort, slice k, posexplode to rows
+       with a 1-based ``rank_col``.
+
+    Output rows/values/ranks are identical to the window form for
+    any distinct-valued ``order_col`` (ties: both forms break by the
+    sort's value order; the window's nondeterministic tie order is
+    replaced by value order, which is what an oracle can mirror)."""
+    v = F.col(order_col)
+    salt = F.pmod(F.xxhash64(v), F.lit(salt_buckets))
+    partial = (
+        df.groupBy(*key_cols, salt.alias("__salt"))
+        .agg(F.slice(F.array_sort(F.collect_list(v)), 1, k).alias("__pk"))
+    )
+    final = partial.groupBy(*key_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__pk"))), 1, k).alias("__tk")
+    )
+    return final.select(
+        *key_cols, F.posexplode("__tk").alias("__p", order_col)
+    ).select(
+        *key_cols, order_col, (F.col("__p") + 1).cast("long").alias(rank_col)
+    )

@@ -192,6 +192,18 @@ def url_normalize(u: Column) -> Column:
     )
 
 
+def url_path(u: Column) -> Column:
+    """Path component of an absolute URL (after host, before ?/#),
+    trailing-slash-stripped like url_normalize — the string a robots
+    disallow prefix matches against. '' for host-only URLs; NULL in →
+    NULL out."""
+    base = F.regexp_replace(u, "[?#].*", "")
+    prefix = F.regexp_extract(base, _URL_PREFIX_RE, 1)
+    return F.regexp_replace(
+        base.substr(F.length(prefix) + F.lit(1), F.length(base)), "/+$", ""
+    )
+
+
 def url_domain(u: Column) -> Column:
     """Registered-host extraction (lowercased, port and leading www.
     dropped) — the grouping key of per-site corpus policy (robots

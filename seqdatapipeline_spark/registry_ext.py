@@ -6666,3 +6666,96 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("url_norm").cast("long").alias("n_urls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compliance tier (r10): the gate between URL canonicalization and
+# content processing. robots_filter models robots.txt Disallow /
+# site-opt-out / per-directory license carve-outs (all prefix-match
+# on path, all site-policy-sized rule sets); domain_budget_cap models
+# per-site crawl budgets (keep the first K pages per registered
+# host). Both operate on the same deterministic synthesized URLs as
+# the URL tier, so both engines parse identical strings.
+# ---------------------------------------------------------------------------
+
+_URL_PATH_SQL = """
+  regexp_replace(substr({base}, length(regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1)) + 1), '/+$', '', 'g')
+"""
+
+_URL_DOMAIN_SQL = (
+    "regexp_extract(lower({u}), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2)"
+)
+
+
+@q(
+    "robots_filter",
+    f"""
+    WITH raw AS (SELECT doc_id, lang, source, {_URL_RAW_MESSY} AS u FROM documents),
+    b AS (SELECT *, regexp_replace(u, '[?#].*', '', 'g') AS base FROM raw),
+    parsed AS (SELECT doc_id, {_URL_DOMAIN_SQL.format(u="u")} AS domain,
+                      {_URL_PATH_SQL.format(base="base")} AS path
+               FROM b),
+    rules AS (SELECT DISTINCT source || '.example.com' AS domain, d.disallow
+              FROM documents, (VALUES ('/de/'), ('/fr/doc/1')) d(disallow))
+    SELECT p.doc_id, p.domain, p.path FROM parsed p
+    WHERE NOT EXISTS (SELECT 1 FROM rules r
+                      WHERE r.domain = p.domain AND p.path LIKE r.disallow || '%')
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/compliance path filter (extensions.corpus.robots_filter):
+    drop pages whose path starts with any disallow prefix registered
+    for their domain. The rule set here disallows '/de/' wholesale
+    and the '/fr/doc/1' subtree per domain — one whole-language
+    carve-out and one prefix that splits an id range, so the match is
+    genuinely prefix-shaped, not equality in disguise. Rules
+    broadcast (site-policy-sized); the corpus side is one map-side
+    left_anti pass, no shuffle at any scale."""
+    from .ops import strings as st
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _url_raw_messy_col()
+    parsed = d.select(
+        "doc_id",
+        st.url_domain(raw).alias("domain"),
+        st.url_path(raw).alias("path"),
+    )
+    rules = (
+        d.select("source")
+        .distinct()
+        .select(
+            F.concat("source", F.lit(".example.com")).alias("domain"),
+            F.explode(F.array(F.lit("/de/"), F.lit("/fr/doc/1"))).alias("disallow"),
+        )
+    )
+    return cp.robots_filter(parsed, rules)
+
+
+@q(
+    "domain_budget_cap",
+    f"""
+    WITH raw AS (SELECT doc_id, source, {_URL_RAW_MESSY} AS u FROM documents),
+    parsed AS (SELECT doc_id, {_URL_DOMAIN_SQL.format(u="u")} AS domain FROM raw),
+    ranked AS (SELECT domain, doc_id,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank
+               FROM parsed)
+    SELECT domain, doc_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_domain_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl budget (ops.aggregates.keyed_topk): keep the
+    first K pages per registered host — the politeness/dedup budget a
+    frontier applies before fetching. NOT a keyed window: a window
+    sends a viral domain's ENTIRE population to one reducer to keep
+    K rows of it; keyed_topk exploits top-k associativity — per-salt
+    sorted slices (map-combinable, each reduce group ≤ a salt share),
+    then a per-domain merge over ≤ salt_buckets·K values (model-sized
+    regardless of the domain's population). Output identical to the
+    window form; the oracle IS the window form."""
+    from .ops import strings as st
+    from .ops.aggregates import keyed_topk
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _url_raw_messy_col()
+    parsed = d.select("doc_id", st.url_domain(raw).alias("domain"))
+    return keyed_topk(parsed, ["domain"], "doc_id", k=10)

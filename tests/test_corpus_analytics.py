@@ -426,3 +426,55 @@ def test_url_adversarial_corpus_cross_engine_parity(spark):
     spec.loader.exec_module(mod)
     diverged = mod._sweep_urls(spark)
     assert diverged == [], diverged
+
+
+def test_keyed_topk_matches_window_form(spark):
+    """keyed_topk (salted two-stage exact top-k) must emit exactly the
+    rows and ranks of row_number() OVER (PARTITION BY key ORDER BY v)
+    <= k, including keys with fewer than k rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops.aggregates import keyed_topk
+
+    rows = [("hot", i) for i in range(500)] + [("cold", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    got = {
+        (r.k, r.v, r.rank)
+        for r in keyed_topk(df, ["k"], "v", k=5, salt_buckets=4).collect()
+    }
+    w = Window.partitionBy("k").orderBy("v")
+    want = {
+        (r.k, r.v, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want
+    assert len([1 for k, _, _ in got if k == "cold"]) == 3  # under-full key
+
+
+def test_robots_filter_behaviors(spark):
+    """Prefix semantics, allow-by-default for rule-less domains, and
+    the broadcast anti-join shape."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.extensions.corpus import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/x"),   # dropped: prefix match
+            (2, "a.com", "/privateer"),   # kept: '/private/' is not a prefix
+            (3, "a.com", "/pub/x"),       # kept
+            (4, "b.com", "/private/x"),   # kept: no rules for b.com
+            (5, "a.com", ""),             # kept: empty path
+        ],
+        "doc_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private/")], "domain string, disallow string"
+    )
+    out = robots_filter(pages, rules)
+    assert {r.doc_id for r in out.collect()} == {2, 3, 4, 5}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
