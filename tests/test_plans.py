@@ -504,3 +504,37 @@ def test_interval_count_prefix_plan_has_no_interior_explode(spark):
     # both cumulative windows ride the superbin key
     assert "__sb" in plan
     assert "BroadcastNestedLoopJoin" not in plan or "__sbmin" in plan
+
+
+def test_plain_reader_memo_costs_zero_jobs_on_repeat(spark, sf_dir):
+    """registry._t routes through io.layout.plain_parquet: after the
+    first read of a (session, path), a repeat _t call must launch
+    ZERO Spark jobs (the r10 fij adjudication found two per-call
+    footer jobs at the head of every two-table query)."""
+    from seqdatapipeline_spark.registry import _t
+
+    st = spark.sparkContext.statusTracker()
+    _t(spark, sf_dir, "part")  # first read may cost footer jobs
+    j0 = len(st.getJobIdsForGroup(None))
+    for _ in range(3):
+        _t(spark, sf_dir, "part")
+    assert len(st.getJobIdsForGroup(None)) == j0
+
+
+def test_interval_adaptive_build_phase_runs_at_most_three_jobs(spark, sf_dir, queries):
+    """The adaptive interval dispatcher's eager plan-build phase is
+    pinned at <= 3 driver-sequential jobs (measured 2 after the r10
+    fix: one no_aqe intervals min/max + one no_aqe bin-count agg;
+    was 9 — two _t footer reads + AQE stats stage-jobs + a cache
+    entry registered under AQE). A creep here re-opens the
+    dedup_exact/fij fixed-cost class."""
+    from seqdatapipeline_spark.ops.joins import _adaptive_stats_clear
+
+    st = spark.sparkContext.statusTracker()
+    fn = queries["feature_interval_join"]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # memo warm-up
+    _adaptive_stats_clear()  # force the stats jobs to re-run
+    j0 = len(st.getJobIdsForGroup(None))
+    fn(spark, sf_dir)
+    assert len(st.getJobIdsForGroup(None)) - j0 <= 3
+    _adaptive_stats_clear()
