@@ -6759,3 +6759,49 @@ def q_domain_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _url_raw_messy_col()
     parsed = d.select("doc_id", st.url_domain(raw).alias("domain"))
     return keyed_topk(parsed, ["domain"], "doc_id", k=10)
+
+
+@q(
+    "stream_url_frontier",
+    f"""
+    WITH {_url_norm_ctes(_URL_RAW_SHARED)}
+    SELECT DISTINCT url_norm FROM normed
+    """,
+)
+def q_stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup run for real through Structured
+    Streaming: file source → url_normalize → dropDuplicates on the
+    canonical URL → memory sink drained with availableNow. The
+    frontier is the streaming face of dedup_url — every newly
+    discovered raw URL is admitted at most once per canonical form,
+    state keyed on url_norm (bounded by the frontier's distinct-URL
+    universe; at crawl scale the watermarked TTL form in
+    streaming.watch.streaming_dedup bounds it by recency instead).
+    Emitted set is arrival-order independent, so the batch SQL
+    DISTINCT is an exact oracle."""
+    import uuid as _uuid
+
+    from .ops import strings as st
+
+    doc_schema = lay.plain_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    frontier = (
+        stream.select(st.url_normalize(_url_raw_shared_col()).alias("url_norm"))
+        .dropDuplicates(["url_norm"])
+    )
+    name = f"surl_{_uuid.uuid4().hex[:8]}"
+    qh = (
+        frontier.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    return spark.table(name)

@@ -478,3 +478,27 @@ def test_robots_filter_behaviors(spark):
     assert {r.doc_id for r in out.collect()} == {2, 3, 4, 5}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_url_path_behaviors(spark):
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.ops import strings as st
+
+    cases = [
+        ("https://ex.com/a/b/?q=1#f", "/a/b"),
+        ("https://ex.com/a%2Fb", "/a%2Fb"),
+        ("https://ex.com", ""),
+        ("https://ex.com/", ""),
+        ("HTTP://EX.COM:80/De/X/", "/De/X"),  # case/port untouched in path
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", st.url_path(F.col("u")).alias("p")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
