@@ -829,3 +829,49 @@ def test_pq_ivf_build_matches_numpy_reference(spark, data):
             # tolerate float-association ties: accept any centroid
             # within 1e-9 of the reference minimum
             assert abs(d2[got_codes[(i, s)]] - d2[best]) < 1e-9, (i, s)
+
+
+_URLISH = st.text(
+    alphabet="abcDE019:/?#&=._%-@[]ü ",
+    min_size=0,
+    max_size=60,
+).map(lambda s: "https://ex.com" + s)
+
+
+@given(tails=st.lists(_URLISH, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_url_normalize_idempotent(spark, tails):
+    """A canonicalizer must be a projection: normalize(normalize(u))
+    == normalize(u) for ANY input, else two ingest passes of the same
+    crawl disagree on the dedup key. Checked over hypothesis-generated
+    URL-ish dirt; the curated adversarial corpus is covered by the
+    sweep's parity mode."""
+    from seqdatapipeline_spark.ops import strings as stx
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(tails)], "i long, u string")
+    once = stx.url_normalize(F.col("u"))
+    rows = df.select(
+        "i", once.alias("n1"), stx.url_normalize(once).alias("n2")
+    ).collect()
+    for r in rows:
+        assert r.n1 == r.n2, (tails[r.i], r.n1, r.n2)
+
+
+def test_url_normalize_idempotent_on_adversarial_corpus(spark):
+    import importlib.util as iu
+
+    from pyspark.sql import functions as FF
+
+    from seqdatapipeline_spark.ops import strings as stx
+
+    spec = iu.spec_from_file_location(
+        "adversarial_sweep", "/root/repo/scripts/adversarial_sweep.py"
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    urls = mod.ADVERSARIAL_URLS
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = stx.url_normalize(FF.col("u"))
+    rows = df.select("i", once.alias("n1"), stx.url_normalize(once).alias("n2")).collect()
+    bad = [(urls[r.i], r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert bad == [], bad
