@@ -116,14 +116,17 @@ def _sweep_urls(spark) -> list[str]:
     from seqdatapipeline_spark.ops import strings as st
     from seqdatapipeline_spark.registry_ext import _URL_CQ_SQL, _URL_NORM_SQL
 
+    from seqdatapipeline_spark.registry_ext import _URL_PATH_SQL
+
     urls = ADVERSARIAL_URLS + [None]
     df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
     got = {
-        r["i"]: (r["n"], r["d"])
+        r["i"]: (r["n"], r["d"], r["p"])
         for r in df.select(
             "i",
             st.url_normalize(F.col("u")).alias("n"),
             st.url_domain(F.col("u")).alias("d"),
+            st.url_path(F.col("u")).alias("p"),
         ).collect()
     }
     con = duckdb.connect()
@@ -131,13 +134,16 @@ def _sweep_urls(spark) -> list[str]:
     con.executemany("INSERT INTO urls VALUES (?, ?)", list(enumerate(urls)))
     cq = _URL_CQ_SQL.format(base="base")
     norm = _URL_NORM_SQL.format(pre="pre", cq="cq")
+    path = _URL_PATH_SQL.format(base="pbase")
     want = {
-        r[0]: (r[1], r[2])
+        r[0]: (r[1], r[2], r[3])
         for r in con.execute(f"""
-            WITH s1 AS (SELECT i, u, regexp_replace(u, '#.*', '', 'g') AS base FROM urls),
+            WITH s1 AS (SELECT i, u, regexp_replace(u, '#.*', '', 'g') AS base,
+                               regexp_replace(u, '[?#].*', '', 'g') AS pbase FROM urls),
             s2 AS (SELECT *, regexp_replace(base, '\\?.*', '', 'g') AS pre, {cq} AS cq FROM s1)
             SELECT i, {norm} AS n,
-                   regexp_extract(lower(u), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2) AS d
+                   regexp_extract(lower(u), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2) AS d,
+                   {path} AS p
             FROM s2 ORDER BY i
         """).fetchall()
     }
