@@ -57,8 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # full-precision floats). Post-backlog steady state from r11 on:
 # changed code first, then oldest external green. Queued for the r11
 # head (landed late-r10, locally green, never externally checked):
-# robots_filter, domain_budget_cap (the compliance tier) and
-# stream_url_frontier — the r10 window's 50 slots were already
+# robots_filter, domain_budget_cap (the compliance tier),
+# stream_url_frontier, and boilerplate_scrub — the r10 window's 50 slots were already
 # committed to the staleness backlog.
 _PRIORITY = [
     # (1) r10 changed code

@@ -27,6 +27,7 @@ ALLOW = {
     "ann_ivf_topk": (("BNLJ", "double-scan"), "query set filtered from the corpus table; broadcast centroid scoring"),
     "ann_ivf_pruned_topk": (("BNLJ", "scans="), "queries + per-cell centroid aggregate + candidate cells are three linear passes of the corpus table (queries bounded, centroids one map-combinable agg, candidates the cell-pruned join side); the probe join broadcast-crosses the 10-row centroid model — O(ncells) BNLJ by construction"),
     "robots_filter": ("double-scan", "the second documents pass is the rules-dim SYNTHESIS (distinct sources, column-pruned to one column) so the DuckDB oracle sees identical policy rows; a production deployment reads its robots/policy store instead — the corpus side is one scan"),
+    "boilerplate_scrub": ("scans=", "chunk-frequency branch + skew_router_join's hot/cold routes re-derive the chunk explode instead of checkpointing it: the chunk stream is CORPUS-sized (words/3 rows), so materializing it trades a linear re-scan for corpus-scale storage — the same call tf_idf makes for its bigram stream; the frequency TABLE (distinct chunks) is the small side and the router broadcasts its head"),
     "union_inputs": ("double-scan", "union of two sources is two scans by definition"),
     "stream_attribution": ("double-scan", "stream-stream join: the two sides are independent streams by definition"),
     "apply_changelog": ("double-scan", "snapshot and changelog are two distinct tables by definition"),

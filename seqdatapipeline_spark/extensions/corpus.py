@@ -481,3 +481,66 @@ def robots_filter(
         F.col("__dis")
     )
     return pages.join(F.broadcast(r), cond, "left_anti")
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 3,
+    max_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate removal — the C4/RefinedWeb corpus
+    step that DISCARDS any text span occurring in too many documents
+    (navigation bars, cookie banners, license footers), as opposed to
+    repetition_metrics (intra-doc) and decontaminate_* (benchmark
+    overlap). Text is flat word streams here, so the 'line' unit is a
+    fixed ``chunk_words`` window; a span kept iff it appears in at
+    most ``max_docs`` distinct documents.
+
+    Plan: chunk explode → one map-combinable distinct-doc count per
+    chunk → join-back via skew_router_join (THE boilerplate join is
+    skew incarnate: a viral cookie banner is one key carrying a large
+    share of the corpus — the router broadcasts the power-law head so
+    those rows never shuffle) → per-doc ordered reassembly of
+    surviving chunks. Two shuffles + the routed join at any scale.
+    Returns (id, clean_text, n_dropped_chunks); docs whose every
+    chunk is boilerplate come back with clean_text ''."""
+    from ..ops.joins import skew_router_join
+
+    cw = chunk_words
+    n_chunks = F.ceil(F.size("__ws") / F.lit(float(cw))).cast("int")
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("__ws"), i * cw + 1, cw), " "
+    )
+    chunks = (
+        fan_out(docs, id_col)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
+            ).alias("pos", "chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    joined = skew_router_join(chunks, freq, on="chunk", hot_col="n_docs")
+    per_doc = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    F.col("chunk"),
+                    (F.col("n_docs") <= F.lit(max_docs)).alias("keep"),
+                )
+            )
+        ).alias("__cs")
+    )
+    kept = F.filter(F.col("__cs"), lambda s: s["keep"])
+    return per_doc.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["chunk"]), " ").alias("clean_text"),
+        (F.size("__cs") - F.size(kept)).cast("long").alias("n_dropped_chunks"),
+    )

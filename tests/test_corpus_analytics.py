@@ -502,3 +502,24 @@ def test_url_path_behaviors(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_boilerplate_scrub_behaviors(spark):
+    """Viral spans dropped, rare spans kept in order, all-boilerplate
+    docs come back empty (not missing)."""
+    from seqdatapipeline_spark.extensions.corpus import boilerplate_scrub
+
+    banner = "accept all cookies"
+    rows = [(i, f"{banner} unique{i} words here") for i in range(5)]
+    rows.append((5, banner))  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped_chunks)
+        for r in boilerplate_scrub(
+            docs, chunk_words=3, max_docs=3
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[5] == ("", 1)  # banner seen in 6 docs > 3 -> dropped
+    for i in range(5):
+        assert out[i] == (f"unique{i} words here", 1), out[i]
