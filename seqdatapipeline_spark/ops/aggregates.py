@@ -423,7 +423,11 @@ def keyed_topk(
     Output rows/values/ranks are identical to the window form for
     any distinct-valued ``order_col`` (ties: both forms break by the
     sort's value order; the window's nondeterministic tie order is
-    replaced by value order, which is what an oracle can mirror)."""
+    replaced by value order, which is what an oracle can mirror).
+    NULL ``order_col`` values are EXCLUDED (collect_list drops them),
+    where a row_number window would rank them last — "smallest k real
+    values" is the budget/politeness semantics callers want; filter
+    or coalesce beforehand to rank NULLs deliberately."""
     v = F.col(order_col)
     salt = F.pmod(F.xxhash64(v), F.lit(salt_buckets))
     partial = (
