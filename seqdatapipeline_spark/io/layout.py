@@ -314,7 +314,10 @@ def curate_corpus(
       cell-bucketed corpus, probe-time bucket pruning);
     - co-order edge list (graph tier: weighted half-edge set bucketed
       on src — pagerank/triangle/degree consumers skip the per-call
-      edge derivation).
+      edge derivation);
+    - parsed URL table (compliance tier: url_norm/domain/path stored,
+      bucketed on domain — parse-once-at-ingest, domain-keyed
+      group-bys exchange-free).
 
     Sizes ``n_buckets`` to ~(table size / 128 MB) at real scale.
     Returns {tier: catalog table name}. Detection stays
@@ -358,6 +361,8 @@ def curate_corpus(
     out["ann_pq"] = pq_table_name(sf_dir)
     write_curated_edges(spark, sf_dir)
     out["graph"] = graph_table_name(sf_dir)
+    write_curated_urls(spark, sf_dir)
+    out["urls"] = url_table_name(sf_dir)
     return out
 
 
@@ -388,6 +393,58 @@ def write_curated_pq(spark, sf_dir: str, n_buckets: int = 8) -> None:
     write_curated_bucketed(
         codes.join(vassign, "vec_id"), pq_table_name(sf_dir), "ccell", n_buckets
     )
+
+
+def url_table_name(sf_dir: str) -> str:
+    """Catalog name of the curated URL table for ``sf_dir``'s
+    documents (doc_id, lang, source, url_raw, url_norm, domain, path
+    — bucketed on domain)."""
+    return bucketed_table_name(sf_dir, "documents_urls", "domain")
+
+
+def write_curated_urls(spark, sf_dir: str, n_buckets: int = 8) -> None:
+    """Materialize URL parsing ONCE — the crawl-store curated layout
+    for the URL/compliance tier. A web pipeline canonicalizes every
+    URL exactly once at ingest and stores the parsed fields; deriving
+    (url_norm, domain, path) per query re-runs ~10 regex passes over
+    the corpus each time. Stored bucketed on ``domain`` — the policy
+    key — so the per-domain census (url_domain_stats), the crawl
+    budget (domain_budget_cap: both its salted stage's (domain, salt)
+    grouping AND its merge satisfy ClusteredDistribution from the
+    domain clustering — measured ZERO exchanges end-to-end) run with
+    no exchange on the scan's reported clustering; the census's
+    multi-distinct aggregate still shuffles (Spark's distinct rewrite
+    goes through an Expand that drops clustering) but reads the
+    STORED parsed columns instead of re-running the regex chain.
+    Derivation is
+    deterministic string expressions, so consumers are bit-identical
+    to the derive-per-call path (parity-tested)."""
+    # Lazy import: registry_ext owns the deterministic URL synthesis
+    # (the columns both engines parse); registry_ext imports this
+    # module at load, so the dependency must stay one-way at import
+    # time.
+    from ..registry_ext import _url_raw_messy_col
+    from ..ops import strings as st
+    import os
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _url_raw_messy_col()
+    parsed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        raw.alias("url_raw"),
+        st.url_normalize(raw).alias("url_norm"),
+        st.url_domain(raw).alias("domain"),
+        st.url_path(raw).alias("path"),
+    )
+    write_curated_bucketed(parsed, url_table_name(sf_dir), "domain", n_buckets)
+
+
+def curated_urls_or_none(spark, sf_dir: str):
+    """The curated URL table when this session's catalog carries one,
+    else None (session-scoped, memoized like curated_or_parquet)."""
+    return _cached_table_or_none(spark, url_table_name(sf_dir))
 
 
 def graph_table_name(sf_dir: str) -> str:

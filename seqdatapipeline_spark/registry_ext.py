@@ -6565,6 +6565,31 @@ _URL_RAW_SHARED = (
 )
 
 
+def _urls_maybe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, url_raw, url_norm, domain, path) for the
+    messy synthetic URLs — served from the curated URL table when the
+    session carries one (io.layout.write_curated_urls: parse once at
+    ingest, store bucketed on domain so every domain-keyed group-by
+    runs exchange-free), else derived per call with the same
+    deterministic string expressions. Bit-identical either way."""
+    cur = lay.curated_urls_or_none(spark, sf_dir)
+    if cur is not None:
+        return cur
+    from .ops import strings as st
+
+    d = _t(spark, sf_dir, "documents")
+    raw = _url_raw_messy_col()
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        raw.alias("url_raw"),
+        st.url_normalize(raw).alias("url_norm"),
+        st.url_domain(raw).alias("domain"),
+        st.url_path(raw).alias("path"),
+    )
+
+
 def _url_raw_messy_col() -> "F.Column":
     d = F.col("doc_id")
     return F.concat(
@@ -6598,15 +6623,11 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (ops.strings.url_normalize): lowercase
     scheme/host, drop default port, strip fragment and trailing
     slashes, drop tracking params, SORT the surviving query params.
-    Map-only codegen string ops — scales as a scan."""
-    from .ops import strings as st
-
-    d = _t(spark, sf_dir, "documents")
-    raw = _url_raw_messy_col()
-    return d.select(
-        "doc_id",
-        raw.alias("url_raw"),
-        st.url_normalize(raw).alias("url_norm"),
+    Map-only codegen string ops — scales as a scan. Served from the
+    curated URL table when present (parse-once-at-ingest,
+    io.layout.write_curated_urls)."""
+    return _urls_maybe_curated(spark, sf_dir).select(
+        "doc_id", "url_raw", "url_norm"
     )
 
 
@@ -6651,15 +6672,14 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus census (ops.strings.url_domain): docs,
     distinct languages, distinct canonical URLs per registered host —
     the table robots budgets, license tiers, and domain-mix policy
-    key on. Domain cardinality is site-shaped, never corpus-shaped."""
-    from .ops import strings as st
-
-    d = _t(spark, sf_dir, "documents")
-    raw = _url_raw_messy_col()
-    rows = d.select(
-        st.url_domain(raw).alias("domain"),
-        F.col("lang"),
-        st.url_normalize(raw).alias("url_norm"),
+    key on. Domain cardinality is site-shaped, never corpus-shaped.
+    On the curated URL table the census reads the STORED parsed
+    columns (parse-once-at-ingest); its multi-distinct aggregate
+    still shuffles — Spark's distinct rewrite goes through an Expand
+    that drops clustering — so the layout's exchange-free win lands
+    on the single-key consumers (see domain_budget_cap)."""
+    rows = _urls_maybe_curated(spark, sf_dir).select(
+        "domain", "lang", "url_norm"
     )
     return rows.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
@@ -6711,17 +6731,12 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely prefix-shaped, not equality in disguise. Rules
     broadcast (site-policy-sized); the corpus side is one map-side
     left_anti pass, no shuffle at any scale."""
-    from .ops import strings as st
-
-    d = _t(spark, sf_dir, "documents")
-    raw = _url_raw_messy_col()
-    parsed = d.select(
-        "doc_id",
-        st.url_domain(raw).alias("domain"),
-        st.url_path(raw).alias("path"),
+    parsed = _urls_maybe_curated(spark, sf_dir).select(
+        "doc_id", "domain", "path"
     )
     rules = (
-        d.select("source")
+        _t(spark, sf_dir, "documents")
+        .select("source")
         .distinct()
         .select(
             F.concat("source", F.lit(".example.com")).alias("domain"),
@@ -6752,12 +6767,9 @@ def q_domain_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-domain merge over ≤ salt_buckets·K values (model-sized
     regardless of the domain's population). Output identical to the
     window form; the oracle IS the window form."""
-    from .ops import strings as st
     from .ops.aggregates import keyed_topk
 
-    d = _t(spark, sf_dir, "documents")
-    raw = _url_raw_messy_col()
-    parsed = d.select("doc_id", st.url_domain(raw).alias("domain"))
+    parsed = _urls_maybe_curated(spark, sf_dir).select("doc_id", "domain")
     return keyed_topk(parsed, ["domain"], "doc_id", k=10)
 
 

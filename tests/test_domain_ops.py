@@ -1217,3 +1217,77 @@ def test_every_curated_tier_invalidates_detection_on_write(spark, tier):
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         lay.detect_cache_clear()
+
+
+def _tier_urls(spark, sf, lay, F):
+    return (
+        lambda: lay.curated_urls_or_none(spark, sf),
+        lambda: lay.write_curated_urls(spark, sf, n_buckets=4),
+        [lay.url_table_name(sf)],
+    )
+
+
+@pytest.mark.parametrize("tier", [_tier_urls])
+def test_url_tier_invalidates_detection_on_write(spark, tier):
+    """Same probe-miss -> write -> probe-hit invariant as the other
+    curated tiers (LAYOUTS.md), for the r10 URL tier."""
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    probe, write, tables = tier(spark, sf, lay, F)
+    try:
+        assert probe() is None
+        write()
+        assert probe() is not None
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        lay.detect_cache_clear()
+
+
+def test_curated_urls_parity_and_plan_effects(spark):
+    """The curated URL table (io.layout.write_curated_urls): every
+    URL-tier consumer must produce identical rows on the curated copy
+    (derivation is deterministic string expressions). Physical
+    effects pinned:
+
+    - domain_budget_cap runs with ZERO exchanges — keyed_topk's
+      (domain, salt) stage and its per-domain merge are both
+      satisfied by the domain clustering, so the whole crawl budget
+      is scan + map-side aggregation;
+    - the census reads STORED parsed columns (no regexp in the plan —
+      parse-once-at-ingest) from the bucketed scan. Its two
+      countDistinct aggregates still shuffle: Spark's
+      multiple-distinct rewrite goes through an Expand whose output
+      partitioning is unknown, so no bucket layout can carry
+      clustering through it — the curated win for the census is the
+      ~10 regex passes per call, not the exchange."""
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    ops = ["url_normalize", "url_domain_stats", "robots_filter", "domain_budget_cap"]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in ops}
+    name = lay.url_table_name(sf)
+    try:
+        lay.write_curated_urls(spark, sf, n_buckets=4)
+        assert lay.curated_urls_or_none(spark, sf) is not None
+        for op in ops:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+        cap_plan = (
+            qs["domain_budget_cap"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in cap_plan, cap_plan
+        census_plan = (
+            qs["url_domain_stats"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in census_plan
+        assert "regexp_replace" not in census_plan, census_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        lay.detect_cache_clear()
