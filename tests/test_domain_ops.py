@@ -893,12 +893,15 @@ def test_curate_corpus_builds_all_tiers(spark):
         "ann_ivf_topk",
         "ivf_pq_topk",
         "pagerank_iter",
+        "url_domain_stats",
     ]
     plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in reps}
     names = {}
     try:
         names = lay.curate_corpus(spark, sf, n_buckets=8)
-        assert set(names) == {"genomics", "events", "text", "ann", "ann_pq", "graph"}
+        assert set(names) == {
+            "genomics", "events", "text", "ann", "ann_pq", "graph", "urls",
+        }
         for n in names.values():
             assert spark.catalog.tableExists(n), n
         assert lay.curated_ivf_or_none(spark, sf) is not None
