@@ -173,6 +173,20 @@ def main() -> None:
 
     queries = entrymod.queries()
 
+    # SPARK_GRAFT_CURATED=1: build every curated physical layout first
+    # (io.layout.curate_corpus — the one-time ingest investment a
+    # production deployment makes) and bench the curated serving
+    # paths. Default benches the plain-parquet paths: that is what the
+    # driver compares against BASELINE pins, so the artifact stamps
+    # which mode it measured.
+    curated_mode = os.environ.get("SPARK_GRAFT_CURATED", "") == "1"
+    if curated_mode:
+        from seqdatapipeline_spark.io.layout import curate_corpus
+
+        t0 = time.perf_counter()
+        curate_corpus(spark, sf_dir)
+        curate_secs = round(time.perf_counter() - t0, 3)
+
     # Warm the JVM (codegen, parquet footer cache, shuffle service)
     # before timing: the first action otherwise absorbs ~2s of one-time
     # cost that has nothing to do with the query it lands on.
@@ -304,6 +318,13 @@ def main() -> None:
     # after the timed runs (see _job_latency_ms docstring — inflated
     # lambda at zero steal is the r10-adjudicated flag class).
     out["job_latency_ms"] = _job_latency_ms(spark)
+    if curated_mode:
+        # A curated-mode artifact must never masquerade as the plain
+        # headline (its pins don't apply): stamp the mode + the
+        # one-time ingest cost, and suppress pin comparison.
+        out["curated"] = True
+        out["curate_secs"] = curate_secs
+        out.pop("regressions", None)
     # Stamped AFTER the confirm pass so every steal reading pairs with
     # the run that produced the published wall.
     noisy = {n: p for n, p in steal_pct.items() if p >= 0.2}
