@@ -1294,3 +1294,48 @@ def test_curated_urls_parity_and_plan_effects(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         lay.detect_cache_clear()
+
+
+def test_curated_urls_ingest_append_parity(spark):
+    """The URL tier's ingest loop (LAYOUTS.md): curate the URL table
+    from half the docs, absorb the other half with
+    append_curated_bucketed (URLs are parse-once facts — no fold
+    needed), and every consumer must match the full-corpus plain path
+    exactly."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.ops import strings as st
+    from seqdatapipeline_spark.registry_ext import _url_raw_messy_col
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    ops = ["url_normalize", "url_domain_stats", "domain_budget_cap"]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in ops}
+    name = lay.url_table_name(sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    raw = _url_raw_messy_col()
+
+    def parse(d):
+        return d.select(
+            "doc_id", "lang", "source",
+            raw.alias("url_raw"),
+            st.url_normalize(raw).alias("url_norm"),
+            st.url_domain(raw).alias("domain"),
+            st.url_path(raw).alias("path"),
+        )
+
+    try:
+        lay.write_curated_bucketed(
+            parse(docs.filter(F.col("doc_id") % 2 == 0)), name, "domain", 4
+        )
+        lay.append_curated_bucketed(
+            parse(docs.filter(F.col("doc_id") % 2 == 1)), name, "domain"
+        )
+        assert lay.curated_urls_or_none(spark, sf) is not None
+        for op in ops:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        lay.detect_cache_clear()
