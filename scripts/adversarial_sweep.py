@@ -95,6 +95,11 @@ ADVERSARIAL_URLS = [
     "https://ex.com/x?a=b=c&d==e&=f",
     "https://ex.com/sp ace?a b=c d",
     "https://ex.com/tab\tchar?x=\t1",
+    # trailing newline in a param (the Java-$-vs-RE2-$ class: 'ref\n'
+    # must survive in BOTH engines — tracking match is \z-anchored)
+    "https://ex.com/x?ref\n",
+    "https://ex.com/x?ref\n&a=1",
+    "https://ex.com/nl\nline?utm_x\n=1&b=2\n",
     "https://ex.com/x?a=1&&b=2&",
     "https://ex.com/x?%75tm_source=1",  # encoded 'utm' key survives
     "https://ex.com/x?A=1&a=1",
@@ -114,9 +119,13 @@ def _sweep_urls(spark) -> list[str]:
     import duckdb
 
     from seqdatapipeline_spark.ops import strings as st
-    from seqdatapipeline_spark.registry_ext import _URL_CQ_SQL, _URL_NORM_SQL
-
-    from seqdatapipeline_spark.registry_ext import _URL_PATH_SQL
+    from seqdatapipeline_spark.registry_ext import (
+        _URL_DOMAIN_SQL,
+        _URL_NORM_SQL,
+        _URL_PATH_SQL,
+        _URL_PBASE_SQL,
+        _url_stage_ctes,
+    )
 
     urls = ADVERSARIAL_URLS + [None]
     df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
@@ -130,20 +139,21 @@ def _sweep_urls(spark) -> list[str]:
         ).collect()
     }
     con = duckdb.connect()
-    con.execute("CREATE TABLE urls(i BIGINT, u VARCHAR)")
-    con.executemany("INSERT INTO urls VALUES (?, ?)", list(enumerate(urls)))
-    cq = _URL_CQ_SQL.format(base="base")
+    con.execute("CREATE TABLE raw_urls(i BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO raw_urls VALUES (?, ?)", list(enumerate(urls)))
+    # The staging CTEs, norm/path/domain fragments below are the SAME
+    # strings the registry oracles are built from — imported, not
+    # re-spelled, so the sweep exercises the exact oracle contract.
     norm = _URL_NORM_SQL.format(pre="pre", cq="cq")
     path = _URL_PATH_SQL.format(base="pbase")
+    domain = _URL_DOMAIN_SQL.format(u="u")
+    pbase = _URL_PBASE_SQL.format(u="u")
     want = {
         r[0]: (r[1], r[2], r[3])
         for r in con.execute(f"""
-            WITH s1 AS (SELECT i, u, regexp_replace(u, '#.*', '', 'g') AS base,
-                               regexp_replace(u, '[?#].*', '', 'g') AS pbase FROM urls),
-            s2 AS (SELECT *, regexp_replace(base, '\\?.*', '', 'g') AS pre, {cq} AS cq FROM s1)
-            SELECT i, {norm} AS n,
-                   regexp_extract(lower(u), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2) AS d,
-                   {path} AS p
+            WITH urls AS (SELECT i, u, {pbase} AS pbase FROM raw_urls),
+            {_url_stage_ctes("urls", "u")}
+            SELECT i, {norm} AS n, {domain} AS d, {path} AS p
             FROM s2 ORDER BY i
         """).fetchall()
     }

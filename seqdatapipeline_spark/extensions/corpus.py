@@ -473,12 +473,27 @@ def robots_filter(
     equi-key on domain, prefix predicate as the residual join
     condition, no shuffle of page rows at any scale. Pages whose
     domain has no rules pass through (anti-join semantics), matching
-    robots' allow-by-default."""
+    robots' allow-by-default.
+
+    Directory-root semantics (ADVICE r10): ``path_col`` holds the
+    trailing-slash-STRIPPED path (ops.strings.url_path), so a page
+    whose real path is exactly a disallowed directory ('/de/' stored
+    as '/de') would escape a raw prefix match on '/de/'. A disallow
+    ending in '/' therefore ALSO blocks the page whose stripped path
+    equals the disallow minus its trailing slashes. Deliberate
+    over-block on the slashless spelling ('/de' the file): with
+    stripped storage it is indistinguishable from '/de/' the
+    directory root, and url_normalize canonicalizes both to the same
+    key anyway — blocking is the compliance-safe default."""
     r = rules.select(
-        F.col(domain_col).alias("__rd"), F.col(disallow_col).alias("__dis")
+        F.col(domain_col).alias("__rd"),
+        F.col(disallow_col).alias("__dis"),
+        F.regexp_replace(F.col(disallow_col), "/+$", "").alias("__dis_root"),
+        F.col(disallow_col).endswith("/").alias("__dis_is_dir"),
     )
-    cond = (F.col(domain_col) == F.col("__rd")) & F.col(path_col).startswith(
-        F.col("__dis")
+    cond = (F.col(domain_col) == F.col("__rd")) & (
+        F.col(path_col).startswith(F.col("__dis"))
+        | (F.col("__dis_is_dir") & (F.col(path_col) == F.col("__dis_root")))
     )
     return pages.join(F.broadcast(r), cond, "left_anti")
 

@@ -333,8 +333,14 @@ def ivf_topk_cosine(
     if index is not None:
         cents, cells = index
     elif cell_col is not None:
-        cents = ivf_centroids(corpus, cell_col=cell_col, vec_col=c_vec)
-        cells = corpus.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
+        # NULL cells/vectors carry no geometry: a NULL-labeled stratum
+        # would otherwise produce a phantom centroid that enters probe
+        # ranking and can displace a real cell — and the DuckDB oracles
+        # filter both NULLs, so keeping them would be a latent
+        # cross-engine divergence (ADVICE r10).
+        base = corpus.filter(F.col(cell_col).isNotNull() & F.col(c_vec).isNotNull())
+        cents = ivf_centroids(base, cell_col=cell_col, vec_col=c_vec)
+        cells = base.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
     else:
         cents = kmeans_cells(corpus, k=kmeans_k, iters=kmeans_iters, id_col=c_id, vec_col=c_vec)
         assigned = assign_best_cell(

@@ -129,13 +129,71 @@ def write_bucketed(
     partitioning once at write, reuse it every read.
 
     Bucketing requires the table catalog (``saveAsTable``); pass
-    ``path`` for an external table location."""
+    ``path`` for an external table location.
+
+    Restart robustness: ``mode("overwrite")`` only overwrites when the
+    table exists *in the catalog*. This engine deliberately uses the
+    session-scoped in-memory catalog, so a NEW process re-curating
+    into a warehouse directory left by a previous process would die
+    with LOCATION_ALREADY_EXISTS (the production scenario is a restart
+    re-running curate_corpus). Before writing we therefore drop any
+    same-name catalog entry AND delete stale data at the resolved
+    table location — via the Hadoop FileSystem API so the clear works
+    on any storage (local/HDFS/S3), not just the local disk."""
+    _clear_table_location(df.sparkSession, table, path)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def _clear_table_location(spark: SparkSession, table: str, path: str | None) -> None:
+    """Make ``saveAsTable(table)`` safe across process restarts: drop a
+    pre-existing catalog entry, then remove stale files at the resolved
+    table location (external ``path`` if given, else
+    ``<spark.sql.warehouse.dir>[/<db>.db]/<table>`` — Spark lowercases
+    managed-table directory names). A session-scoped catalog forgets
+    tables on exit but their warehouse directories survive, and
+    ``CREATE TABLE`` refuses a non-empty location it has no catalog
+    entry for (LOCATION_ALREADY_EXISTS). Deletion goes through the
+    Hadoop FileSystem resolved FROM the location URI, so it is correct
+    for local paths, HDFS, and object stores alike."""
+    if spark.catalog.tableExists(table):
+        # Resolve the true location from the live catalog entry before
+        # dropping: an external table may live somewhere the naming
+        # convention below cannot reconstruct.
+        try:
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .where("col_name = 'Location'")
+                .collect()
+            )
+            locations = [r.data_type for r in loc]
+        except Exception:
+            locations = []
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    else:
+        locations = []
+    if path is not None:
+        locations.append(path)
+    else:
+        parts = table.split(".")
+        name = parts[-1].lower()
+        db = parts[-2].lower() if len(parts) > 1 else None
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        base = warehouse.rstrip("/")
+        if db and db != "default":
+            base = f"{base}/{db}.db"
+        locations.append(f"{base}/{name}")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for loc in locations:
+        hpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
 
 
 def _overwrite_parquet(df: DataFrame, path: str) -> None:

@@ -145,7 +145,11 @@ def sci_notation_num(s: Column) -> Column:
 
 
 _URL_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)"
-_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+# \z, not $: Java regex `$` also matches BEFORE a final line terminator,
+# so a crawl param like 'ref\n' would be dropped here but kept by an
+# RE2/DuckDB oracle whose `$` is end-of-string only. \z is end-of-input
+# in Java — the exact RE2-`$` semantics (ADVICE r10).
+_URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|\z)"
 
 
 def url_normalize(u: Column) -> Column:

@@ -6539,15 +6539,27 @@ _URL_CQ_SQL = """
 """
 
 
+def _url_stage_ctes(src: str, url_col: str) -> str:
+    """base/pre/cq staging CTEs over ANY relation ``src`` carrying
+    ``url_col`` — the ONE spelling of the oracle's fragment-strip /
+    query-split scaffolding. Shared by the per-query oracles (via
+    _url_norm_ctes) and scripts/adversarial_sweep.py, so the sweep
+    validates the exact fragments the real oracles run — if this
+    scaffolding drifts, sweep and oracles drift together (ADVICE
+    r10)."""
+    return f"""
+    s1 AS (SELECT *, regexp_replace({url_col}, '#.*', '', 'g') AS base FROM {src}),
+    s2 AS (SELECT *, regexp_replace(base, '\\?.*', '', 'g') AS pre,
+                  {_URL_CQ_SQL.format(base="base")} AS cq
+           FROM s1)"""
+
+
 def _url_norm_ctes(raw_expr: str) -> str:
     """Shared oracle CTE chain raw -> normalized (mirrors
     ops.strings.url_normalize step for step)."""
     return f"""
     raw AS (SELECT doc_id, lang, source, {raw_expr} AS url_raw FROM documents),
-    s1 AS (SELECT *, regexp_replace(url_raw, '#.*', '', 'g') AS base FROM raw),
-    s2 AS (SELECT *, regexp_replace(base, '\\?.*', '', 'g') AS pre,
-                  {_URL_CQ_SQL.format(base="base")} AS cq
-           FROM s1),
+    {_url_stage_ctes("raw", "url_raw")},
     normed AS (SELECT doc_id, lang, source, url_raw,
                       {_URL_NORM_SQL.format(pre="pre", cq="cq")} AS url_norm
                FROM s2)"""
@@ -6702,6 +6714,11 @@ _URL_PATH_SQL = """
   regexp_replace(substr({base}, length(regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1)) + 1), '/+$', '', 'g')
 """
 
+# query+fragment strip feeding _URL_PATH_SQL (ops.strings.url_path's
+# first step) — exported so the adversarial sweep runs this exact
+# fragment rather than a re-spelling.
+_URL_PBASE_SQL = "regexp_replace({u}, '[?#].*', '', 'g')"
+
 _URL_DOMAIN_SQL = (
     "regexp_extract(lower({u}), '^[a-z][a-z0-9+.\\-]*://(www\\.)?([^/:?#]*)', 2)"
 )
@@ -6711,7 +6728,7 @@ _URL_DOMAIN_SQL = (
     "robots_filter",
     f"""
     WITH raw AS (SELECT doc_id, lang, source, {_URL_RAW_MESSY} AS u FROM documents),
-    b AS (SELECT *, regexp_replace(u, '[?#].*', '', 'g') AS base FROM raw),
+    b AS (SELECT *, {_URL_PBASE_SQL.format(u="u")} AS base FROM raw),
     parsed AS (SELECT doc_id, {_URL_DOMAIN_SQL.format(u="u")} AS domain,
                       {_URL_PATH_SQL.format(base="base")} AS path
                FROM b),
@@ -6719,7 +6736,9 @@ _URL_DOMAIN_SQL = (
               FROM documents, (VALUES ('/de/'), ('/fr/doc/1')) d(disallow))
     SELECT p.doc_id, p.domain, p.path FROM parsed p
     WHERE NOT EXISTS (SELECT 1 FROM rules r
-                      WHERE r.domain = p.domain AND p.path LIKE r.disallow || '%')
+                      WHERE r.domain = p.domain
+                        AND (p.path LIKE r.disallow || '%'
+                             OR (r.disallow LIKE '%/' AND p.path = rtrim(r.disallow, '/'))))
     """,
 )
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,8 +120,9 @@ _PERSIST_RING_LOCK = __import__("threading").Lock()
 
 # no_aqe serialization: sections hold the RLock across their body so
 # concurrent no_aqe callers queue instead of interleaving restores;
-# the thread-local depth makes same-thread nesting a no-op below the
-# outermost block.
+# a thread-local {id(session): depth} map makes same-thread,
+# same-session nesting a no-op below the outermost block while still
+# disabling AQE per-session when sessions nest.
 _NO_AQE_LOCK = __import__("threading").RLock()
 _NO_AQE_STATE = __import__("threading").local()
 _ring_log = __import__("logging").getLogger("seqdatapipeline_spark.ring")
@@ -191,9 +192,11 @@ def no_aqe(spark):
 
     * **Nested / concurrent no_aqe sections** are handled HERE:
       sections serialize on a process-wide re-entrant lock and a
-      per-thread depth counter makes nesting a no-op below the
-      outermost block, so the pre-entry conf value is always the one
-      restored (out-of-order restores cannot happen).
+      per-(thread, session) depth counter makes SAME-SESSION nesting
+      a no-op below the outermost block, so the pre-entry conf value
+      is always the one restored (out-of-order restores cannot
+      happen). Nesting a DIFFERENT session's section is not a no-op —
+      each session's conf gets its own save/disable/restore.
     * **A concurrent UNRELATED query on the same SparkSession** would
       still plan with AQE off — including its skew handling — and
       this function cannot see it. That is the engine's documented
@@ -203,15 +206,26 @@ def no_aqe(spark):
       an isolated conf while sharing the SparkContext and cache).
     """
     with _NO_AQE_LOCK:
-        _NO_AQE_STATE.depth = getattr(_NO_AQE_STATE, "depth", 0) + 1
-        outermost = _NO_AQE_STATE.depth == 1
+        # Depth is keyed per (thread, session): nesting no_aqe(sessionB)
+        # inside no_aqe(sessionA) on one thread must disable AQE on B's
+        # conf too, not silently no-op because A already holds depth>0
+        # (ADVICE r10) — multi-session nesting is exactly the pattern
+        # the concurrency contract above recommends.
+        depths = getattr(_NO_AQE_STATE, "depths", None)
+        if depths is None:
+            depths = _NO_AQE_STATE.depths = {}
+        key = id(spark)
+        depths[key] = depths.get(key, 0) + 1
+        outermost = depths[key] == 1
         if outermost:
             prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             yield
         finally:
-            _NO_AQE_STATE.depth -= 1
+            depths[key] -= 1
+            if depths[key] == 0:
+                del depths[key]
             if outermost:
                 spark.conf.set("spark.sql.adaptive.enabled", prev)
 

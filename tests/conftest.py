@@ -13,10 +13,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from seqdatapipeline_spark.session import get_spark
 
-    s = get_spark("seqdatapipeline-tests", shuffle_partitions=8)
+    # Hermetic warehouse: a dirty working tree (e.g. ./spark-warehouse
+    # leftovers from a bench run in another process) must never be able
+    # to fail the suite, and the suite must never litter the repo.
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "seqdatapipeline-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield s
 
 

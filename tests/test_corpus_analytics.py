@@ -480,6 +480,98 @@ def test_robots_filter_behaviors(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_robots_filter_directory_root_and_edge_rules(spark):
+    """Compliance-tier property sweep (VERDICT r10 item 6): directory-
+    root matching on stripped paths, multiple-rule precedence (any
+    match drops), empty-disallow = block-whole-domain, and NULL
+    domains/paths pass through (no rule can match NULL)."""
+    from seqdatapipeline_spark.extensions.corpus import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            # a.com: disallow '/de/' (directory) + '' (none here)
+            (1, "a.com", "/de/x"),    # dropped: prefix
+            (2, "a.com", "/de"),      # dropped: directory-root (stored
+            #                           stripped form of '/de/')
+            (3, "a.com", "/dex"),     # kept: not a path-segment match
+            (4, "a.com", "/fr/x"),    # dropped by the second rule
+            (5, "a.com", "/en/x"),    # kept
+            # b.com: empty disallow blocks the whole domain (callers
+            # encode robots' empty-Disallow-means-allow by omitting
+            # the rule; an empty PREFIX can only mean match-all)
+            (6, "b.com", "/anything"),  # dropped
+            (7, "b.com", ""),           # dropped
+            # NULL domain / NULL path: no rule can match, kept
+            (8, None, "/de/x"),
+            (9, "a.com", None),
+        ],
+        "doc_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/de/"), ("a.com", "/fr/"), ("b.com", "")],
+        "domain string, disallow string",
+    )
+    kept = {r.doc_id for r in robots_filter(pages, rules).collect()}
+    assert kept == {3, 5, 8, 9}
+
+
+def test_robots_filter_null_rule_rows_match_nothing(spark):
+    """A malformed policy row (NULL domain or NULL disallow) must not
+    drop any page: NULL never equals a domain and NULL prefixes match
+    no path."""
+    from seqdatapipeline_spark.extensions.corpus import robots_filter
+
+    pages = spark.createDataFrame(
+        [(1, "a.com", "/x"), (2, "b.com", "/y")],
+        "doc_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [(None, "/x"), ("a.com", None)], "domain string, disallow string"
+    )
+    kept = {r.doc_id for r in robots_filter(pages, rules).collect()}
+    assert kept == {1, 2}
+
+
+def test_keyed_topk_ties_at_cap_boundary_and_null_keys(spark):
+    """Budget-cap edge semantics (VERDICT r10 item 6): duplicate
+    order values straddling the cap keep exactly k rows per key with
+    deterministic value order, NULL keys form their own group (same
+    as the window form's groupBy-NULL semantics), and NULL order
+    values are excluded per the documented contract."""
+    from pyspark.sql import Window
+
+    from seqdatapipeline_spark.ops.aggregates import keyed_topk
+
+    rows = (
+        [("d", 1), ("d", 2), ("d", 2), ("d", 2), ("d", 3)]  # ties at k=3
+        + [(None, 5), (None, 4), (None, 6)]                  # NULL key group
+        + [("e", None), ("e", 7)]                            # NULL value
+    )
+    df = spark.createDataFrame(rows, "k string, v long").repartition(5)
+    key = lambda t: (t[0] or "", t[1], t[2])  # noqa: E731
+    got = sorted(
+        [
+            (r.k, r.v, r.rank)
+            for r in keyed_topk(df, ["k"], "v", k=3, salt_buckets=4).collect()
+        ],
+        key=key,
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    want = sorted(
+        [
+            (r.k, r.v, r.rank)
+            for r in df.filter(F.col("v").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .collect()
+        ],
+        key=key,
+    )
+    assert got == want
+    # ties: exactly 3 'd' rows, values [1, 2, 2]
+    assert [v for k, v, _ in got if k == "d"] == [1, 2, 2]
+
+
 def test_url_path_behaviors(spark):
     from pyspark.sql import functions as F
 
