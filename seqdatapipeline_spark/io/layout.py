@@ -235,6 +235,13 @@ def write_curated_ivf(
         id_col=id_col,
     ).select(id_col, "cell")
     write_curated_bucketed(emb.join(asg, id_col), cells_name, "cell", n_buckets)
+    # Same restart hazard as write_bucketed (VERDICT r10): the
+    # session-scoped catalog forgot this table on the last process
+    # exit, but its warehouse directory survived — clear both before
+    # the unbucketed centroid write too.
+    from .sinks import _clear_table_location
+
+    _clear_table_location(spark, cents_name, None)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
     detect_cache_clear()
 

@@ -6749,7 +6749,15 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     carve-out and one prefix that splits an id range, so the match is
     genuinely prefix-shaped, not equality in disguise. Rules
     broadcast (site-policy-sized); the corpus side is one map-side
-    left_anti pass, no shuffle at any scale."""
+    left_anti pass, no shuffle at any scale.
+
+    Directory-root semantics (ADVICE r10): stored paths are
+    trailing-slash-stripped, so a '/'-terminated disallow ALSO blocks
+    the page whose stripped path equals the disallow minus its
+    trailing slashes ('/de/' blocks stored '/de'); deliberate
+    over-block on the indistinguishable slashless spelling — see
+    extensions.corpus.robots_filter. Oracle mirrors with
+    `p.path = rtrim(r.disallow, '/')`."""
     parsed = _urls_maybe_curated(spark, sf_dir).select(
         "doc_id", "domain", "path"
     )

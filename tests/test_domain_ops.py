@@ -337,6 +337,33 @@ def test_write_bucketed_overwrites_stale_external_path(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_write_curated_ivf_overwrites_stale_centroid_location(spark):
+    """The centroid table is the one curated write that does NOT go
+    through write_bucketed (it is unbucketed — model-sized); it must
+    carry the same stale-location clear. Caught live by the r11
+    restart reproducer: curate_corpus over a previous process's
+    warehouse died at the centroids saveAsTable."""
+    import os
+
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    cells_name, cents_name = lay.ivf_table_names(sf)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    stale = os.path.join(warehouse, cents_name)
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-stale.parquet"), "w") as f:
+        f.write("stale")
+    assert not spark.catalog.tableExists(cents_name)
+    try:
+        lay.write_curated_ivf(spark, sf, kmeans_k=5, n_buckets=4)
+        assert spark.table(cents_name).count() == 5
+        assert not os.path.exists(os.path.join(stale, "part-stale.parquet"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
+
+
 def test_gaps_and_islands_merge(spark):
     df = spark.createDataFrame(
         [("c", 1), ("c", 2), ("c", 3), ("c", 10), ("c", 11), ("d", 5)],
