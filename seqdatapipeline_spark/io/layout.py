@@ -239,10 +239,13 @@ def write_curated_ivf(
     # session-scoped catalog forgot this table on the last process
     # exit, but its warehouse directory survived — clear both before
     # the unbucketed centroid write too.
-    from .sinks import _clear_table_location
+    from .sinks import _clear_table_location, write_table_spec
 
     _clear_table_location(spark, cents_name, None)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
+    write_table_spec(
+        spark, cents_name, bucket_cols=None, n_buckets=None, sort_cols=None
+    )
     detect_cache_clear()
 
 
@@ -372,6 +375,94 @@ def curate_corpus(
     write_curated_urls(spark, sf_dir)
     out["urls"] = url_table_name(sf_dir)
     return out
+
+
+def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
+    """Re-register every curated table found under ``warehouse_dir``
+    (default: this session's ``spark.sql.warehouse.dir``) into the
+    current session's catalog — the RESTART story for the curated
+    tiers at 100 TB.
+
+    The engine's catalog is deliberately session-scoped, so a process
+    restart forgets every curated table while its data survives on
+    disk; without this call the only recovery is re-curating from
+    scratch, which defeats incremental ingest entirely at scale. Each
+    curated write drops a `_sg_spec.json` manifest inside its table
+    directory (io.sinks.write_table_spec: name, column DDL, bucket/
+    sort spec); reattach replays it as ``CREATE TABLE ... USING
+    parquet [CLUSTERED BY ... INTO n BUCKETS] LOCATION ...`` over the
+    existing files. Spark's bucketed readers key bucket membership on
+    the `_0000N` component already baked into each file name, so a
+    reattached table's scans report the same clustering as the
+    original — exchange-free consumers, insertInto-able ingest — with
+    zero data movement (verified by plan pins in
+    tests/test_domain_ops.py).
+
+    Returns {table: location} for the tables attached. Skips names
+    already in the catalog (a live session's managed tables win) and
+    directories without a manifest (pre-r11 stores: re-curate once to
+    mint manifests). Tables reattach as EXTERNAL — dropping one no
+    longer deletes its files, which is exactly the durability being
+    added; a later re-curation still overwrites in place
+    (write_bucketed clears the location first). This call is explicit
+    opt-in: the default session keeps the stale-can't-shadow-fresh
+    property, and a deployment that wants durable curated stores runs
+    ``reattach_curated(spark)`` once at session start."""
+    import json as _json
+
+    from .sinks import SPEC_FILE
+
+    wh = warehouse_dir or spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(wh)
+    fs = root.getFileSystem(hconf)
+    attached: dict[str, str] = {}
+    if not fs.exists(root):
+        return attached
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        spec_path = jvm.org.apache.hadoop.fs.Path(status.getPath(), SPEC_FILE)
+        if not fs.exists(spec_path):
+            continue
+        # Driver-side read through the location's own Hadoop FS.
+        # (NOT spark.read.text: Spark's file index silently filters
+        # underscore-prefixed files — the very property that hides
+        # the manifest from data scans — so a distributed read of it
+        # returns empty; verified on this Spark.)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(spec_path), "UTF-8")
+        )
+        try:
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+        finally:
+            reader.close()
+        spec = _json.loads("\n".join(lines))
+        table = spec["table"]
+        if spark.catalog.tableExists(table):
+            continue
+        loc = status.getPath().toString()
+        clause = ""
+        if spec.get("bucket_cols"):
+            cols = ", ".join(spec["bucket_cols"])
+            clause = f" CLUSTERED BY ({cols})"
+            if spec.get("sort_cols"):
+                scols = ", ".join(spec["sort_cols"])
+                clause += f" SORTED BY ({scols})"
+            clause += f" INTO {int(spec['n_buckets'])} BUCKETS"
+        spark.sql(
+            f"CREATE TABLE {table} ({spec['ddl']}) USING parquet"
+            f"{clause} LOCATION '{loc}'"
+        )
+        attached[table] = loc
+    if attached:
+        detect_cache_clear()
+    return attached
 
 
 def pq_table_name(sf_dir: str) -> str:

@@ -147,6 +147,66 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+    write_table_spec(
+        df.sparkSession, table,
+        bucket_cols=bucket_cols, n_buckets=n_buckets, sort_cols=sort_cols,
+    )
+
+
+SPEC_FILE = "_sg_spec.json"
+
+
+def resolve_table_location(spark: SparkSession, table: str) -> str:
+    """The table's resolved storage location from the live catalog."""
+    rows = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where("col_name = 'Location'")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no location in catalog for table {table}")
+    return rows[0].data_type
+
+
+def write_table_spec(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str] | None,
+    n_buckets: int | None,
+    sort_cols: list[str] | None,
+) -> None:
+    """Drop a spec manifest (`_sg_spec.json`) inside the table's own
+    directory: table name, column DDL, and the bucket/sort spec. The
+    engine's catalog is deliberately session-scoped (a stale warehouse
+    can never shadow fresh parquet), which makes curated tables
+    vanish from the catalog on process exit while their data — a
+    100 TB curation investment — survives on disk. The manifest is
+    what lets ``io.layout.reattach_curated`` re-register the table in
+    a NEW process with the exact same bucket spec, so scans resume
+    reporting the clustering (exchange-free consumers) without
+    re-curating anything. Spark file listings ignore underscore-
+    prefixed files, so the manifest is invisible to every scan; it is
+    written through the Hadoop FileSystem of the table's own location
+    (local/HDFS/S3 alike)."""
+    import json as _json
+
+    loc = resolve_table_location(spark, table)
+    ddl = spark.table(table)._jdf.schema().toDDL()
+    spec = {
+        "table": table,
+        "ddl": ddl,
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "sort_cols": sort_cols,
+    }
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/" + SPEC_FILE)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(_json.dumps(spec).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _clear_table_location(spark: SparkSession, table: str, path: str | None) -> None:

@@ -337,6 +337,96 @@ def test_write_bucketed_overwrites_stale_external_path(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_reattach_curated_restores_bucketed_table_and_plans(spark, tmp_path):
+    """Durable curated stores (r11): a table whose catalog entry is
+    gone but whose directory (data + _sg_spec.json manifest) survives
+    must reattach with the same bucket spec — same rows, exchange-free
+    groupBy on the bucket key, and insertInto-able for ingest."""
+    import os
+
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.io.sinks import SPEC_FILE, write_bucketed
+
+    table = "t_reattach_bkt"
+    loc = tmp_path / table
+    df = spark.range(0, 500).withColumn("v", F.col("id") * 3)
+    try:
+        write_bucketed(df, table, ["id"], n_buckets=4, path=str(loc),
+                       sort_cols=["id"])
+        assert os.path.exists(str(loc / SPEC_FILE))
+        spark.sql(f"DROP TABLE {table}")  # external: files + manifest survive
+        assert not spark.catalog.tableExists(table)
+        attached = lay.reattach_curated(spark, warehouse_dir=str(tmp_path))
+        assert table in attached, attached
+        t = spark.table(table)
+        assert t.count() == 500
+        assert t.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(500))
+        plan = (
+            t.groupBy("id").count()._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        # ingest resumes: insertInto honors the reattached bucket spec
+        spark.range(500, 600).withColumn("v", F.col("id") * 3).write.mode(
+            "append"
+        ).insertInto(table)
+        assert spark.table(table).count() == 600
+        # idempotent: a second reattach skips live catalog entries
+        assert lay.reattach_curated(spark, warehouse_dir=str(tmp_path)) == {}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_reattach_curated_across_process_restart(spark, tmp_path):
+    """THE restart story: another PROCESS curates (its session-scoped
+    catalog dies with it), this session reattaches from the surviving
+    warehouse and every consumer serves the curated path with rows
+    identical to the plain derivation — no re-curation."""
+    import subprocess
+    import sys
+
+    import __spark_entry__ as entrymod
+    from seqdatapipeline_spark.io import layout as lay
+
+    sf = "/root/testdata/sf0.001"
+    wh = str(tmp_path / "other-process-warehouse")
+    code = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from seqdatapipeline_spark.session import get_spark
+from seqdatapipeline_spark.io.layout import curate_corpus
+s = get_spark("curator", shuffle_partitions=4,
+              extra_conf={{"spark.sql.warehouse.dir": {wh!r}}})
+s.sparkContext.setLogLevel("ERROR")
+curate_corpus(s, {sf!r}, n_buckets=4)
+s.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    qs = entrymod.queries()
+    reps = ["dedup_alignments", "pagerank_iter", "url_domain_stats", "dedup_exact"]
+    plain = {op: set(map(tuple, qs[op](spark, sf).collect())) for op in reps}
+    attached = {}
+    try:
+        attached = lay.reattach_curated(spark, warehouse_dir=wh)
+        assert len(attached) >= 8, attached  # all tiers + centroids/keys
+        for op in reps:
+            assert set(map(tuple, qs[op](spark, sf).collect())) == plain[op], op
+        # the genomics consumer actually serves from the reattached table
+        plan = (
+            qs["dedup_alignments"](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "lineitem_by_l_orderkey" in plan, plan
+    finally:
+        for t in attached:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_write_curated_ivf_overwrites_stale_centroid_location(spark):
     """The centroid table is the one curated write that does NOT go
     through write_bucketed (it is unbucketed — model-sized); it must
