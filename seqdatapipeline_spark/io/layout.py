@@ -244,7 +244,7 @@ def write_curated_ivf(
     _clear_table_location(spark, cents_name, None)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
     write_table_spec(
-        spark, cents_name, bucket_cols=None, n_buckets=None, sort_cols=None
+        spark, cents_name, cents, bucket_cols=None, n_buckets=None, sort_cols=None
     )
     detect_cache_clear()
 

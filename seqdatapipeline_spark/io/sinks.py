@@ -148,7 +148,7 @@ def write_bucketed(
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
     write_table_spec(
-        df.sparkSession, table,
+        df.sparkSession, table, df,
         bucket_cols=bucket_cols, n_buckets=n_buckets, sort_cols=sort_cols,
     )
 
@@ -171,6 +171,7 @@ def resolve_table_location(spark: SparkSession, table: str) -> str:
 def write_table_spec(
     spark: SparkSession,
     table: str,
+    df: DataFrame,
     bucket_cols: list[str] | None,
     n_buckets: int | None,
     sort_cols: list[str] | None,
@@ -187,11 +188,19 @@ def write_table_spec(
     re-curating anything. Spark file listings ignore underscore-
     prefixed files, so the manifest is invisible to every scan; it is
     written through the Hadoop FileSystem of the table's own location
-    (local/HDFS/S3 alike)."""
+    (local/HDFS/S3 alike).
+
+    The DDL comes from ``df`` — the frame just written — NOT from
+    ``spark.table(table)``: reading the table here would prime this
+    session's relation cache (a Spark-side file-listing snapshot that
+    a streaming foreachBatch append, running on a CLONED session,
+    cannot invalidate), making later reads in this session silently
+    miss appended batches. Found live by
+    test_stream_into_curated_keeps_fast_paths_current."""
     import json as _json
 
     loc = resolve_table_location(spark, table)
-    ddl = spark.table(table)._jdf.schema().toDDL()
+    ddl = df._jdf.schema().toDDL()
     spec = {
         "table": table,
         "ddl": ddl,

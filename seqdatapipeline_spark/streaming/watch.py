@@ -183,10 +183,19 @@ def stream_into_curated(
     -per-batch accumulation."""
     from ..io.layout import append_curated_bucketed
 
+    # foreachBatch executes on a CLONED SparkSession whose insertInto
+    # refreshes only the CLONE's relation cache — if the original
+    # session ever read spark.table(name) before this batch, its
+    # cached file listing would silently miss the appended files. The
+    # original session is the stream's own; refresh its cache after
+    # every batch so batch-side consumers always see current data.
+    origin = stream_df.sparkSession
+
     def _sink(df: DataFrame, epoch_id: int) -> None:
         batch = transform(df) if transform is not None else df
         append_curated_bucketed(
             batch, table, bucket_col, n_buckets=n_buckets, sort_cols=sort_cols
         )
+        origin.catalog.refreshTable(table)
 
     return run_batches(stream_df, _sink, checkpoint, once=once)

@@ -648,3 +648,60 @@ def test_stream_into_curated_keeps_fast_paths_current(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_into_curated_resumes_after_reattach(spark):
+    """The full production loop across a restart: curate → catalog
+    forgets the table (simulated via an external-table DROP; the true
+    cross-process case is test_reattach_curated_across_process_restart)
+    → reattach_curated → streaming ingest RESUMES into the reattached
+    table with the bucket spec intact."""
+    import json
+
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.io.sinks import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    table = "t_stream_reattach"
+    tmp = tempfile.mkdtemp()
+    inbox, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ck")
+    loc = os.path.join(tmp, "tbl")
+    os.makedirs(inbox)
+    try:
+        seed = (
+            docs.select("doc_id", "text")
+            .filter(F.col("doc_id") % 2 == 0)
+            .withColumn("content_hash", F.md5("text"))
+        )
+        write_bucketed(seed, table, ["content_hash"], n_buckets=4, path=loc)
+        n_seed = spark.table(table).count()
+        spark.sql(f"DROP TABLE {table}")  # external: data + manifest survive
+        attached = lay.reattach_curated(spark, warehouse_dir=tmp)
+        assert table in attached, attached
+        rest = docs.filter(F.col("doc_id") % 2 == 1).collect()
+        with open(os.path.join(inbox, "b1.json"), "w") as f:
+            for r in rest:
+                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(inbox)
+        watch.stream_into_curated(
+            stream,
+            table,
+            "content_hash",
+            ckpt,
+            n_buckets=4,
+            transform=lambda df: df.withColumn("content_hash", F.md5("text")),
+        )
+        cur = spark.table(table)
+        assert cur.count() == n_seed + len(rest) == docs.count()
+        plan = (
+            cur.groupBy("content_hash")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
