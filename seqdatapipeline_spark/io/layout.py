@@ -377,6 +377,67 @@ def curate_corpus(
     return out
 
 
+def compact_curated(
+    spark,
+    table: str,
+    dedup_cols: "list[str] | None" = None,
+) -> None:
+    """Maintenance compaction for a curated BUCKETED table — the
+    companion of ``compact_partitioned`` for the catalog-table tiers.
+    Streaming ingest (stream_into_curated) and batch appends
+    (append_curated_bucketed) each land one file per non-empty bucket
+    per batch; after K batches every scan opens K+1 files per bucket
+    and an exactly-once replay may have re-appended rows. This pass
+    rewrites the table as ONE file per bucket with the SAME bucket/
+    sort spec (read from the table's own `_sg_spec.json` manifest, so
+    compaction can never drift from the spec the data was written
+    under), optionally dropping duplicates on ``dedup_cols`` first —
+    the dedup half of the lakehouse compact-with-dedup idiom the
+    streaming docstring promises.
+
+    Mechanics: stage the (deduped) rows to a sibling temp directory
+    (Spark cannot overwrite a table it is reading), then rewrite in
+    place via write_bucketed at the table's ORIGINAL resolved location
+    — consumers keep their exchange-free plans, the manifest is
+    re-minted, and reattach_curated keeps working after a restart.
+    Like every read-modify-overwrite in this engine it is
+    single-writer (SURVEY §7 risk 3); run it in the maintenance window
+    a production table already has."""
+    from .sinks import read_table_spec, resolve_table_location, write_bucketed
+
+    loc = resolve_table_location(spark, table)
+    spec = read_table_spec(spark, loc)
+    if spec is None:
+        raise ValueError(
+            f"no _sg_spec.json manifest at {loc} — re-curate {table} once "
+            "(any r11+ curated write mints the manifest) before compacting"
+        )
+    if not spec.get("bucket_cols"):
+        raise ValueError(f"{table} is not bucketed; use compact_partitioned")
+    df = spark.table(table)
+    if dedup_cols:
+        df = df.dropDuplicates(dedup_cols)
+    tmp = loc.rstrip("/") + ".__compact__"
+    df.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    n_buckets = int(spec["n_buckets"])
+    bucket_cols = spec["bucket_cols"]
+    write_bucketed(
+        staged.repartition(n_buckets, *[F.col(c) for c in bucket_cols]),
+        table,
+        bucket_cols,
+        n_buckets=n_buckets,
+        path=loc,
+        sort_cols=spec.get("sort_cols"),
+    )
+    jvm = spark._jvm
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    detect_cache_clear()
+
+
 def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
     """Re-register every curated table found under ``warehouse_dir``
     (default: this session's ``spark.sql.warehouse.dir``) into the
@@ -408,9 +469,7 @@ def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
     opt-in: the default session keeps the stale-can't-shadow-fresh
     property, and a deployment that wants durable curated stores runs
     ``reattach_curated(spark)`` once at session start."""
-    import json as _json
-
-    from .sinks import SPEC_FILE
+    from .sinks import read_table_spec
 
     wh = warehouse_dir or spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
@@ -423,26 +482,9 @@ def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
     for status in fs.listStatus(root):
         if not status.isDirectory():
             continue
-        spec_path = jvm.org.apache.hadoop.fs.Path(status.getPath(), SPEC_FILE)
-        if not fs.exists(spec_path):
+        spec = read_table_spec(spark, status.getPath().toString())
+        if spec is None:
             continue
-        # Driver-side read through the location's own Hadoop FS.
-        # (NOT spark.read.text: Spark's file index silently filters
-        # underscore-prefixed files — the very property that hides
-        # the manifest from data scans — so a distributed read of it
-        # returns empty; verified on this Spark.)
-        reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(fs.open(spec_path), "UTF-8")
-        )
-        try:
-            lines = []
-            line = reader.readLine()
-            while line is not None:
-                lines.append(line)
-                line = reader.readLine()
-        finally:
-            reader.close()
-        spec = _json.loads("\n".join(lines))
         table = spec["table"]
         if spark.catalog.tableExists(table):
             continue

@@ -218,6 +218,34 @@ def write_table_spec(
         out.close()
 
 
+def read_table_spec(spark: SparkSession, location: str) -> dict | None:
+    """Parse the `_sg_spec.json` manifest at ``location``, or None if
+    the directory carries none (pre-manifest stores). Driver-side read
+    through the location's own Hadoop FS — NOT spark.read.text, whose
+    file index silently filters underscore-prefixed files."""
+    import json as _json
+
+    jvm = spark._jvm
+    spec_path = jvm.org.apache.hadoop.fs.Path(
+        location.rstrip("/") + "/" + SPEC_FILE
+    )
+    fs = spec_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(spec_path):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(spec_path), "UTF-8")
+    )
+    try:
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+    finally:
+        reader.close()
+    return _json.loads("\n".join(lines))
+
+
 def _clear_table_location(spark: SparkSession, table: str, path: str | None) -> None:
     """Make ``saveAsTable(table)`` safe across process restarts: drop a
     pre-existing catalog entry, then remove stale files at the resolved

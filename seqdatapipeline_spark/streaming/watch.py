@@ -177,10 +177,11 @@ def stream_into_curated(
     append — e.g. stamping the stored content_hash on a documents
     stream. Exactly-once within a batch comes from the stream
     checkpoint: a replayed batch re-appends, so keep ingest idempotent
-    upstream (dedup on a stored key) or run compact_layout with a
-    dedup pass periodically, exactly as a production lakehouse does.
-    Pair with periodic compact_layout to fold the one-file-per-bucket
-    -per-batch accumulation."""
+    upstream (dedup on a stored key) or run
+    io.layout.compact_curated(table, dedup_cols=[...]) periodically,
+    exactly as a production lakehouse does — the same pass folds the
+    one-file-per-bucket-per-batch accumulation back to one file per
+    bucket."""
     from ..io.layout import append_curated_bucketed
 
     # foreachBatch executes on a CLONED SparkSession whose insertInto

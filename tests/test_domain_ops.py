@@ -427,6 +427,73 @@ s.stop()
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compact_curated_folds_files_and_dedups(spark, tmp_path):
+    """The bucketed-table maintenance pass: after K appends each
+    bucket holds K+1 files; compact_curated must fold back to one
+    file per bucket with identical rows (exchange-free plan intact),
+    and dedup_cols must fold a replayed batch's duplicates."""
+    import glob
+    import os
+
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.io.sinks import write_bucketed
+
+    table = "t_compact_bkt"
+    loc = tmp_path / table
+    n_buckets = 4
+    base = spark.range(0, 400).withColumn("v", F.col("id") % 7)
+    try:
+        write_bucketed(base, table, ["id"], n_buckets=n_buckets, path=str(loc),
+                       sort_cols=["id"])
+        for lo in (400, 600):
+            lay.append_curated_bucketed(
+                spark.range(lo, lo + 200).withColumn("v", F.col("id") % 7),
+                table, "id", n_buckets=n_buckets,
+            )
+        def data_files():
+            return [
+                f for f in glob.glob(str(loc / "*.parquet"))
+                if not os.path.basename(f).startswith(("_", "."))
+            ]
+        # seed wrote one file per (task, bucket) and each append added
+        # one per bucket — well past one-per-bucket either way
+        files_before = len(data_files())
+        assert files_before > 2 * n_buckets, files_before
+        expect = set(map(tuple, spark.table(table).collect()))
+        lay.compact_curated(spark, table)
+        assert len(data_files()) == n_buckets
+        t = spark.table(table)
+        assert set(map(tuple, t.collect())) == expect
+        plan = t.groupBy("id").count()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # replayed batch: duplicates folded by dedup_cols
+        lay.append_curated_bucketed(
+            spark.range(600, 800).withColumn("v", F.col("id") % 7),
+            table, "id", n_buckets=n_buckets,
+        )
+        assert spark.table(table).count() == 1000
+        lay.compact_curated(spark, table, dedup_cols=["id"])
+        assert spark.table(table).count() == 800
+        assert set(map(tuple, spark.table(table).collect())) == expect
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_curated_refuses_without_manifest(spark, tmp_path):
+    from seqdatapipeline_spark.io import layout as lay
+
+    spark.range(10).write.mode("overwrite").option(
+        "path", str(tmp_path / "plainloc")
+    ).saveAsTable("t_compact_nospec")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="manifest"):
+            lay.compact_curated(spark, "t_compact_nospec")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_compact_nospec")
+
+
 def test_write_curated_ivf_overwrites_stale_centroid_location(spark):
     """The centroid table is the one curated write that does NOT go
     through write_bucketed (it is unbucketed — model-sized); it must
