@@ -410,6 +410,11 @@ def main() -> None:
         out["curated"] = True
         out["curate_secs"] = curate_secs
 
+    # The plain headline ships FIRST — it is the driver's artifact and
+    # must be on stdout even if a harness timeout kills the (roughly
+    # 2x longer) combined run during the curated pass below.
+    print(json.dumps(out), flush=True)
+
     if not curated_only and not only and sf == 0.1:
         # The per-round curated artifact: same stamps and mechanics,
         # curated pins. Written to a FILE — the driver captures stdout
@@ -425,10 +430,9 @@ def main() -> None:
             path = os.path.join(_REPO, f"BENCH_r{_next_round()}_curated.json")
             with open(path, "w") as f:
                 f.write(json.dumps(cur) + "\n")
-        except Exception as e:  # the plain artifact must still ship
+        except Exception as e:  # the plain artifact has already shipped
             print(f"curated bench pass failed: {e}", file=sys.stderr)
 
-    print(json.dumps(out))
     spark.stop()
 
 
