@@ -54,6 +54,10 @@ def brute_topk_cosine(
     return identical rows. Ranking is a window over query_id — shuffle
     keyed by query, never a global sort, no driver collect of
     candidates."""
+    # NULL vectors are not candidates — uniform ANN-family semantics
+    # (mirrored by `embedding IS NOT NULL` in the DuckDB oracles, and
+    # required by the arrow path, whose np.stack would die on None).
+    corpus = corpus.filter(F.col(c_vec).isNotNull())
     if strategy == "auto":
         n_q = queries.limit(ARROW_MIN_QUERIES).count()
         strategy = "arrow" if n_q >= ARROW_MIN_QUERIES else "jvm"

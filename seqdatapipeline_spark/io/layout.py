@@ -402,8 +402,24 @@ def compact_curated(
     re-minted, and reattach_curated keeps working after a restart.
     Like every read-modify-overwrite in this engine it is
     single-writer (SURVEY §7 risk 3); run it in the maintenance window
-    a production table already has."""
-    from .sinks import read_table_spec, resolve_table_location, write_bucketed
+    a production table already has.
+
+    Crash safety (r11 review): the staged directory is given its own
+    PLAIN-table manifest (bucket_cols None — the staged copy is not
+    hash-laid-out, and registering it as bucketed would corrupt joins)
+    before the destructive rewrite starts, so if the rewrite dies
+    after write_bucketed cleared the original location, ALL rows still
+    exist at ``<loc>.__compact__`` and ``reattach_curated`` over the
+    parent directory re-registers them under the original table name
+    as a plain table — correct rows immediately, re-curate later to
+    restore the bucketed layout. A leftover staged directory from a
+    crashed run whose table still exists is deleted and re-staged."""
+    from .sinks import (
+        read_table_spec,
+        resolve_table_location,
+        write_bucketed,
+        write_spec_at,
+    )
 
     loc = resolve_table_location(spark, table)
     spec = read_table_spec(spark, loc)
@@ -414,14 +430,33 @@ def compact_curated(
         )
     if not spec.get("bucket_cols"):
         raise ValueError(f"{table} is not bucketed; use compact_partitioned")
+    tmp = loc.rstrip("/") + ".__compact__"
+    jvm = spark._jvm
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(tmp_path):
+        # table exists (we resolved its location), so this is a stale
+        # leftover from a run that died BEFORE its destructive phase
+        fs.delete(tmp_path, True)
     df = spark.table(table)
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
-    tmp = loc.rstrip("/") + ".__compact__"
     df.write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
+    write_spec_at(
+        spark, tmp,
+        {"table": table, "ddl": spec["ddl"], "bucket_cols": None,
+         "n_buckets": None, "sort_cols": None},
+    )
+    staged = spark.read.parquet(tmp)  # direct read: the memoized
+    # plain_parquet would pin a dead tmp path in the session memo
     n_buckets = int(spec["n_buckets"])
     bucket_cols = spec["bucket_cols"]
+    # Destructive phase: the original table must leave the catalog for
+    # the in-place rewrite (saveAsTable cannot overwrite a table its
+    # own input scan reads — and the input is now the staged copy, not
+    # the table). Recovery from here until the rewrite commits is the
+    # staged copy + its manifest.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     write_bucketed(
         staged.repartition(n_buckets, *[F.col(c) for c in bucket_cols]),
         table,
@@ -430,9 +465,6 @@ def compact_curated(
         path=loc,
         sort_cols=spec.get("sort_cols"),
     )
-    jvm = spark._jvm
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = tmp_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)
     detect_cache_clear()
@@ -702,11 +734,18 @@ def refresh_curated_edges(spark, sf_dir: str, new_facts: DataFrame,
     delta = co_occurrence_weighted_half(
         new_facts, "l_orderkey", "l_partkey", max_group
     )
+    # Keys are registered BEFORE the edge delta lands (r11 review):
+    # if the process dies between the two appends, a replay of the
+    # batch now RAISES at validation (loud, operator decides — the
+    # edges of that batch are missing and the store needs a rebuild or
+    # a validate_batch_keys=False replay) instead of passing
+    # validation and silently double-counting every edge weight, which
+    # no reader could ever detect. Fail-safe beats fail-silent.
+    if have_keys_tbl:
+        append_curated_bucketed(batch_keys, keys_tbl, "gkey")
     # Delta derives from new_facts ALONE — correct only under the
     # whole-groups-per-batch precondition above.
     append_curated_bucketed(delta, graph_table_name(sf_dir), "src")
-    if have_keys_tbl:
-        append_curated_bucketed(batch_keys, keys_tbl, "gkey")
 
 
 def curated_edges_or_none(spark, sf_dir: str):

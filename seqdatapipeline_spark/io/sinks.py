@@ -197,19 +197,24 @@ def write_table_spec(
     cannot invalidate), making later reads in this session silently
     miss appended batches. Found live by
     test_stream_into_curated_keeps_fast_paths_current."""
-    import json as _json
-
     loc = resolve_table_location(spark, table)
-    ddl = df._jdf.schema().toDDL()
     spec = {
         "table": table,
-        "ddl": ddl,
+        "ddl": df._jdf.schema().toDDL(),
         "bucket_cols": bucket_cols,
         "n_buckets": n_buckets,
         "sort_cols": sort_cols,
     }
+    write_spec_at(spark, loc, spec)
+
+
+def write_spec_at(spark: SparkSession, location: str, spec: dict) -> None:
+    """Write a spec manifest dict as `_sg_spec.json` under ``location``
+    through that location's own Hadoop FileSystem."""
+    import json as _json
+
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/" + SPEC_FILE)
+    hpath = jvm.org.apache.hadoop.fs.Path(location.rstrip("/") + "/" + SPEC_FILE)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(hpath, True)
     try:
@@ -247,50 +252,51 @@ def read_table_spec(spark: SparkSession, location: str) -> dict | None:
 
 
 def _clear_table_location(spark: SparkSession, table: str, path: str | None) -> None:
-    """Make ``saveAsTable(table)`` safe across process restarts: drop a
-    pre-existing catalog entry, then remove stale files at the resolved
-    table location (external ``path`` if given, else
-    ``<spark.sql.warehouse.dir>[/<db>.db]/<table>`` — Spark lowercases
-    managed-table directory names). A session-scoped catalog forgets
-    tables on exit but their warehouse directories survive, and
-    ``CREATE TABLE`` refuses a non-empty location it has no catalog
-    entry for (LOCATION_ALREADY_EXISTS). Deletion goes through the
-    Hadoop FileSystem resolved FROM the location URI, so it is correct
-    for local paths, HDFS, and object stores alike."""
+    """Make ``saveAsTable(table)`` safe across process restarts.
+
+    Acts ONLY when the catalog does NOT know the table — the
+    cross-process stale case, where a previous process's warehouse
+    directory survives but the session-scoped catalog forgot the
+    entry and ``CREATE TABLE`` refuses the non-empty location
+    (LOCATION_ALREADY_EXISTS). Then the stale files at the resolved
+    location (external ``path`` if given, else
+    ``<spark.sql.warehouse.dir>[/<db>.db]/<table>``, honoring the
+    session's current database — Spark lowercases managed-table
+    directory names) are removed through the Hadoop FileSystem of the
+    location URI (local/HDFS/S3 alike).
+
+    A table the catalog DOES know is deliberately left alone:
+    ``mode("overwrite").saveAsTable`` already handles the live case,
+    and going through it preserves two Spark safety behaviors that
+    deleting-first would destroy (r11 review findings): the
+    cannot-overwrite-a-table-being-read guard (a self-referential
+    write_bucketed fails cleanly with data intact instead of deleting
+    the files out from under its own scan), and repoint-don't-delete
+    semantics when an existing table is rewritten at a NEW ``path``
+    (the old external location's files are not this writer's to
+    destroy)."""
     if spark.catalog.tableExists(table):
-        # Resolve the true location from the live catalog entry before
-        # dropping: an external table may live somewhere the naming
-        # convention below cannot reconstruct.
-        try:
-            loc = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-                .where("col_name = 'Location'")
-                .collect()
-            )
-            locations = [r.data_type for r in loc]
-        except Exception:
-            locations = []
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-    else:
-        locations = []
+        return
     if path is not None:
-        locations.append(path)
+        loc = path
     else:
         parts = table.split(".")
         name = parts[-1].lower()
-        db = parts[-2].lower() if len(parts) > 1 else None
+        db = (
+            parts[-2].lower()
+            if len(parts) > 1
+            else spark.catalog.currentDatabase().lower()
+        )
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         base = warehouse.rstrip("/")
         if db and db != "default":
             base = f"{base}/{db}.db"
-        locations.append(f"{base}/{name}")
+        loc = f"{base}/{name}"
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for loc in locations:
-        hpath = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = hpath.getFileSystem(hconf)
-        if fs.exists(hpath):
-            fs.delete(hpath, True)
+    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def _overwrite_parquet(df: DataFrame, path: str) -> None:

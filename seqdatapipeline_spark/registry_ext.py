@@ -377,6 +377,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
+      WHERE c.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -405,6 +406,7 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
+      WHERE c.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -472,6 +474,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(p.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM probe p JOIN embeddings c ON c.label = p.cell
+      WHERE c.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank

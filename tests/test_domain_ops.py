@@ -479,6 +479,32 @@ def test_compact_curated_folds_files_and_dedups(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_write_bucketed_self_overwrite_fails_with_data_intact(spark, tmp_path):
+    """Spark's cannot-overwrite-a-table-being-read guard must survive
+    the stale-location clear (r11 review finding: an unconditional
+    delete-first would destroy the table's only copy before the
+    self-referential scan ran). The clear acts only on catalog-unknown
+    names, so a live self-overwrite fails cleanly and the rows remain."""
+    import pytest as _pytest
+
+    from seqdatapipeline_spark.io.sinks import write_bucketed
+
+    table = "t_bkt_selfref"
+    try:
+        write_bucketed(
+            spark.range(0, 100).withColumn("v", F.col("id")),
+            table, ["id"], n_buckets=2, path=str(tmp_path / table),
+        )
+        with _pytest.raises(Exception, match="(?i)overwrit|read from"):
+            write_bucketed(
+                spark.table(table).filter(F.col("id") < 50),
+                table, ["id"], n_buckets=2, path=str(tmp_path / table),
+            )
+        assert spark.table(table).count() == 100  # data intact
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_curated_refuses_without_manifest(spark, tmp_path):
     from seqdatapipeline_spark.io import layout as lay
 
