@@ -1402,8 +1402,10 @@ def srp_near_dup_pairs(
     member fan-out (cross pairs carry the representative cosine —
     identical arrays make it the same value — and within-group pairs
     are cos 1.0, zero-norm groups excluded because 0/0 cosine is NaN
-    and never qualifies, matching the uncollapsed arithmetic)."""
-    base = emb.select(F.col(id_col), F.col(vec_col))
+    and never qualifies, matching the uncollapsed arithmetic).
+    NULL vectors have no geometry and are excluded (ANN-family NULL
+    contract; a NULL would also make every projection sign NULL)."""
+    base = emb.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), F.col(vec_col))
     groups = (
         base.groupBy(vec_col)
         .agg(F.min(id_col).alias("__rep"))

@@ -54,10 +54,12 @@ def brute_topk_cosine(
     return identical rows. Ranking is a window over query_id — shuffle
     keyed by query, never a global sort, no driver collect of
     candidates."""
-    # NULL vectors are not candidates — uniform ANN-family semantics
-    # (mirrored by `embedding IS NOT NULL` in the DuckDB oracles, and
-    # required by the arrow path, whose np.stack would die on None).
+    # NULL vectors are neither candidates NOR queries — uniform
+    # ANN-family semantics (mirrored by `embedding IS NOT NULL` in the
+    # DuckDB oracles, and required by the arrow path, whose np.stack
+    # would die on a None vector on either side).
     corpus = corpus.filter(F.col(c_vec).isNotNull())
+    queries = queries.filter(F.col(q_vec).isNotNull())
     if strategy == "auto":
         n_q = queries.limit(ARROW_MIN_QUERIES).count()
         strategy = "arrow" if n_q >= ARROW_MIN_QUERIES else "jvm"
@@ -334,6 +336,10 @@ def ivf_topk_cosine(
     cross-engine ulp drift so it can be externally oracle-checked
     (see registry_ext.q_ann_ivf_pruned_topk); leave None for
     production serving, where ulp-level probe ties are harmless."""
+    # NULL vectors are neither queries nor candidates — see
+    # brute_topk_cosine; a NULL q_vec would probe-rank on NULL
+    # cosines (and crash any Arrow-side matrix build).
+    queries = queries.filter(F.col(q_vec).isNotNull())
     if index is not None:
         cents, cells = index
     elif cell_col is not None:
@@ -424,9 +430,12 @@ def pq_ivf_build(
     - codes: (vec_id, sub, cent) PQ codes — the other full-corpus
       pass. The two corpus passes are exactly what the curated layout
       (io.layout.write_curated_pq) stores so serving never repeats
-      them."""
+      them.
+
+    NULL vectors are excluded (ANN-family NULL contract): they can
+    neither seed the coarse/codebook models nor be encoded."""
     spark = corpus.sparkSession
-    v = corpus.select(
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
@@ -655,8 +664,12 @@ def nearest_centroid(
     argmax is a max(struct) aggregate keyed by the vector id — a
     map-side-combinable groupBy, never a window over the k-times
     exploded join (whose per-id partitions would stall on hot ids at
-    scale). Zero Python: the cosine folds in Catalyst expressions."""
-    v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    scale). Zero Python: the cosine folds in Catalyst expressions.
+    NULL vectors are not assignable and are excluded (ANN-family
+    NULL contract)."""
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
     scored = v.join(F.broadcast(centroids)).withColumn(
         "__cos", cosine(F.col("__v"), F.col("centroid"))
     )

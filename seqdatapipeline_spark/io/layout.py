@@ -222,7 +222,13 @@ def write_curated_ivf(
     from ..extensions import similarity as sim
 
     cells_name, cents_name = ivf_table_names(sf_dir)
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # NULL vectors are not candidates anywhere in the ANN family
+    # (second r11 review pass): an unfiltered curated store would keep
+    # NULL-vector rows the serve-time paths and the DuckDB oracles all
+    # exclude — a crawl corpus WILL have failed-embedding rows.
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col(vec_col).isNotNull()
+    )
     cents = sim.kmeans_cells(
         emb, k=kmeans_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
@@ -292,6 +298,8 @@ def refresh_curated_ivf(spark, sf_dir: str, new_vectors: DataFrame) -> None:
 
     cells_name, cents_name = ivf_table_names(sf_dir)
     cents = spark.table(cents_name)
+    new_vectors = new_vectors.filter(F.col("embedding").isNotNull())  # see
+    # write_curated_ivf: NULL vectors are not ANN candidates
     asg = sim.assign_best_cell(
         new_vectors.select(
             F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__av")
@@ -410,10 +418,14 @@ def compact_curated(
     before the destructive rewrite starts, so if the rewrite dies
     after write_bucketed cleared the original location, ALL rows still
     exist at ``<loc>.__compact__`` and ``reattach_curated`` over the
-    parent directory re-registers them under the original table name
-    as a plain table — correct rows immediately, re-curate later to
-    restore the bucketed layout. A leftover staged directory from a
-    crashed run whose table still exists is deleted and re-staged."""
+    parent directory re-registers them — under the DISTINCT recovery
+    name ``<table>__staged``, never the original name, so a crash
+    BEFORE the destructive phase (both directories intact) can never
+    race the staged plain copy against the real bucketed store for
+    the table's identity (second r11 review pass). Recovery is then
+    explicit: re-curate ``<table>`` from ``<table>__staged``'s rows.
+    A leftover staged directory from a crashed run whose table still
+    exists is deleted and re-staged."""
     from .sinks import (
         read_table_spec,
         resolve_table_location,
@@ -444,7 +456,7 @@ def compact_curated(
     df.write.mode("overwrite").parquet(tmp)
     write_spec_at(
         spark, tmp,
-        {"table": table, "ddl": spec["ddl"], "bucket_cols": None,
+        {"table": f"{table}__staged", "ddl": spec["ddl"], "bucket_cols": None,
          "n_buckets": None, "sort_cols": None},
     )
     staged = spark.read.parquet(tmp)  # direct read: the memoized
@@ -511,13 +523,25 @@ def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
     attached: dict[str, str] = {}
     if not fs.exists(root):
         return attached
-    for status in fs.listStatus(root):
+    # Deterministic iteration: FileSystem.listStatus order is
+    # unspecified (java File.list on the local FS), and two manifests
+    # claiming one name must resolve the same way on every restart —
+    # first-by-path wins, the duplicate is logged and skipped.
+    statuses = sorted(fs.listStatus(root), key=lambda st: st.getPath().toString())
+    for status in statuses:
         if not status.isDirectory():
             continue
         spec = read_table_spec(spark, status.getPath().toString())
         if spec is None:
             continue
         table = spec["table"]
+        if table in attached:
+            __import__("logging").getLogger(__name__).warning(
+                "reattach_curated: %s also claims table %s (attached from "
+                "%s) — skipped; reconcile the duplicate manifests",
+                status.getPath().toString(), table, attached[table],
+            )
+            continue
         if spark.catalog.tableExists(table):
             continue
         loc = status.getPath().toString()

@@ -371,7 +371,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_cosine",
     """
     WITH queries AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -400,7 +400,7 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     """
     WITH queries AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -452,7 +452,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ),
     per_dim AS (
       SELECT label AS cell, t.i AS dim,
@@ -1936,7 +1936,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id, round(scale, 6) AS scale,
            array_to_string(CASE WHEN scale > 0
@@ -1952,8 +1952,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Contract output serializes the int8 codes to a CSV
     string (ints render identically in both engines) so the external
     hash-compare gets scalar cells; the array form stays available via
-    sim.quantize_int8 for in-pipeline use."""
-    emb = _t(spark, sf_dir, "embeddings")
+    sim.quantize_int8 for in-pipeline use. NULL embeddings are
+    excluded in both engines (nothing to quantize; keeping them
+    diverged — Spark's concat_ws renders a NULL array as '' where
+    DuckDB's array_to_string yields NULL)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     qdf = sim.quantize_int8(emb)
     return qdf.select(
         "vec_id",
@@ -2944,7 +2947,7 @@ def _srp_oracle(bits: int = 24, band_bits: int = 6, dims: int = 64, threshold: f
         f"CASE WHEN ({proj(b)}) >= 0 THEN '1' ELSE '0' END" for b in range(bits)
     )
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
     sig AS (SELECT vec_id, {sig} AS srp FROM v),
     keyed AS (
       SELECT s.vec_id,
@@ -3091,12 +3094,13 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
-      FROM embeddings ORDER BY vec_id LIMIT 8
+      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8
     ),
     scored AS (
       SELECT e.vec_id, s.cell,
              list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
       FROM embeddings e CROSS JOIN seeds s
+      WHERE e.embedding IS NOT NULL
     ),
     best AS (
       SELECT vec_id, cell, cos,
@@ -3114,8 +3118,10 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid model broadcasts; argmax is a max(struct) aggregate (no
     per-vector window); cluster sizes + mean member similarity are
     the model-quality report a 100 TB clustering job emits per
-    round. Zero Python — the cosine folds in Catalyst."""
-    e = _t(spark, sf_dir, "embeddings")
+    round. Zero Python — the cosine folds in Catalyst. NULL vectors
+    are neither seeds nor members (ANN-family NULL contract; the
+    oracle filters identically so seed cell numbering matches)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     w = Window.orderBy("vec_id")
     seeds = (
         e.orderBy("vec_id")
@@ -3604,7 +3610,8 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "ann_recall_report",
     """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
     q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
     dims AS (SELECT unnest(range(1, 65)) AS i),
     cd AS (SELECT label, i, avg(e[i]) AS mu FROM v CROSS JOIN dims GROUP BY 1, 2),
@@ -3657,8 +3664,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_jaccard_estimate. This is the number that tells you
     whether nprobe is sized right before trusting the pruned index
     at corpus scale. Both rankings round to 6 dp before ranking and
-    tie-break on id, so the comparison is engine-stable."""
-    emb = _t(spark, sf_dir, "embeddings")
+    tie-break on id, so the comparison is engine-stable. NULL
+    embeddings/labels are excluded in both engines (ANN-family NULL
+    contract): the brute baseline, the IVF path, and the query set
+    must all rank over the same candidate universe or recall is
+    meaningless."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
@@ -4050,11 +4063,17 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data); two levels cost O(N*sqrt(k)). Coarse centroid i is fine
 # seed i, so coarse(i) = i (self-cosine 1) and every coarse cell's
 # fine candidate set is non-empty. Ends at a(vec_id, cell, emb).
-_CELL_ASSIGN_CTES = """seeds AS (
+_CELL_ASSIGN_CTES = """embnn AS (
+      -- ANN-family NULL contract: NULL vectors can neither seed nor
+      -- be assigned a cell; the op side (_adaptive_cell_assign)
+      -- filters identically, so adaptive k and seed numbering match
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
-      FROM embeddings ORDER BY vec_id
-      LIMIT greatest(32, (SELECT count(*) FROM embeddings) // 16)
+      FROM embnn ORDER BY vec_id
+      LIMIT greatest(32, (SELECT count(*) FROM embnn) // 16)
     ),
     k1 AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS v FROM seeds),
     coarse AS (SELECT cell AS ccell, centroid AS ccent FROM seeds, k1 WHERE cell < k1.v),
@@ -4071,7 +4090,7 @@ _CELL_ASSIGN_CTES = """seeds AS (
         SELECT e.vec_id, c.ccell,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ccent) DESC, c.ccell) AS rn
-        FROM embeddings e CROSS JOIN coarse c
+        FROM embnn e CROSS JOIN coarse c
       ) WHERE rn = 1
     ),
     a AS (
@@ -4082,7 +4101,7 @@ _CELL_ASSIGN_CTES = """seeds AS (
         FROM vcoarse v
         JOIN s2c m ON m.ccell = v.ccell
         JOIN seeds s ON s.cell = m.cell
-        JOIN embeddings e ON e.vec_id = v.vec_id
+        JOIN embnn e ON e.vec_id = v.vec_id
       ) WHERE rn = 1
     )"""
 
@@ -5165,7 +5184,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embedding_pq_codes",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE embedding IS NOT NULL),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5205,8 +5225,9 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, 64x); the codebook is MODEL-sized (8x16 subvectors) and
     broadcasts, encode is one scan exploded 8x, and the per-(vector,
     subspace) argmin is a max_by aggregate, never a window over the
-    scored rows."""
-    e = _t(spark, sf_dir, "embeddings")
+    scored rows. NULL embeddings are excluded in both engines
+    (ANN-family NULL contract)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
     cb0 = (
@@ -5252,7 +5273,8 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "pq_ann_topk",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE embedding IS NOT NULL),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5301,8 +5323,10 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point at billion-vector scale. The lookup join is equi-keyed
     on (subspace, centroid); per-query ranking windows run over the
     candidate aggregate. Query set = vec_id < 8, as in
-    ann_topk_cosine."""
-    e = _t(spark, sf_dir, "embeddings")
+    ann_topk_cosine. NULL embeddings are excluded in both engines
+    (ANN-family NULL contract: they can neither seed the codebook nor
+    encode nor query)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
     cb0 = (
@@ -5362,7 +5386,8 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "ivf_pq_topk",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE embedding IS NOT NULL),
     coarse AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccell, emb AS ccent
       FROM v ORDER BY vec_id LIMIT 8

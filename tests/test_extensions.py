@@ -1079,3 +1079,44 @@ def test_adversarial_corpus_nulls_no_crashes(spark, tmp_path):
     ]
     for name in probe:
         qs[name](spark, adv).limit(10000).collect()  # must not raise
+
+
+def test_ann_family_null_vector_contract(spark):
+    """ANN-family NULL contract (r11): NULL vectors are neither
+    queries, candidates, seeds, nor encodable — every vector operator
+    excludes them instead of ranking NULL cosines (which diverges
+    across engines) or crashing an Arrow matrix build."""
+    from seqdatapipeline_spark.extensions import dedup as dd
+    from seqdatapipeline_spark.extensions import similarity as sim
+
+    dim = 4
+    rows = [(i, [float(i + j) for j in range(dim)]) for i in range(1, 9)]
+    rows += [(0, None), (9, None)]  # NULL query candidate + NULL corpus row
+    emb = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    # brute: NULL query 0 emits no rows; NULL corpus 9 never a neighbor
+    out = sim.brute_topk_cosine(queries, emb, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert all(q != 0 for q, _ in got)
+    assert all(n != 9 and n != 0 for _, n in got)
+    assert {q for q, _ in got} == {1, 2}
+    # ivf (trained): same exclusions
+    out2 = sim.ivf_topk_cosine(queries, emb, k=3, nprobe=2, kmeans_k=2)
+    got2 = {(r.query_id, r.neighbor_id) for r in out2.collect()}
+    assert all(q != 0 and n not in (0, 9) for q, n in got2)
+    # nearest_centroid: NULL vectors unassigned
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [-1.0] * dim)], "cell int, centroid array<double>"
+    )
+    asg = sim.nearest_centroid(emb, cents)
+    assert {r.vec_id for r in asg.collect()} == set(range(1, 9))
+    # PQ build: NULL vectors neither seed nor encode
+    *_, vassign, codes = sim.pq_ivf_build(emb, n_coarse=2, n_cents=2, n_subs=2, sub_dim=2)
+    assert {r.vec_id for r in vassign.collect()} == set(range(1, 9))
+    assert 0 not in {r.vec_id for r in codes.collect()}
+    # SRP pairs: NULL vectors emit no pairs
+    pairs = dd.srp_near_dup_pairs(emb, bits=8, band_bits=4, dims=dim, threshold=0.0)
+    ids = {v for r in pairs.collect() for v in (r.vec_a, r.vec_b)}
+    assert 0 not in ids and 9 not in ids
