@@ -1,0 +1,144 @@
+"""Cross-engine parity on DIRTY data — the instrument that closed the
+r11 latent-divergence class.
+
+`scripts/selfcheck.py` proves op == oracle on the CLEAN sf tables, and
+`scripts/adversarial_sweep.py` proves nothing RAISES on crawl-shaped
+dirt — but neither proves the two engines still AGREE on that dirt,
+which is exactly where the r10/r11 advisor findings lived (NULL
+ranking, '' vs NULL rendering, engine-specific regex anchors,
+adaptive-k counts shifting under NULLs). This script runs every
+`queries()` entry AND its DuckDB oracle over the adversarial datasets
+(built/reused via adversarial_sweep._build) and compares results as
+multisets.
+
+Float tolerance: cells are rounded to 6 dp before comparison — dirty
+data changes aggregation populations, so order-dependent double sums
+can legitimately differ in the last ulps between engines; the driver's
+full-precision gate only ever runs on clean data, where
+scripts/selfcheck.py remains the exact mirror.
+
+Usage: python scripts/parity_dirty.py [mode[,mode...]] [query ...]
+Modes: nulls (default) | nullkeys | degenerate. Exit 1 on any
+divergence or error.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+from collections import Counter
+
+import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# Entries whose SQL is only a rows-shape oracle, or whose Spark side is
+# a side-effecting sink/stream the clean selfcheck already special-cases
+# — mirrored from selfcheck's skip logic by running everything and
+# letting genuinely non-deterministic entries be listed here explicitly.
+SKIP: set = set()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 6)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            f = float(v)
+            return None if math.isnan(f) else round(f, 6)
+        if isinstance(v, np.bool_):
+            return bool(v)
+    except Exception:
+        pass
+    return v
+
+
+def main() -> None:
+    modes = (sys.argv[1] if len(sys.argv) > 1 else "nulls").split(",")
+    only = set(sys.argv[2:])
+
+    from seqdatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="parity-dirty", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_sweep", os.path.join(_REPO, "scripts", "adversarial_sweep.py")
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    qs = entrymod.queries()
+    orc = entrymod.oracle_sql()
+    names = sorted(
+        n for n in qs if n in orc and n not in SKIP and (not only or n in only)
+    )
+    failed = 0
+    for mode in modes:
+        adv = sweep._build(spark, mode)
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(adv, f"{t}.parquet")
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+        for name in names:
+            try:
+                sdf = qs[name](spark, adv)
+                cols = sorted(sdf.columns)
+                got = Counter(
+                    tuple(_norm(v) for v in r) for r in sdf.select(*cols).collect()
+                )
+                cur = con.execute(orc[name])
+                ocols = [d[0] for d in cur.description]
+                order = [ocols.index(c) for c in sorted(ocols)]
+                # fetchall keeps native Python types (datetime.date for
+                # DATE, None for NULL) — fetchdf's pandas coercion turns
+                # DATE into midnight Timestamps and NULL into NaT, which
+                # can never equal Spark's values
+                want = Counter(
+                    tuple(_norm(row[i]) for i in order) for row in cur.fetchall()
+                )
+            except Exception as ex:
+                failed += 1
+                print(
+                    f"ERR  [{mode}] {name}: {str(ex).splitlines()[0][:140]}",
+                    flush=True,
+                )
+                continue
+            if got != want:
+                failed += 1
+                print(
+                    f"DIVERGE [{mode}] {name}: spark {sum(got.values())} rows, "
+                    f"oracle {sum(want.values())}; e.g. spark-only "
+                    f"{list((got - want).keys())[:1]} oracle-only "
+                    f"{list((want - got).keys())[:1]}",
+                    flush=True,
+                )
+        print(f"[{mode}] {failed} divergent/error of {len(names)}")
+        con.close()
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

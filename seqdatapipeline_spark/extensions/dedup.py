@@ -162,7 +162,10 @@ def span_dedup(
     on a second column-pruned scan (the price of skew immunity — an
     extra linear scan instead of an unbounded hot partition). Output
     per doc: n_spans, n_spans_kept, clean_text (empty when every span
-    was seen earlier)."""
+    was seen earlier). NULL-text rows are excluded (text-family NULL
+    contract: nothing to span; keeping them emitted phantom
+    ''-span rows that no SQL oracle reproduces)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     w = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(w) / F.lit(k)).cast("int")
     spans = docs.select(
@@ -1071,7 +1074,13 @@ def source_overlap_matrix(
     source), computed from a collect_list over the per-band histogram
     — sources are O(10), so the struct array is tiny even when the
     band bucket holds thousands of docs. Mega-buckets cost their
-    histogram, not their square."""
+    histogram, not their square.
+
+    Rows with a NULL source are excluded: the matrix's dimensions ARE
+    the sources, a NULL stratum has no pair identity, and the SQL
+    oracle's `a.src <= b.src` join drops NULLs anyway — keeping them
+    Spark-side emitted phantom (NULL, src) rows no oracle matches."""
+    docs = docs.filter(F.col(strata_col).isNotNull())
     sig = minhash_signature(docs, id_col, text_col, num_hashes)
     inc = lsh_band_incidence(sig, id_col, num_hashes, band_size)
     src = docs.select(F.col(id_col), F.col(strata_col).alias("__src"))

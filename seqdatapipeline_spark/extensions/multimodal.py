@@ -44,7 +44,12 @@ def to_media(df: DataFrame, id_col: str, payload_text_col: str, kind: str = "ima
     """Wrap a column as an opaque binary payload with typed metadata —
     the ingestion shape for multimodal rows. (Here text is encoded as
     the stand-in payload; a real pipeline reads bytes via
-    `spark.read.format('binaryFile')`.)"""
+    `spark.read.format('binaryFile')`.) Rows with a NULL payload are
+    excluded AT INGESTION — a missing blob cannot be decoded, resized,
+    or frame-sampled, and each downstream stand-in was inventing its
+    own default (0-byte features vs NULL vs target size), which can
+    never agree across engines (dirty-parity r11)."""
+    df = df.filter(F.col(payload_text_col).isNotNull())
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit(kind).alias("kind"),

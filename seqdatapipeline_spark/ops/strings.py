@@ -96,8 +96,12 @@ def abs_int(s: Column) -> Column:
 def format_fixed6(x: Column) -> Column:
     """Six-decimal fixed formatting (reference tools.py:309,
     ``'{0:.6f}'.format``). format_string = C printf, no thousand
-    separators (unlike format_number)."""
-    return F.format_string("%.6f", x)
+    separators (unlike format_number). NULL in → NULL out, the
+    engine-wide scalar contract: Spark's format_string would render a
+    NULL argument as the literal string 'null' (DuckDB printf yields
+    NULL), and the reference's ``.format`` raises on None — neither
+    wants a 'null' string in a data column (dirty-parity r11)."""
+    return F.when(x.isNotNull(), F.format_string("%.6f", x))
 
 
 def date_stamp_iso(ts: Column) -> Column:

@@ -201,14 +201,11 @@ def q_dir_poll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathGlobFilter → windowless aggregate → memory sink, drained with
     availableNow (the reference's 12 h poll becomes a trigger)."""
     from .io.layout import plain_parquet
+    from .streaming.watch import stream_parquet_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = plain_parquet(spark, os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_parquet_table(spark, sf_dir, "events", raw_schema)
     counts = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     name = f"dirpoll_{uuid.uuid4().hex[:8]}"
     qh = (
@@ -791,8 +788,10 @@ def q_peak_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_call_islands",
     """
     WITH cov AS (
+      -- NULL positions cannot be binned and would make the island
+      -- lag/ordering engine-dependent (NULLS FIRST vs LAST)
       SELECT event_type AS chrom, CAST(floor(value / 5) AS BIGINT) AS bin, count(*) AS count
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ), sig AS (
       SELECT * FROM cov WHERE count >= 4
     ), flagged AS (
@@ -811,8 +810,10 @@ def q_peak_call_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enriched-window merge — the island phase of macs2 callpeak
     (reference tools.py:555-622): threshold significant bins, merge
     bins within a gap into peaks (gaps-and-islands)."""
-    e = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("chrom"), F.col("value").alias("pos")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # unbinnable; see oracle
+        .select(F.col("event_type").alias("chrom"), F.col("value").alias("pos"))
     )
     cov = agg.coverage_bin_count(e, "chrom", "pos", 5)
     sig = cov.filter(F.col("count") >= 4)

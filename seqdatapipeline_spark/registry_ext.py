@@ -269,7 +269,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
            round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,14 +562,16 @@ _LANG_CASE = """
         CAST(len(list_filter(string_split(text,' '), w -> lower(w) IN ('el','la','de','y'))) AS BIGINT) AS s_es,
         CAST(len(list_filter(string_split(text,' '), w -> lower(w) IN ('le','la','et','de'))) AS BIGINT) AS s_fr,
         CAST(len(list_filter(string_split(text,' '), w -> lower(w) IN ('der','die','und','das'))) AS BIGINT) AS s_de
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, {_LANG_CASE} AS pred_lang FROM scored
     """,
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID heuristic over the documents table."""
-    d = _t(spark, sf_dir, "documents")
+    """Stopword-marker language ID heuristic over the documents table.
+    NULL-text rows are excluded in both engines (text-family NULL
+    contract: no content, no language)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return tx.lang_id(d).select("doc_id", "pred_lang")
 
 
@@ -633,8 +635,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash over word 5-grams (winnowing
-    family) — equal fingerprints are groupable near-dup candidates."""
-    return tx.fingerprint(_t(spark, sf_dir, "documents"), shingle_n=5)
+    family) — equal fingerprints are groupable near-dup candidates.
+    NULL-text rows are excluded in both engines (text-family NULL
+    contract; the oracle's unnest drops them naturally)."""
+    return tx.fingerprint(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        shingle_n=5,
+    )
 
 
 @q(
@@ -643,7 +650,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id, 'image' AS kind,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            ascii(substr(text, 1, 1)) AS first_byte
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,7 +672,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            round(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, CAST(i AS INT), 1)) % 8 = 0))
                  / length(text) * 1.0, 6) AS f0
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,11 +781,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import watch as _watch
 
     doc_schema = lay.plain_parquet(spark, os.path.join(sf_dir, "documents.parquet")).schema
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _watch.stream_parquet_table(spark, sf_dir, "documents", doc_schema)
     deduped = _watch.streaming_dedup(stream).select("content_hash")
     name = f"sdedup_{_uuid.uuid4().hex[:8]}"
     qh = (
@@ -797,7 +800,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_no
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +819,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CAST(least(octet_length(encode(text)), 48) AS BIGINT) AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,9 +1222,14 @@ def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "apply_changelog",
     """
     WITH ch AS (
+      -- arg_max over a STRUCT: DuckDB's arg_max SKIPS rows whose value
+      -- argument is NULL, but CDC semantics say the latest change wins
+      -- even when it sets NULL; the struct wrapper is never NULL, so
+      -- the genuinely-latest row is taken and its (possibly NULL)
+      -- field extracted — matching Spark max_by (dirty-parity r11)
       SELECT user_id,
              arg_max(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) AS op,
-             arg_max(value, event_id) AS v
+             (arg_max({'v': value}, event_id)).v AS v
       FROM events GROUP BY 1
     )
     SELECT coalesce(c.c_custkey, ch.user_id) AS user_id,
@@ -3514,7 +3522,7 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH binned AS (
       SELECT event_type, CAST(floor(value / 0.25) AS BIGINT) AS b, count(*)::DOUBLE AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     tot AS (SELECT event_type, sum(c) AS n FROM binned GROUP BY 1),
     cum AS (
@@ -3562,7 +3570,7 @@ def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ex AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks),
     ranked AS (
@@ -3701,7 +3709,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ex AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks),
     ranked AS (
@@ -3734,7 +3742,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT doc_b AS a, doc_a AS b FROM pr
     ),
     reach(node, comp) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM documents WHERE text IS NOT NULL
       UNION
       SELECT e.b, r.comp FROM reach r JOIN ed e ON e.a = r.node
     )
@@ -3770,7 +3778,7 @@ def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ts
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     ex2 AS (SELECT doc_id, unnest(ts) AS term, len(ts)::BIGINT AS l FROM toks2),
     ranked2 AS (
@@ -5904,8 +5912,16 @@ def q_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = j.groupBy("cluster_id").agg(
         F.min(
+            # Leading is-null field: Spark struct MIN treats a NULL
+            # field as SMALLEST, so a NULL source would beat every
+            # trusted source — the opposite of both the priority
+            # semantics and the oracle's NULLS LAST ordering. false <
+            # true puts non-NULL sources first (dirty-parity r11).
             F.struct(
-                F.col("source"), (-F.col("n_chars")).alias("__nl"), F.col("doc_id")
+                F.col("source").isNull().alias("__src_null"),
+                F.col("source"),
+                (-F.col("n_chars")).alias("__nl"),
+                F.col("doc_id"),
             )
         ).alias("__b"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -6850,14 +6866,12 @@ def q_stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ops import strings as st
 
+    from .streaming.watch import stream_parquet_table
+
     doc_schema = lay.plain_parquet(
         spark, os.path.join(sf_dir, "documents.parquet")
     ).schema
-    stream = (
-        spark.readStream.schema(doc_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_parquet_table(spark, sf_dir, "documents", doc_schema)
     frontier = (
         stream.select(st.url_normalize(_url_raw_shared_col()).alias("url_norm"))
         .dropDuplicates(["url_norm"])

@@ -157,7 +157,11 @@ def merge_span_store(
     rows is EXACTLY the one-shot batch result: a duplicated span's
     keeper is the globally smallest (doc, position) whether both
     occurrences share a batch (in-batch min) or not (the earlier
-    batch appended it first). That identity is the oracle contract."""
+    batch appended it first). That identity is the oracle contract.
+    NULL-text rows are excluded, mirroring batch span_dedup (the
+    identity only holds if both halves share the text-family NULL
+    contract)."""
+    batch_docs = batch_docs.filter(F.col(text_col).isNotNull())
     spark = batch_docs.sparkSession
     w = F.split(F.col(text_col), " ")
     n_spans_expr = F.ceil(F.size(w) / F.lit(k)).cast("int")

@@ -162,8 +162,12 @@ def replay_grid_quantiles(
     persistent grid histogram, extract quantiles from the FINAL
     state. The additive grid makes the result provably equal to the
     one-shot batch computation — which is exactly what the oracle
-    checks."""
+    checks. NULL values carry no position on the grid and are
+    excluded (they would otherwise inflate totals and make the
+    cumulative ordering engine-dependent)."""
     import os
+
+    events = events.filter(F.col(value_col).isNotNull())
 
     state = os.path.join(state_root, "grid_hist")
     final: DataFrame | None = None

@@ -32,6 +32,34 @@ def dir_poll_stream(
     return reader.load(path).withColumn("src_file", F.input_file_name())
 
 
+def stream_parquet_table(
+    spark: SparkSession, sf_dir: str, table: str, schema: StructType
+) -> DataFrame:
+    """Streaming reader for one parquet TABLE that works on BOTH
+    physical layouts a table arrives in: a single ``<table>.parquet``
+    FILE (the generated testdata) or a Spark-written DIRECTORY of part
+    files. The naive ``pathGlobFilter=<table>.parquet`` over the
+    parent matches only the file layout — against a directory layout
+    it matches no part file and the stream silently reads ZERO rows
+    (caught by the r11 dirty-parity sweep: three streaming queries
+    returned empty on adversarial datasets, which Spark re-writes as
+    directories). A directory streams directly; ``basePath must be a
+    directory`` forbids the reverse shortcut, hence the probe."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hp) and fs.getFileStatus(hp).isDirectory():
+        return spark.readStream.schema(schema).parquet(p)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def with_poll_trigger(writer: DataStreamWriter, interval: str = "12 hours") -> DataStreamWriter:
     """Processing-time trigger replacing ``sleep 12h`` (scanner.sh:10)."""
     return writer.trigger(processingTime=interval)
