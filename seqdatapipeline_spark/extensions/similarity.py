@@ -25,6 +25,22 @@ from .dedup import cosine
 ARROW_MIN_QUERIES = 64
 
 
+def _has_direction(vec_col: str) -> "F.Column":
+    """Vector-contract predicate: non-NULL AND non-zero-norm. A vector
+    without a direction has no cosine geometry — Spark's cosine NULLs
+    it (try_divide by zero norm) while DuckDB's list_cosine_similarity
+    returns -1.0, so keeping such rows can never agree cross-engine
+    (dirty-parity r11, degenerate mode). Oracles mirror with
+    `embedding IS NOT NULL AND list_sum(list_transform(e, x -> x*x))
+    > 0`."""
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return F.col(vec_col).isNotNull() & (sq > 0)
+
+
 def brute_topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,
@@ -54,12 +70,14 @@ def brute_topk_cosine(
     return identical rows. Ranking is a window over query_id — shuffle
     keyed by query, never a global sort, no driver collect of
     candidates."""
-    # NULL vectors are neither candidates NOR queries — uniform
-    # ANN-family semantics (mirrored by `embedding IS NOT NULL` in the
-    # DuckDB oracles, and required by the arrow path, whose np.stack
-    # would die on a None vector on either side).
-    corpus = corpus.filter(F.col(c_vec).isNotNull())
-    queries = queries.filter(F.col(q_vec).isNotNull())
+    # Vectors with no direction — NULL or zero-norm — are neither
+    # candidates NOR queries: uniform ANN-family semantics (mirrored
+    # in the DuckDB oracles; also required by the arrow path, whose
+    # np.stack would die on None). Zero-norm matters cross-engine:
+    # Spark's cosine NULLs it (try_divide) while DuckDB's
+    # list_cosine_similarity returns -1.0, a rankable value.
+    corpus = corpus.filter(_has_direction(c_vec))
+    queries = queries.filter(_has_direction(q_vec))
     if strategy == "auto":
         n_q = queries.limit(ARROW_MIN_QUERIES).count()
         strategy = "arrow" if n_q >= ARROW_MIN_QUERIES else "jvm"
@@ -336,10 +354,9 @@ def ivf_topk_cosine(
     cross-engine ulp drift so it can be externally oracle-checked
     (see registry_ext.q_ann_ivf_pruned_topk); leave None for
     production serving, where ulp-level probe ties are harmless."""
-    # NULL vectors are neither queries nor candidates — see
-    # brute_topk_cosine; a NULL q_vec would probe-rank on NULL
-    # cosines (and crash any Arrow-side matrix build).
-    queries = queries.filter(F.col(q_vec).isNotNull())
+    # Direction-less vectors (NULL / zero-norm) are neither queries
+    # nor candidates — see brute_topk_cosine / _has_direction.
+    queries = queries.filter(_has_direction(q_vec))
     if index is not None:
         cents, cells = index
     elif cell_col is not None:
@@ -348,7 +365,7 @@ def ivf_topk_cosine(
         # ranking and can displace a real cell — and the DuckDB oracles
         # filter both NULLs, so keeping them would be a latent
         # cross-engine divergence (ADVICE r10).
-        base = corpus.filter(F.col(cell_col).isNotNull() & F.col(c_vec).isNotNull())
+        base = corpus.filter(F.col(cell_col).isNotNull() & _has_direction(c_vec))
         cents = ivf_centroids(base, cell_col=cell_col, vec_col=c_vec)
         cells = base.select(F.col(cell_col).alias("cell"), F.col(c_id), F.col(c_vec))
     else:
@@ -356,7 +373,7 @@ def ivf_topk_cosine(
         assigned = assign_best_cell(
             fan_out(corpus)
             .select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__av"))
-            .filter(F.col("__av").isNotNull()),  # NULL vectors: no cell
+            .filter(_has_direction("__av")),  # direction-less vectors: no cell
             cents,
             vec_expr="__av",
             id_col=c_id,
@@ -389,6 +406,9 @@ def ivf_topk_cosine(
             int(r["cell"]) for r in probed.select("cell").distinct().collect()
         ]
         cells = cells.filter(F.col("cell").isin(probe_cells))
+    # Uniform across all three cell sources (trained / cell_col /
+    # prebuilt index): direction-less vectors are not candidates.
+    cells = cells.filter(_has_direction(c_vec))
     scored = probed.join(cells, "cell").withColumn(
         "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     )

@@ -158,6 +158,11 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", s
         fan_out(df)
         .withColumn("__w", F.split(F.col(text_col), " "))
         .select(F.col(id_col), fp.alias("fingerprint"))
+        # Docs too short to yield a single shingle have no fingerprint
+        # row at all (a SQL unnest-over-shingles drops them naturally;
+        # emitting a NULL fingerprint made every such doc a phantom
+        # "duplicate" of every other short doc — dirty-parity r11).
+        .filter(F.col("fingerprint").isNotNull())
     )
 
 

@@ -226,8 +226,10 @@ def write_curated_ivf(
     # (second r11 review pass): an unfiltered curated store would keep
     # NULL-vector rows the serve-time paths and the DuckDB oracles all
     # exclude — a crawl corpus WILL have failed-embedding rows.
+    from ..extensions.similarity import _has_direction
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
-        F.col(vec_col).isNotNull()
+        _has_direction(vec_col)
     )
     cents = sim.kmeans_cells(
         emb, k=kmeans_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
@@ -298,8 +300,10 @@ def refresh_curated_ivf(spark, sf_dir: str, new_vectors: DataFrame) -> None:
 
     cells_name, cents_name = ivf_table_names(sf_dir)
     cents = spark.table(cents_name)
-    new_vectors = new_vectors.filter(F.col("embedding").isNotNull())  # see
-    # write_curated_ivf: NULL vectors are not ANN candidates
+    from ..extensions.similarity import _has_direction
+
+    new_vectors = new_vectors.filter(_has_direction("embedding"))  # see
+    # write_curated_ivf: direction-less vectors are not ANN candidates
     asg = sim.assign_best_cell(
         new_vectors.select(
             F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__av")

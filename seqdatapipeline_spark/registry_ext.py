@@ -371,13 +371,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_cosine",
     """
     WITH queries AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
+      WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
+        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -400,13 +402,15 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     """
     WITH queries AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
+      WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
+        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -452,13 +456,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     per_dim AS (
       SELECT label AS cell, t.i AS dim,
              round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mu
       FROM embeddings, generate_series(1, 64) t(i)
-      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      WHERE embedding IS NOT NULL AND label IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
       GROUP BY 1, 2
     ),
     cents AS (SELECT cell, list(mu ORDER BY dim) AS centroid FROM per_dim GROUP BY 1),
@@ -475,6 +479,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_cosine_similarity(p.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM probe p JOIN embeddings c ON c.label = p.cell
       WHERE c.embedding IS NOT NULL
+        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -670,8 +675,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           round(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, CAST(i AS INT), 1)) % 8 = 0))
-                 / length(text) * 1.0, 6) AS f0
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             round(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, CAST(i AS INT), 1)) % 8 = 0))
+                   / length(text) * 1.0, 6) END AS f0
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -3102,13 +3108,15 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8
+      FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      ORDER BY vec_id LIMIT 8
     ),
     scored AS (
       SELECT e.vec_id, s.cell,
              list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
       FROM embeddings e CROSS JOIN seeds s
       WHERE e.embedding IS NOT NULL
+        AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     best AS (
       SELECT vec_id, cell, cos,
@@ -3129,7 +3137,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. Zero Python — the cosine folds in Catalyst. NULL vectors
     are neither seeds nor members (ANN-family NULL contract; the
     oracle filters identically so seed cell numbering matches)."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = _t(spark, sf_dir, "embeddings").filter(sim._has_direction("embedding"))
     w = Window.orderBy("vec_id")
     seeds = (
         e.orderBy("vec_id")
@@ -3619,7 +3627,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_report",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
-               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+               WHERE embedding IS NOT NULL AND label IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
     q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
     dims AS (SELECT unnest(range(1, 65)) AS i),
     cd AS (SELECT label, i, avg(e[i]) AS mu FROM v CROSS JOIN dims GROUP BY 1, 2),
@@ -3678,7 +3686,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     must all rank over the same candidate universe or recall is
     meaningless."""
     emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        sim._has_direction("embedding") & F.col("label").isNotNull()
     )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
@@ -4075,7 +4083,7 @@ _CELL_ASSIGN_CTES = """embnn AS (
       -- ANN-family NULL contract: NULL vectors can neither seed nor
       -- be assigned a cell; the op side (_adaptive_cell_assign)
       -- filters identically, so adaptive k and seed numbering match
-      SELECT * FROM embeddings WHERE embedding IS NOT NULL
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -4146,12 +4154,14 @@ def _adaptive_cell_assign(e: DataFrame, vectors: DataFrame | None = None) -> Dat
     import numpy as np
     import pandas as pd
 
-    # NULL embeddings can neither seed nor be assigned a cell (any
-    # cosine against NULL is NULL) — drop them before the seed collect
-    # and the Arrow pass so np.stack stays shape-stable on crawl data.
-    e = e.filter(F.col("embedding").isNotNull())
+    # Direction-less embeddings (NULL / zero-norm) can neither seed
+    # nor be assigned a cell (any cosine against them is NULL in Spark
+    # and -1.0 in DuckDB — unmatchable) — drop them before the seed
+    # collect and the Arrow pass so np.stack stays shape-stable on
+    # crawl data. The oracle's embnn CTE filters identically.
+    e = e.filter(sim._has_direction("embedding"))
     if vectors is not None:
-        vectors = vectors.filter(F.col("embedding").isNotNull())
+        vectors = vectors.filter(sim._has_direction("embedding"))
     spark = e.sparkSession
     k = max(32, e.count() // 16)
     k1 = math.ceil(math.sqrt(k))
@@ -4879,7 +4889,7 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pred AS (
       SELECT doc_id, true_lang, cand AS pred_lang,
-             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+             row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, cand DESC) AS rn
       FROM scored
     )
     SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
@@ -4902,7 +4912,14 @@ def q_lang_id_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+            # filter-guarded: Spark sequence(1, 0) auto-steps NEGATIVE
+            # (yields [1, 0]) — on texts shorter than 3 chars that
+            # emitted bogus trigrams DuckDB's empty range(1, len-1)
+            # never produces (dirty-parity r11, degenerate mode)
+            F.expr(
+                "transform(filter(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> i <= length(text) - 2), i -> substring(text, i, 3))"
+            )
         ).alias("tg"),
     )
     train = tri.where(F.col("doc_id") % 3 != 0)
@@ -4936,7 +4953,11 @@ def q_lang_id_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     best = scored.groupBy("doc_id", "true_lang").agg(
-        F.max_by("cand", F.struct(F.col("score"), F.col("cand"))).alias("pred_lang")
+        # snap-before-argmax: summed log-likelihoods are order-dependent
+        # doubles; near-ties (degenerate corpora full of identical short
+        # texts) must not let a last-ulp difference flip the winner
+        # across engines
+        F.max_by("cand", F.struct(F.round(F.col("score"), 6), F.col("cand"))).alias("pred_lang")
     )
     return best.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
