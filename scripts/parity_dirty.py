@@ -95,6 +95,7 @@ def main() -> None:
     )
     failed = 0
     for mode in modes:
+        mode_failed0 = failed
         adv = sweep._build(spark, mode)
         con = duckdb.connect()
         for t in TABLES:
@@ -134,7 +135,7 @@ def main() -> None:
                     f"{list((want - got).keys())[:1]}",
                     flush=True,
                 )
-        print(f"[{mode}] {failed} divergent/error of {len(names)}")
+        print(f"[{mode}] {failed - mode_failed0} divergent/error of {len(names)}")
         con.close()
     spark.stop()
     sys.exit(1 if failed else 0)

@@ -250,7 +250,7 @@ def q_software_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sqlite_log_sink",
     """
     SELECT user_id, event_id AS first_event, event_type AS first_type
-    FROM events
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
     """,
 )
@@ -258,7 +258,9 @@ def q_sqlite_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT OR IGNORE semantics (reference mainScript.py:336-341):
     first write per key wins; later submissions of the same sample ID
     are ignored. Deterministic arrival order = (ts, event_id)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )  # first-write-wins needs a key and an arrival order
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.withColumn("__rn", F.row_number().over(w))
@@ -1006,7 +1008,7 @@ def q_completion_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,7 +1016,9 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.9; watermark + window). Checked here via the batch
     equivalence of F.window; the watermarked streaming run is in
     tests/test_streaming.py."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # F.window drops NULL-ts rows silently; the SQL bucket expression
+    # would keep them as a NULL window — exclude explicitly in both
     return (
         e.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
@@ -1035,7 +1039,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -1054,7 +1058,11 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 30 min closes the session; exactly-gap-spaced events merge).
     The oracle is the classic gaps-and-islands rewrite; the Spark side
     shuffles once on (user, merged-session), no global sort."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )  # a session needs a key and an event time (F.session_window
+    # silently DROPS NULL-ts rows; the gaps-and-islands oracle must
+    # exclude them explicitly, and NULL users are unsessionizable)
     return win.session_windows(e, "user_id", "ts", "30 minutes", "value")
 
 
@@ -1083,7 +1091,8 @@ def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cov AS (
       SELECT event_type AS chrom, CAST(floor(value / 5) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS count
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     lam AS (SELECT chrom, avg(count) AS lam FROM cov GROUP BY 1),
     scored AS (
@@ -1114,9 +1123,13 @@ def q_peak_call_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Poisson tail per bin (log-factorial exact to k=20, Stirling
     series above — the oracle spells out the identical formula so both
     engines agree at 6 dp), then BH over the bounded per-bin aggregate."""
-    e = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("chrom"),
-        (F.col("value") / 5).cast("long").alias("bin"),
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("chrom"),
+            (F.col("value") / 5).cast("long").alias("bin"),
+        )
     )
     cov = e.groupBy("chrom", "bin").agg(F.count("*").alias("count"))
     # λ per chrom as a keyed window over the aggregate — one scan, no

@@ -523,12 +523,12 @@ def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH last AS (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     aggd AS (
       SELECT user_id AS sample_id, count(*) AS n_events,
              CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BOOLEAN) AS failed
-      FROM events GROUP BY user_id
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     )
     SELECT a.sample_id, a.n_events, l.event_type AS last_stage, a.failed
     FROM aggd a JOIN last l ON l.user_id = a.sample_id AND l.rn = 1
@@ -541,7 +541,8 @@ def q_status_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage by (ts, id), sticky failure flag. max_by with a struct order
     key — one shuffle, no window over the fact table; the streaming
     form is exercised in tests/test_pipeline_streaming.py."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # a status row without a sample key is untrackable
     return e.groupBy(F.col("user_id").alias("sample_id")).agg(
         F.count("*").alias("n_events"),
         F.max_by("event_type", F.struct("ts", "event_id")).alias("last_stage"),
@@ -914,12 +915,15 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_latest_event",
     """
     WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     pur AS (
       SELECT user_id, ts, max(event_id) AS prior_event_id,
              arg_max(value, event_id) AS prior_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     )
     SELECT c.event_id, c.user_id, c.ts, p.prior_event_id, p.prior_value
     FROM clicks c ASOF JOIN pur p ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -939,7 +943,9 @@ def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import joins as jn
 
     e = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
+        # as-of semantics need a key and a position on the timeline
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
     )
     out = jn.asof_attach_prior(
         e.select("event_id", "user_id", "ts", "event_type", "value"),
@@ -1543,7 +1549,9 @@ def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .ops import aggregates as agg
 
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    )  # no user, no co-occurrence group (oracle's self-join drops NULLs)
     ui = e.withColumn(
         "j", F.from_json(F.col("props"), StructType([StructField("k", LongType())]))
     ).select("user_id", F.col("j.k").alias("item"))
@@ -2076,7 +2084,8 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     )
     SELECT day, event_type, CAST(n AS BIGINT) AS n,
            round(avg(n) OVER (PARTITION BY event_type ORDER BY day
@@ -2090,7 +2099,9 @@ def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type and slides over the day-grain AGGREGATE (365 rows/key/
     year), never over raw facts; one groupBy shuffle + one keyed
     window that reuses the same partitioning."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )  # NULL days have no place in a rolling frame
     daily = e.groupBy(
         F.to_date(F.col("ts")).alias("day"), "event_type"
     ).agg(F.count("*").alias("n"))
@@ -2410,7 +2421,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     ),
     bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
     spine AS (
@@ -2427,7 +2439,12 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so spine size is keys x days, never corpus-sized."""
     from .ops import windows as win
 
-    return win.gap_fill_daily(_t(spark, sf_dir, "events"), "event_type", "ts")
+    return win.gap_fill_daily(
+        _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        ),  # a spine needs a key and a day
+        "event_type", "ts",
+    )
 
 
 @q(
@@ -2437,7 +2454,7 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_id, user_id, ts, value,
              value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     )
     WHERE abs(delta) > 150
     """,
@@ -2449,7 +2466,10 @@ def q_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import windows as win
 
     return win.value_change_points(
-        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id", threshold=150.0
+        _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        ),  # lag-1 needs a keyed, engine-stable ordering
+        "user_id", "ts", "value", "event_id", threshold=150.0,
     ).select("event_id", "user_id", "ts", "value", "delta")
 
 
@@ -2481,6 +2501,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type,
              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
     ),
     agg AS (
       SELECT from_type, to_type, count(*) AS n
@@ -2494,10 +2515,18 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix (ops.windows.
     event_transitions): keyed lead window + pair groupBy; the
-    probability normalizer runs over the |types|^2 aggregate."""
+    probability normalizer runs over the |types|^2 aggregate. Rows
+    missing a user, a timestamp, or a type cannot sit in a sequence
+    (NULL-ts ordering is engine-dependent) and are excluded."""
     from .ops import windows as win
 
-    return win.event_transitions(_t(spark, sf_dir, "events"))
+    return win.event_transitions(
+        _t(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+    )
 
 
 @q(
@@ -2889,6 +2918,7 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
     ),
     per_user AS (
       SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
@@ -2909,7 +2939,14 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (registry._t_events_curated)."""
     from .ops import windows as win
 
-    return win.top_event_paths(_t_events_curated(spark, sf_dir), depth=3)
+    return win.top_event_paths(
+        _t_events_curated(spark, sf_dir).filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        ),
+        depth=3,
+    )
 
 
 @q(
@@ -4824,7 +4861,8 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
              count(*)::BIGINT AS n, avg(value) AS avg_val
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
     ),
     base AS (
       SELECT event_type, sum(n * avg_val) / sum(n) AS overall
@@ -4843,7 +4881,9 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: facts collapse to type x 7 rows in a map-side-combinable
     aggregate, and the overall mean is a type-keyed window over that
     aggregate (7 rows per key) — never a second fact pass."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )  # a seasonality index needs both its dimensions
     per = e.groupBy(
         "event_type", F.dayofweek("ts").cast("int").alias("dow")
     ).agg(
@@ -5159,7 +5199,7 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -5189,7 +5229,9 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.windows import epoch_seconds
     from .streaming.sessions import session_batch_update, session_finalize
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )  # sessionization contract — see q_session_windows
     lo, hi = e.agg(
         F.min(epoch_seconds(F.col("ts"))), F.max(epoch_seconds(F.col("ts")))
     ).collect()[0]
