@@ -47,7 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # disallow, op + oracle — ADVICE r10). write_bucketed's stale-location
 # fix and the no_aqe per-(thread,session) depth keying are
 # curation/infra paths whose query plans are unchanged (verified: the
-# full local mirror is green post-change). (3) Family sentinels.
+# full local mirror is green post-change). Late-r11 additionally
+# applied NULL / zero-norm / NULL-dimension contracts across ~45
+# queries (op + oracle symmetrically) after the new dirty-data parity
+# sweep (scripts/parity_dirty.py: 220/220 green on all three
+# adversarial modes); every one of those edits is a no-op on the
+# clean data the driver checks — re-verified batch by batch via
+# full-precision selfcheck at sf0.01 — so they do not consume window
+# slots beyond those already listed. (3) Family sentinels.
 # (4) The staleness tail, oldest first: all 31 r5-vintage greens plus
 # the first 9 (alphabetical) of the 23 r6-vintage ones. The remaining
 # 14 r6-vintage queries (pipeline_atac, pipeline_chip,
