@@ -57,7 +57,10 @@ def _norm(v):
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
-        return None if math.isnan(v) else round(v, 6)
+        # NaN maps to a SENTINEL, never to None: NaN-vs-NULL is itself
+        # a cross-engine rendering divergence this instrument must see
+        # (r11 review) — only matching NaN on both sides is parity.
+        return "NaN" if math.isnan(v) else round(v, 6)
     try:
         import numpy as np
 
@@ -65,7 +68,7 @@ def _norm(v):
             return int(v)
         if isinstance(v, np.floating):
             f = float(v)
-            return None if math.isnan(f) else round(f, 6)
+            return "NaN" if math.isnan(f) else round(f, 6)
         if isinstance(v, np.bool_):
             return bool(v)
     except Exception:
@@ -93,6 +96,12 @@ def main() -> None:
     names = sorted(
         n for n in qs if n in orc and n not in SKIP and (not only or n in only)
     )
+    if only:
+        unknown = sorted(only - set(names))
+        if unknown:
+            # a typo'd name must never produce a green 0-of-0 run
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
     failed = 0
     for mode in modes:
         mode_failed0 = failed

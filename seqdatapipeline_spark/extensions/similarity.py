@@ -26,13 +26,18 @@ ARROW_MIN_QUERIES = 64
 
 
 def _has_direction(vec_col: str) -> "F.Column":
-    """Vector-contract predicate: non-NULL AND non-zero-norm. A vector
-    without a direction has no cosine geometry — Spark's cosine NULLs
-    it (try_divide by zero norm) while DuckDB's list_cosine_similarity
-    returns -1.0, so keeping such rows can never agree cross-engine
-    (dirty-parity r11, degenerate mode). Oracles mirror with
-    `embedding IS NOT NULL AND list_sum(list_transform(e, x -> x*x))
-    > 0`."""
+    """Vector-contract predicate: non-NULL, no NULL ELEMENTS, and
+    non-zero-norm. A vector without a direction has no cosine geometry
+    — Spark's cosine NULLs it (try_divide by zero norm) while DuckDB's
+    list_cosine_similarity returns -1.0 — and a vector with an
+    interior NULL element is worse: Spark folds NULL-poison (this
+    predicate's own aggregate excludes it) while DuckDB's
+    list_cosine_similarity ERRORS outright. The fold below NULL-poisons
+    on any NULL element by construction (acc + NULL = NULL, and
+    NULL > 0 filters false); oracles mirror with
+    `embedding IS NOT NULL AND len(list_filter(e, x -> x IS NULL)) = 0
+    AND list_sum(list_transform(e, x -> x*x)) > 0` (list_sum alone
+    SKIPS NULL elements — r11 review)."""
     sq = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
@@ -165,7 +170,11 @@ def kmeans_cells(
     # distance against NULL is NULL — never qualifies either.
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).filter(F.col("__v").isNotNull())
+    ).filter(_has_direction("__v"))  # direction-less vectors can neither
+    # seed nor train — filtering HERE (the shared mechanism) keeps the
+    # curated index build and the train-at-query path bit-identical
+    # (r11 review: a zero-norm seed in only one of them shifts the
+    # whole cell geometry)
     if iters > 0:
         v = v.cache()
     schema = "cell int, centroid array<double>"
@@ -359,6 +368,11 @@ def ivf_topk_cosine(
     queries = queries.filter(_has_direction(q_vec))
     if index is not None:
         cents, cells = index
+        # the trained and cell_col branches filter at construction; a
+        # PREBUILT index may predate the direction contract (pre-r11
+        # curated store), so filter here — the other branches skip the
+        # second O(dim) fold (interpreted HOFs get no CSE; r11 review)
+        cells = cells.filter(_has_direction(c_vec))
     elif cell_col is not None:
         # NULL cells/vectors carry no geometry: a NULL-labeled stratum
         # would otherwise produce a phantom centroid that enters probe
@@ -406,9 +420,6 @@ def ivf_topk_cosine(
             int(r["cell"]) for r in probed.select("cell").distinct().collect()
         ]
         cells = cells.filter(F.col("cell").isin(probe_cells))
-    # Uniform across all three cell sources (trained / cell_col /
-    # prebuilt index): direction-less vectors are not candidates.
-    cells = cells.filter(_has_direction(c_vec))
     scored = probed.join(cells, "cell").withColumn(
         "cos", F.round(cosine(F.col(q_vec), F.col(c_vec)), 6)
     )

@@ -226,10 +226,8 @@ def write_curated_ivf(
     # (second r11 review pass): an unfiltered curated store would keep
     # NULL-vector rows the serve-time paths and the DuckDB oracles all
     # exclude — a crawl corpus WILL have failed-embedding rows.
-    from ..extensions.similarity import _has_direction
-
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
-        _has_direction(vec_col)
+        sim._has_direction(vec_col)
     )
     cents = sim.kmeans_cells(
         emb, k=kmeans_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
@@ -300,9 +298,7 @@ def refresh_curated_ivf(spark, sf_dir: str, new_vectors: DataFrame) -> None:
 
     cells_name, cents_name = ivf_table_names(sf_dir)
     cents = spark.table(cents_name)
-    from ..extensions.similarity import _has_direction
-
-    new_vectors = new_vectors.filter(_has_direction("embedding"))  # see
+    new_vectors = new_vectors.filter(sim._has_direction("embedding"))  # see
     # write_curated_ivf: direction-less vectors are not ANN candidates
     asg = sim.assign_best_cell(
         new_vectors.select(
@@ -452,7 +448,11 @@ def compact_curated(
     fs = tmp_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(tmp_path):
         # table exists (we resolved its location), so this is a stale
-        # leftover from a run that died BEFORE its destructive phase
+        # leftover from a run that died BEFORE its destructive phase —
+        # remove it AND any catalog entry a reattach_curated resurrected
+        # from it (r11 review: deleting the directory under a live
+        # <table>__staged registration would leave it dangling)
+        spark.sql(f"DROP TABLE IF EXISTS {table}__staged")
         fs.delete(tmp_path, True)
     df = spark.table(table)
     if dedup_cols:
@@ -481,6 +481,7 @@ def compact_curated(
         path=loc,
         sort_cols=spec.get("sort_cols"),
     )
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staged")  # if reattached
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)
     detect_cache_clear()

@@ -372,13 +372,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
-      WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
+        AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
         AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
@@ -403,13 +405,15 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
-      WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
+        AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
         AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
@@ -456,13 +460,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     per_dim AS (
       SELECT label AS cell, t.i AS dim,
              round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mu
       FROM embeddings, generate_series(1, 64) t(i)
-      WHERE embedding IS NOT NULL AND label IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      WHERE embedding IS NOT NULL AND label IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
       GROUP BY 1, 2
     ),
     cents AS (SELECT cell, list(mu ORDER BY dim) AS centroid FROM per_dim GROUP BY 1),
@@ -479,6 +485,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_cosine_similarity(p.q_vec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
       FROM probe p JOIN embeddings c ON c.label = p.cell
       WHERE c.embedding IS NOT NULL
+        AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
         AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
@@ -3145,7 +3152,8 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
       ORDER BY vec_id LIMIT 8
     ),
     scored AS (
@@ -3153,6 +3161,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_cosine_similarity(e.embedding::DOUBLE[], s.centroid) AS cos
       FROM embeddings e CROSS JOIN seeds s
       WHERE e.embedding IS NOT NULL
+        AND len(list_filter(CAST(e.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
         AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     best AS (
@@ -3664,7 +3673,8 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_report",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
-               WHERE embedding IS NOT NULL AND label IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+               WHERE embedding IS NOT NULL AND label IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
     q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
     dims AS (SELECT unnest(range(1, 65)) AS i),
     cd AS (SELECT label, i, avg(e[i]) AS mu FROM v CROSS JOIN dims GROUP BY 1, 2),
@@ -4120,7 +4130,8 @@ _CELL_ASSIGN_CTES = """embnn AS (
       -- ANN-family NULL contract: NULL vectors can neither seed nor
       -- be assigned a cell; the op side (_adaptive_cell_assign)
       -- filters identically, so adaptive k and seed numbering match
-      SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -5235,6 +5246,13 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = e.agg(
         F.min(epoch_seconds(F.col("ts"))), F.max(epoch_seconds(F.col("ts")))
     ).collect()[0]
+    if lo is None:
+        # every row lacked a key or a timestamp: the batch twin's pure
+        # DataFrame plan yields an empty result; (None - None) here
+        # would raise instead (r11 review)
+        return spark.createDataFrame(
+            [], "user_id long, session_start long, n long, total_value double"
+        )
     step = (hi - lo) / 4 + 1e-6
     state = None  # (user_id, o_start, o_last, o_n, o_val)
     closed = None

@@ -51,7 +51,12 @@ def stream_parquet_table(
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(p)
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hp) and fs.getFileStatus(hp).isDirectory():
+    if not fs.exists(hp):
+        # fail LOUD: falling through to a glob that matches nothing
+        # would stream zero rows forever — the silent-empty failure
+        # mode this helper exists to eliminate (r11 review)
+        raise ValueError(f"stream_parquet_table: no such table data at {p}")
+    if fs.getFileStatus(hp).isDirectory():
         return spark.readStream.schema(schema).parquet(p)
     return (
         spark.readStream.schema(schema)
