@@ -1,0 +1,82 @@
+"""The rotation contract (VERDICT r11 item 2): every query whose
+op/oracle code changed since its own last external green must sit in
+the first 50 `queries()` entries — the driver's correctness window —
+so the next round's external check certifies the CURRENT code.
+
+The r11 gap this pins: a mid-round rotation froze the window, then a
+late edit wave changed 33 queries' code, and their stale greens
+shipped as if current. With this test, any edit made after
+__spark_entry__._PRIORITY was last regenerated fails the suite until
+`python scripts/rotate_window.py` is re-run and its output pasted in.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def _git_available() -> bool:
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _git_available(), reason="needs the git history for round boundaries"
+)
+
+
+def test_priority_names_are_registered_and_unique():
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries().keys())
+    prio = entrymod._PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names in _PRIORITY"
+    unknown = [n for n in prio if n not in registered]
+    assert not unknown, f"_PRIORITY names not registered: {unknown}"
+    assert len(prio) <= 50, "window is 50 slots; extra entries never run"
+
+
+def test_changed_since_green_queries_lead_the_window():
+    import __spark_entry__ as entrymod
+    import rotate_window as rw
+
+    res = rw.propose_window()
+    window = list(entrymod.queries().keys())[:50]
+    missing = {
+        n: why for n, why in res["changed"].items() if n not in window
+    }
+    assert not missing, (
+        "queries changed since their last external green are OUTSIDE the "
+        "driver's 50-entry correctness window — re-run "
+        "`python scripts/rotate_window.py` and refresh "
+        f"__spark_entry__._PRIORITY: {missing}"
+    )
+
+
+def test_never_checked_queries_lead_the_window():
+    import __spark_entry__ as entrymod
+    import rotate_window as rw
+
+    last_green = rw.last_green_rounds()
+    registered = list(entrymod.queries().keys())
+    never = [n for n in registered if n not in last_green]
+    window = registered[:50]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"queries with no external green ever are outside the window: {missing}"
+    )
