@@ -7,9 +7,12 @@ per SQL semantics, never to a mid-job exception.
 
 Modes (comma-separable):
   nulls     NULL text/lang/source (documents), NULL embedding/label
-            (embeddings), NULL value/props (events) — found the seven
-            r9 vector/format crashes (see test_adversarial_corpus_
-            nulls_no_crashes).
+            AND a NULL element INSIDE one component of every 10th
+            embedding (embeddings), NULL value/props (events) — found
+            the seven r9 vector/format crashes (see
+            test_adversarial_corpus_nulls_no_crashes); the interior
+            NULL exercises the oracle list_filter clauses and the op
+            _has_direction fold (r11 ADVICE).
   nullkeys  NULL user_id/event_type/ts (events) — windows put NULL
             keys in their own partition, equi-joins drop them.
   degenerate  empty/whitespace/sub-shingle texts, zero-norm vectors —
@@ -185,6 +188,23 @@ def _build(spark, mode: str) -> str:
         )
         emb = (
             emb.withColumn("embedding", F.when(F.col("vec_id") % 9 == 0, F.lit(None).cast(emb.schema["embedding"].dataType)).otherwise(F.col("embedding")))
+            # interior NULL element (r11 ADVICE): vec_id % 10 == 0 gets
+            # ONE NULL component — the class the oracles' `len(
+            # list_filter(e, x -> x IS NULL)) = 0` clauses and the op
+            # side's _has_direction NULL-poison fold exist for; DuckDB
+            # list_cosine_similarity raises outright on such lists, so
+            # without this injection those clauses ship unverified.
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 10 == 0,
+                    F.expr(
+                        "transform(embedding, (x, i) -> "
+                        "CASE WHEN i = CAST(vec_id % size(embedding) AS INT) "
+                        "THEN CAST(NULL AS FLOAT) ELSE x END)"
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
             .withColumn("label", F.when(F.col("vec_id") % 8 == 0, F.lit(None).cast("string")).otherwise(F.col("label")))
         )
         ev = (

@@ -76,37 +76,27 @@ def _norm(v):
     return v
 
 
-def main() -> None:
-    modes = (sys.argv[1] if len(sys.argv) > 1 else "nulls").split(",")
-    only = set(sys.argv[2:])
-
-    from seqdatapipeline_spark.session import get_spark
-
-    spark = get_spark(app_name="parity-dirty", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _load_sweep():
     spec = importlib.util.spec_from_file_location(
         "adversarial_sweep", os.path.join(_REPO, "scripts", "adversarial_sweep.py")
     )
     sweep = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(sweep)
+    return sweep
 
+
+def run_parity(spark, mode: str, names: list[str]) -> list[str]:
+    """Run `names` (queries() entries with oracles) and their DuckDB
+    oracles over the adversarial dataset for `mode`; return the
+    failure lines (empty = parity). Importable so the CI suite can run
+    the window head each full pytest pass (VERDICT r11 item 4)."""
+    sweep = _load_sweep()
     qs = entrymod.queries()
     orc = entrymod.oracle_sql()
-    names = sorted(
-        n for n in qs if n in orc and n not in SKIP and (not only or n in only)
-    )
-    if only:
-        unknown = sorted(only - set(names))
-        if unknown:
-            # a typo'd name must never produce a green 0-of-0 run
-            print(f"unknown queries: {unknown}", file=sys.stderr)
-            sys.exit(2)
-    failed = 0
-    for mode in modes:
-        mode_failed0 = failed
-        adv = sweep._build(spark, mode)
-        con = duckdb.connect()
+    adv = sweep._build(spark, mode)
+    con = duckdb.connect()
+    failures: list[str] = []
+    try:
         for t in TABLES:
             p = os.path.join(adv, f"{t}.parquet")
             pat = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -129,23 +119,49 @@ def main() -> None:
                     tuple(_norm(row[i]) for i in order) for row in cur.fetchall()
                 )
             except Exception as ex:
-                failed += 1
-                print(
-                    f"ERR  [{mode}] {name}: {str(ex).splitlines()[0][:140]}",
-                    flush=True,
+                failures.append(
+                    f"ERR  [{mode}] {name}: {str(ex).splitlines()[0][:140]}"
                 )
                 continue
             if got != want:
-                failed += 1
-                print(
+                failures.append(
                     f"DIVERGE [{mode}] {name}: spark {sum(got.values())} rows, "
                     f"oracle {sum(want.values())}; e.g. spark-only "
                     f"{list((got - want).keys())[:1]} oracle-only "
-                    f"{list((want - got).keys())[:1]}",
-                    flush=True,
+                    f"{list((want - got).keys())[:1]}"
                 )
-        print(f"[{mode}] {failed - mode_failed0} divergent/error of {len(names)}")
+    finally:
         con.close()
+    return failures
+
+
+def main() -> None:
+    modes = (sys.argv[1] if len(sys.argv) > 1 else "nulls").split(",")
+    only = set(sys.argv[2:])
+
+    from seqdatapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="parity-dirty", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    orc = entrymod.oracle_sql()
+    names = sorted(
+        n for n in qs if n in orc and n not in SKIP and (not only or n in only)
+    )
+    if only:
+        unknown = sorted(only - set(names))
+        if unknown:
+            # a typo'd name must never produce a green 0-of-0 run
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+    failed = 0
+    for mode in modes:
+        failures = run_parity(spark, mode, names)
+        for line in failures:
+            print(line, flush=True)
+        print(f"[{mode}] {len(failures)} divergent/error of {len(names)}")
+        failed += len(failures)
     spark.stop()
     sys.exit(1 if failed else 0)
 

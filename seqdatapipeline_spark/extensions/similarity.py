@@ -46,6 +46,22 @@ def _has_direction(vec_col: str) -> "F.Column":
     return F.col(vec_col).isNotNull() & (sq > 0)
 
 
+def _no_null_elements(vec_col: str) -> "F.Column":
+    """Vector-contract predicate for NON-cosine paths (PQ encode,
+    normalize, covariance): non-NULL and no NULL ELEMENTS, but zero-
+    norm vectors stay — they are valid data for L2 codebooks and
+    moment accumulation. Use _has_direction where cosine geometry is
+    required. Oracles mirror with `embedding IS NOT NULL AND
+    len(list_filter(embedding, x -> x IS NULL)) = 0` (DuckDB's list
+    aggregates SKIP interior NULLs while Spark's fold NULL-poisons —
+    without the symmetric exclusion the engines quantize/normalize
+    DIFFERENT populations; found by the r12 interior-NULL parity mode,
+    ADVICE r11)."""
+    return F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+
+
 def brute_topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,
@@ -371,8 +387,13 @@ def ivf_topk_cosine(
         # the trained and cell_col branches filter at construction; a
         # PREBUILT index may predate the direction contract (pre-r11
         # curated store), so filter here — the other branches skip the
-        # second O(dim) fold (interpreted HOFs get no CSE; r11 review)
+        # second O(dim) fold (interpreted HOFs get no CSE; r11 review).
+        # cents too (ADVICE r11): a stale index can carry centroid rows
+        # derived from NULL-labeled / direction-less strata, which
+        # would enter probe ranking; the centroid table is model-sized
+        # so the extra fold is free.
         cells = cells.filter(_has_direction(c_vec))
+        cents = cents.filter(_has_direction("centroid"))
     elif cell_col is not None:
         # NULL cells/vectors carry no geometry: a NULL-labeled stratum
         # would otherwise produce a phantom centroid that enters probe
@@ -463,10 +484,14 @@ def pq_ivf_build(
       (io.layout.write_curated_pq) stores so serving never repeats
       them.
 
-    NULL vectors are excluded (ANN-family NULL contract): they can
-    neither seed the coarse/codebook models nor be encoded."""
+    NULL vectors and vectors with NULL ELEMENTS are excluded
+    (ANN-family NULL contract, extended r12): they can neither seed
+    the coarse/codebook models nor be encoded — an interior NULL
+    poisons Spark's distance folds to NULL while DuckDB's list_sum
+    skips it, so keeping such vectors trains DIFFERENT models per
+    engine (found by the interior-NULL parity mode)."""
     spark = corpus.sparkSession
-    v = corpus.filter(F.col(vec_col).isNotNull()).select(
+    v = corpus.filter(_no_null_elements(vec_col)).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
@@ -594,11 +619,15 @@ def embedding_covariance(
     spark = emb.sparkSession
     # NULL vectors would put a shapeless row into every batch's
     # np.stack; the posexplode means-pass already skips them, so the
-    # Gramian pass must too (same n, same moments).
+    # Gramian pass must too (same n, same moments). Vectors with NULL
+    # ELEMENTS are excluded outright (r12 interior-NULL contract):
+    # Arrow hands them to numpy as NaN, which would poison whole
+    # Gramian rows, while DuckDB covar_pop skips the element PAIRWISE
+    # — per-(i,j) populations would silently diverge between engines.
     v = (
         fan_out(emb)
         .select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .filter(F.col("__v").isNotNull())
+        .filter(_no_null_elements("__v"))
     )
     means_rows = (
         v.select(F.posexplode("__v").alias("dim", "x"))

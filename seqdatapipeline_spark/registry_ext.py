@@ -312,7 +312,9 @@ def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embedding_covariance",
     """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     x AS (
       SELECT vec_id, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS xi
       FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)
@@ -351,17 +353,26 @@ def q_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_embedding_cosine",
     """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings a JOIN embeddings b
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos
+    FROM v a JOIN v b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within coarse blocks (label = IVF
     cell stand-in): the self-join is an equi-join on the block key, so
-    cost is Σ per-block n², not global n²."""
+    cost is Σ per-block n², not global n². NULL/interior-NULL vectors
+    pair with nothing on both sides: the oracle excludes them up front
+    (DuckDB list_cosine_similarity ERRORS on interior NULLs), the op
+    needs no extra filter — Arrow hands interior NULLs to the matmul
+    as NaN, and a NaN cosine never reaches the >= threshold cut."""
     return dd.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
@@ -1939,6 +1950,8 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> round(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))), 6)
              ) AS unit_vec
       FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
       SELECT vec_id, unnest(range(0, len(unit_vec))) AS dim, unit_vec FROM s
@@ -1953,8 +1966,14 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_val) long form — scalar columns only, so the external
     hash-compare can canonicalize it (array cells are unhashable in
     the driver's pandas canonicalizer); the array form stays available
-    via sim.l2_normalize for in-pipeline use."""
-    emb = _t(spark, sf_dir, "embeddings")
+    via sim.l2_normalize for in-pipeline use. Vectors with a NULL
+    element are excluded on both sides (r12 interior-NULL contract):
+    Spark's norm fold NULL-poisons the whole unit vector where
+    DuckDB's list_sum skips the element and normalizes by a PARTIAL
+    norm — neither is a normalization of the data, so no row."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        sim._no_null_elements("embedding")
+    )
     u = sim.l2_normalize(emb)
     return u.select("vec_id", F.posexplode("unit_vec").alias("dim", "unit_val"))
 
@@ -1997,11 +2016,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_embedding_clusters",
     """
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM embeddings a JOIN embeddings b
+      FROM v a JOIN v b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
     ),
     edges AS (
       SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
@@ -3005,7 +3029,9 @@ def _srp_oracle(bits: int = 24, band_bits: int = 6, dims: int = 64, threshold: f
         f"CASE WHEN ({proj(b)}) >= 0 THEN '1' ELSE '0' END" for b in range(bits)
     )
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL),
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     sig AS (SELECT vec_id, {sig} AS srp FROM v),
     keyed AS (
       SELECT s.vec_id,
@@ -3029,7 +3055,11 @@ def q_srp_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     srp_near_dup_pairs): SRP/hyperplane signature manufactures its
     own LSH buckets from geometry (Charikar 2002), in-bucket pairs,
     exact-cosine confirm. The hyperplane matrix is md5-derived
-    literals — bit-identical in any engine, no RNG seed."""
+    literals — bit-identical in any engine, no RNG seed. The oracle
+    excludes NULL/interior-NULL vectors up front (DuckDB
+    list_cosine_similarity ERRORS on interior NULLs); the op needs no
+    extra filter — such vectors' confirm cosine is NULL/NaN and never
+    reaches the >= threshold cut."""
     return dd.srp_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), bits=24, band_bits=6, threshold=0.3
     )
@@ -5274,7 +5304,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pq_codes",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5314,9 +5345,14 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, 64x); the codebook is MODEL-sized (8x16 subvectors) and
     broadcasts, encode is one scan exploded 8x, and the per-(vector,
     subspace) argmin is a max_by aggregate, never a window over the
-    scored rows. NULL embeddings are excluded in both engines
-    (ANN-family NULL contract)."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    scored rows. NULL embeddings AND embeddings with NULL elements are
+    excluded in both engines (ANN-family NULL contract; interior-NULL
+    extension r12 — an interior NULL would poison Spark's distance
+    folds while DuckDB's list_sum skips it, training different
+    codebooks per engine)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        sim._no_null_elements("embedding")
+    )
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
     cb0 = (
@@ -5363,7 +5399,8 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_ann_topk",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5412,10 +5449,13 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point at billion-vector scale. The lookup join is equi-keyed
     on (subspace, centroid); per-query ranking windows run over the
     candidate aggregate. Query set = vec_id < 8, as in
-    ann_topk_cosine. NULL embeddings are excluded in both engines
-    (ANN-family NULL contract: they can neither seed the codebook nor
+    ann_topk_cosine. NULL embeddings and embeddings with NULL elements
+    are excluded in both engines (ANN-family NULL contract, r12
+    interior-NULL extension: they can neither seed the codebook nor
     encode nor query)."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = _t(spark, sf_dir, "embeddings").filter(
+        sim._no_null_elements("embedding")
+    )
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
     cb0 = (
@@ -5476,7 +5516,8 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_pq_topk",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     coarse AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccell, emb AS ccent
       FROM v ORDER BY vec_id LIMIT 8
