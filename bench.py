@@ -337,9 +337,14 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
 
 
 def _next_round() -> int:
-    """Round number for the curated artifact's filename: the driver
-    writes BENCH_r{N}.json AFTER this bench runs, so the upcoming
-    round is 1 + the highest committed plain artifact."""
+    """Round number for this run's artifacts: the driver writes
+    BENCH_r{N}.json AFTER this bench runs, so the upcoming round is
+    1 + the highest committed plain artifact. Resolved ONCE at the
+    start of main() and stamped into the plain JSON (`round`), and the
+    curated filename reuses that same resolution (r11 ADVICE) — if it
+    were re-read at curated-write time, a driver that lands the plain
+    BENCH_r{N}.json before the ~2x-longer curated pass finishes would
+    shift the curated artifact into the wrong round."""
     best = 0
     for f in os.listdir(_REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -385,6 +390,7 @@ def main() -> None:
     # get the same mechanical per-round pin treatment (VERDICT r10
     # item 4).
     curated_only = os.environ.get("SPARK_GRAFT_CURATED", "") == "1"
+    this_round = _next_round()  # resolve ONCE, before anything ships
     curate_secs = _curate(spark, sf_dir) if curated_only else None
 
     # Warm the JVM (codegen, parquet footer cache, shuffle service)
@@ -403,6 +409,7 @@ def main() -> None:
         spark, queries, sf_dir, sf, only,
         BEST_KNOWN_CURATED if curated_only else BEST_KNOWN,
     )
+    out["round"] = this_round
     if curated_only:
         # A curated-mode artifact must never masquerade as the plain
         # headline (plain pins don't apply — it carries its own):
@@ -427,7 +434,8 @@ def main() -> None:
             cur = run_headline(spark, queries, sf_dir, sf, only, BEST_KNOWN_CURATED)
             cur["curated"] = True
             cur["curate_secs"] = c_secs
-            path = os.path.join(_REPO, f"BENCH_r{_next_round()}_curated.json")
+            cur["round"] = this_round
+            path = os.path.join(_REPO, f"BENCH_r{this_round}_curated.json")
             with open(path, "w") as f:
                 f.write(json.dumps(cur) + "\n")
         except Exception as e:  # the plain artifact has already shipped

@@ -538,6 +538,23 @@ def reattach_curated(spark, warehouse_dir: str | None = None) -> dict[str, str]:
             continue
         spec = read_table_spec(spark, status.getPath().toString())
         if spec is None:
+            # A directory holding parquet but no manifest is either a
+            # pre-r11 store or a write that crashed in the
+            # saveAsTable→manifest gap (r11 ADVICE) — silently skipping
+            # it would quietly strip that table's restart durability,
+            # indistinguishable from "never curated". Say so.
+            has_parquet = any(
+                st.getPath().getName().endswith(".parquet")
+                for st in fs.listStatus(status.getPath())
+            )
+            if has_parquet:
+                __import__("logging").getLogger(__name__).warning(
+                    "reattach_curated: %s holds parquet data but no %s "
+                    "manifest (pre-manifest store, or a write crashed "
+                    "before minting it) — NOT reattached; re-curate to "
+                    "restore restart durability",
+                    status.getPath().toString(), "_sg_spec.json",
+                )
             continue
         table = spec["table"]
         if table in attached:
@@ -771,7 +788,19 @@ def refresh_curated_edges(spark, sf_dir: str, new_facts: DataFrame,
     # validation and silently double-counting every edge weight, which
     # no reader could ever detect. Fail-safe beats fail-silent.
     if have_keys_tbl:
-        append_curated_bucketed(batch_keys, keys_tbl, "gkey")
+        keys_delta = batch_keys
+        if not validate_batch_keys:
+            # A no-validate call is usually a REPLAY whose keys are
+            # already registered; unconditionally appending would grow
+            # the keys table by one duplicate row set per replay,
+            # forever (r11 ADVICE). Register only the genuinely new
+            # keys — exchange-free anti-join, both sides bucketed on
+            # gkey — so replays are idempotent on the keys table while
+            # a no-validate NEW batch still registers.
+            keys_delta = batch_keys.join(
+                spark.table(keys_tbl), "gkey", "left_anti"
+            )
+        append_curated_bucketed(keys_delta, keys_tbl, "gkey")
     # Delta derives from new_facts ALONE — correct only under the
     # whole-groups-per-batch precondition above.
     append_curated_bucketed(delta, graph_table_name(sf_dir), "src")

@@ -337,6 +337,69 @@ def test_write_bucketed_overwrites_stale_external_path(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_write_bucketed_overwrites_stale_location_in_custom_db(spark, tmp_path):
+    """The stale-location clear must resolve the managed location
+    through the CATALOG (r11 VERDICT nit): a database created with a
+    custom LOCATION is not under <warehouse>/<db>.db, so the old
+    string-concat derivation missed it and LOCATION_ALREADY_EXISTS
+    returned in that config."""
+    import os
+
+    from seqdatapipeline_spark.io.sinks import write_bucketed
+
+    db_loc = tmp_path / "customdb_loc"
+    db_loc.mkdir()
+    table = "sgdbx.t_bkt_stale_custom"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sgdbx LOCATION '{db_loc}'")
+    stale_dir = db_loc / "t_bkt_stale_custom"
+    stale_dir.mkdir()
+    (stale_dir / "part-stale.parquet").write_text("stale bytes")
+    assert not spark.catalog.tableExists(table)
+    try:
+        df = spark.range(0, 40).withColumn("v", F.col("id") * 3)
+        write_bucketed(df, table, ["id"], n_buckets=2)
+        assert spark.table(table).count() == 40
+        assert not os.path.exists(str(stale_dir / "part-stale.parquet"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql("DROP DATABASE IF EXISTS sgdbx CASCADE")
+
+
+def test_spec_manifest_staged_write_and_corrupt_manifest_degrades(spark, tmp_path):
+    """Manifest durability (r11 ADVICE): write_spec_at stages and
+    renames (no half-written manifest can survive), and a CORRUPT
+    manifest degrades to manifest-less — read_table_spec returns None
+    and reattach_curated skips the directory with a warning instead of
+    poisoning the whole warehouse sweep."""
+    import os
+
+    from seqdatapipeline_spark.io import layout as lay
+    from seqdatapipeline_spark.io.sinks import (
+        SPEC_FILE,
+        read_table_spec,
+        write_spec_at,
+    )
+
+    loc = tmp_path / "spec_home"
+    loc.mkdir()
+    write_spec_at(spark, str(loc), {"table": "t_x", "ddl": "id BIGINT",
+                                    "bucket_cols": None, "n_buckets": None,
+                                    "sort_cols": None})
+    assert read_table_spec(spark, str(loc))["table"] == "t_x"
+    assert not os.path.exists(str(loc / (SPEC_FILE + ".__staged__"))), (
+        "staged temp manifest must be renamed away"
+    )
+    # Corrupt manifest in a warehouse directory holding real parquet:
+    wh = tmp_path / "wh"
+    tdir = wh / "t_corrupt"
+    tdir.mkdir(parents=True)
+    spark.range(5).write.mode("overwrite").parquet(str(tdir))
+    (tdir / SPEC_FILE).write_text("{not json")
+    assert read_table_spec(spark, str(tdir)) is None
+    attached = lay.reattach_curated(spark, warehouse_dir=str(wh))
+    assert attached == {}
+
+
 def test_reattach_curated_restores_bucketed_table_and_plans(spark, tmp_path):
     """Durable curated stores (r11): a table whose catalog entry is
     gone but whose directory (data + _sg_spec.json manifest) survives
@@ -1284,9 +1347,24 @@ def test_refresh_curated_edges_validates_batch_disjointness(spark):
         # Replaying ANY already-ingested group must raise.
         with _pytest.raises(ValueError, match="already"):
             lay.refresh_curated_edges(spark, sf, second.limit(50))
-        # Explicit opt-out still appends (replay semantics).
+        # Explicit opt-out still appends (replay semantics) — but must
+        # be IDEMPOTENT on the keys table (r11 ADVICE: unconditional
+        # appends grew it by one duplicate row set per replay, forever).
+        rows_before = spark.table(keys_name).count()
         lay.refresh_curated_edges(
-            spark, sf, second.limit(0), validate_batch_keys=False
+            spark, sf, second, validate_batch_keys=False
+        )
+        assert spark.table(keys_name).count() == rows_before, (
+            "no-validate replay re-registered already-known group keys"
+        )
+        # A no-validate batch with genuinely NEW keys still registers
+        # them (no-validate is not only-for-replays).
+        fresh = second.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000)
+        )
+        lay.refresh_curated_edges(spark, sf, fresh, validate_batch_keys=False)
+        assert spark.table(keys_name).count() == rows_before + (
+            fresh.select("l_orderkey").distinct().count()
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
