@@ -124,44 +124,52 @@ BEST_KNOWN = {
 # the curated physical layouts (bucketed genomics/behavioral tables,
 # stored LSH signatures, IVF/PQ index tables, parsed URL table,
 # half-edge graph table) instead of deriving everything from plain
-# parquet per call. Pinned r11 — the first per-query curated record
-# (the r10 curated run logged only its 20.20s total) — from a
-# measured run at lambda_min 66ms / scattered sub-3% steal, i.e. a
-# MODERATELY contended epoch: these pins are deliberately loose
-# best-knowns and should be ratcheted DOWN as quieter-epoch curated
-# runs land (the plain BEST_KNOWN table evolved the same way).
+# parquet per call. Seeded r11 (the first per-query curated record)
+# at a moderately contended epoch (lambda_min 66ms); ratcheted r12
+# from the DRIVER's r11 curated run (BENCH_r11_curated: lambda
+# 54.8/65.5ms, per-query steal stamps clean except dedup_alignments /
+# dedup_minhash_lsh) — 21 of 30 pins moved DOWN (VERDICT r11 item 6);
+# the 9 holds either carried steal in that run or were already
+# best-known. dedup_minhash_lsh r12: the curated path now dispatches
+# the exact-dup collapse adaptively on a memoized duplication-factor
+# stat (extensions/dedup.py — the collapse's ~8 extra AQE-barrier
+# jobs were the whole curated penalty on this low-duplication corpus;
+# measured 19 vs 11 driver jobs, scripts/ab_lsh_curated.py), so its
+# curated wall is the plain plan + 1 stats job: pin re-seeded from
+# the measured post-dispatch run (1.189 at lambda 81-90ms — ratchet
+# further when a quiet curated run lands).
 # Queries without a curated layout serve identical plans in both
 # modes; at a quiet epoch their curated walls equal the plain pins.
 BEST_KNOWN_CURATED = {
-    "feature_interval_join": 0.817,
-    "metrics_interval_join": 0.487,
-    "gene_read_count": 0.123,
-    "fragment_length_histogram": 0.119,
-    "coverage_bin_count": 0.102,
+    "feature_interval_join": 0.804,
+    "metrics_interval_join": 0.412,
+    "gene_read_count": 0.111,
+    "fragment_length_histogram": 0.108,
+    "coverage_bin_count": 0.088,
     "dedup_alignments": 0.123,
-    "pe_mate_join": 0.249,
+    "pe_mate_join": 0.219,
     "group_route_jobs": 0.202,
-    "qc_read_stats": 0.085,
-    "peak_call": 0.280,
-    "dedup_exact": 0.061,
-    "dedup_minhash_lsh": 1.434,
+    "qc_read_stats": 0.080,
+    "peak_call": 0.247,
+    "dedup_exact": 0.058,
+    "dedup_minhash_lsh": 1.189,
     "ann_topk_cosine": 0.368,
-    "text_quality_score": 0.202,
-    "token_count": 0.165,
-    "vocab_top_terms": 0.313,
-    "pack_sequences": 0.329,
-    "corpus_prepare": 0.669,
+    "text_quality_score": 0.194,
+    "token_count": 0.152,
+    "vocab_top_terms": 0.266,
+    "pack_sequences": 0.258,
+    "corpus_prepare": 0.625,
     "asof_latest_event": 0.233,
     "dedup_clusters": 0.728,
     "rollup_time_bucket": 0.170,
     "pagerank_iter": 0.938,
-    "kmeans_assign": 0.545,
-    "dsir_importance_weights": 0.839,
-    "semdedup_prune": 1.597,
-    "incremental_ingest_dedup": 1.094,
-    "quality_percentile_by_source": 1.007,
-    "ivf_pq_topk": 0.943,
-    "setsim_prefix_join": 2.000,
+    "kmeans_assign": 0.506,
+    "dsir_importance_weights": 0.698,
+    "semdedup_prune": 1.386,
+    "incremental_ingest_dedup": 0.930,
+    "quality_percentile_by_source": 0.716,
+    "ivf_pq_topk": 0.706,
+    "setsim_prefix_join": 1.654,
     "setsim_clusters": 2.366,
 }
 
@@ -213,12 +221,14 @@ def _drop_persisted(spark) -> None:
     timing that hits it measures a dict lookup, not the operator —
     r7's published pagerank_iter 0.237s was such a hit. Pins must
     regress when the ALGORITHM regresses."""
+    from seqdatapipeline_spark.extensions.dedup import _dup_stats_clear
     from seqdatapipeline_spark.extensions.graph import _rank_memo_clear
     from seqdatapipeline_spark.ops.joins import _adaptive_stats_clear
     from seqdatapipeline_spark.session import ring_clear
 
     _rank_memo_clear()
     _adaptive_stats_clear()
+    _dup_stats_clear()  # the LSH collapse-dispatch stat (r12)
     ring_clear()  # release ring-registered SQL cache entries
     # cleanly before the raw unpersist sweep below
     jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()

@@ -79,6 +79,52 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_collapse_dispatch_is_adaptive(spark):
+    """The exact-dup collapse on a content_hash-bearing corpus is
+    gated on the measured duplication factor (r12: the collapse costs
+    ~8 extra driver jobs and only pays under duplication —
+    scripts/ab_lsh_curated.py). Both dispatch outcomes must return the
+    plain pipeline's exact pair set."""
+    from pyspark.sql import functions as F
+
+    uniq = _doc_df(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("today", "tonight")),
+            (3, "completely different words about spark dataframes and shuffles here now"),
+        ],
+    )
+    want = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(uniq).collect()}
+
+    hashed = uniq.withColumn("content_hash", F.md5("text"))
+    dd._dup_stats_clear()
+    got = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(hashed).collect()}
+    assert got == want
+    # unique corpus → factor ~1.0 → the direct branch was dispatched
+    (factor,) = [v for v in dd._DUP_STATS_MEMO.values()]
+    assert factor < 1.25
+
+    # mass duplication: every text x3 → factor ~3 → collapse branch;
+    # the fan-out recovery must reproduce the uncollapsed pair set.
+    dup = uniq.union(
+        uniq.withColumn("doc_id", F.col("doc_id") + 10)
+    ).union(uniq.withColumn("doc_id", F.col("doc_id") + 20))
+    want_dup = {(r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(dup).collect()}
+    dup_hashed = dup.withColumn("content_hash", F.md5("text"))
+    dd._dup_stats_clear()
+    got_dup = {
+        (r.doc_a, r.doc_b) for r in dd.minhash_dedup_pairs(dup_hashed).collect()
+    }
+    assert got_dup == want_dup
+    (factor_dup,) = [v for v in dd._DUP_STATS_MEMO.values()]
+    assert factor_dup >= 1.25
+    # the stat memoizes per (session, plan): a second call is a dict hit
+    assert dd._duplication_factor(dup_hashed.select("doc_id", "text", "content_hash"), "content_hash") >= 1.25
+    dd._dup_stats_clear()
+    assert not dd._DUP_STATS_MEMO
+
+
 def test_lsh_max_bucket_drops_mega_buckets(spark):
     # 6 identical docs share every band → bucket of 6; cap at 5 kills it.
     docs = _doc_df(spark, [(i, BASE) for i in range(6)])
