@@ -18,6 +18,10 @@ Modes (comma-separable):
   degenerate  empty/whitespace/sub-shingle texts, zero-norm vectors —
             the r8 ANSI DIVIDE_BY_ZERO class (see
             test_adversarial_corpus_no_ansi_crashes).
+  combined  ALL of the above on one dataset (r12): degenerate first,
+            then the NULL classes overwrite — catches contract
+            interactions (empty text + NULL lang, zero-norm vector +
+            NULL label) the per-mode sweeps cannot see.
   urls      URL-specific dirt run through url_normalize/url_domain in
             BOTH engines (Spark op vs the oracle SQL fragments) and
             compared row-by-row: userinfo@host, IDN/punycode hosts,
@@ -167,6 +171,67 @@ def _sweep_urls(spark) -> list[str]:
     ]
 
 
+def _mutate_nulls(docs, emb, ev):
+    docs = (
+        docs.withColumn("text", F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(F.col("text")))
+        .withColumn("lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(F.col("lang")))
+        .withColumn("source", F.when(F.col("doc_id") % 6 == 0, F.lit(None).cast("string")).otherwise(F.col("source")))
+    )
+    emb = (
+        emb.withColumn("embedding", F.when(F.col("vec_id") % 9 == 0, F.lit(None).cast(emb.schema["embedding"].dataType)).otherwise(F.col("embedding")))
+        # interior NULL element (r11 ADVICE): vec_id % 10 == 0 gets
+        # ONE NULL component — the class the oracles' `len(
+        # list_filter(e, x -> x IS NULL)) = 0` clauses and the op
+        # side's _has_direction NULL-poison fold exist for; DuckDB
+        # list_cosine_similarity raises outright on such lists, so
+        # without this injection those clauses ship unverified.
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "CASE WHEN i = CAST(vec_id % size(embedding) AS INT) "
+                    "THEN CAST(NULL AS FLOAT) ELSE x END)"
+                ),
+            ).otherwise(F.col("embedding")),
+        )
+        .withColumn("label", F.when(F.col("vec_id") % 8 == 0, F.lit(None).cast("string")).otherwise(F.col("label")))
+    )
+    ev = (
+        ev.withColumn("value", F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(F.col("value")))
+        .withColumn("props", F.when(F.col("event_id") % 6 == 0, F.lit(None).cast("string")).otherwise(F.col("props")))
+    )
+    return docs, emb, ev
+
+
+def _mutate_nullkeys(docs, emb, ev):
+    ev = (
+        ev.withColumn("user_id", F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("long")).otherwise(F.col("user_id")))
+        .withColumn("event_type", F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type")))
+        .withColumn("ts", F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts")))
+    )
+    return docs, emb, ev
+
+
+def _mutate_degenerate(spark, docs, emb, ev):
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("word"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("  "))
+        .otherwise(F.col("text")),
+    )
+    dim = len(
+        spark.read.parquet(f"{SRC}/embeddings.parquet").select("embedding").first()[0]
+    )
+    emb = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 5 == 0, F.array(*[F.lit(0.0).cast("float")] * dim)).otherwise(F.col("embedding")),
+    )
+    return docs, emb, ev
+
+
 def _build(spark, mode: str) -> str:
     adv = f"/tmp/spark-graft-adv-{mode}"
     os.makedirs(adv, exist_ok=True)
@@ -180,58 +245,26 @@ def _build(spark, mode: str) -> str:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     ev = _t(spark, SRC, "events")
-    if mode == "nulls":
-        docs = (
-            docs.withColumn("text", F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(F.col("text")))
-            .withColumn("lang", F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(F.col("lang")))
-            .withColumn("source", F.when(F.col("doc_id") % 6 == 0, F.lit(None).cast("string")).otherwise(F.col("source")))
-        )
-        emb = (
-            emb.withColumn("embedding", F.when(F.col("vec_id") % 9 == 0, F.lit(None).cast(emb.schema["embedding"].dataType)).otherwise(F.col("embedding")))
-            # interior NULL element (r11 ADVICE): vec_id % 10 == 0 gets
-            # ONE NULL component — the class the oracles' `len(
-            # list_filter(e, x -> x IS NULL)) = 0` clauses and the op
-            # side's _has_direction NULL-poison fold exist for; DuckDB
-            # list_cosine_similarity raises outright on such lists, so
-            # without this injection those clauses ship unverified.
-            .withColumn(
-                "embedding",
-                F.when(
-                    F.col("vec_id") % 10 == 0,
-                    F.expr(
-                        "transform(embedding, (x, i) -> "
-                        "CASE WHEN i = CAST(vec_id % size(embedding) AS INT) "
-                        "THEN CAST(NULL AS FLOAT) ELSE x END)"
-                    ),
-                ).otherwise(F.col("embedding")),
-            )
-            .withColumn("label", F.when(F.col("vec_id") % 8 == 0, F.lit(None).cast("string")).otherwise(F.col("label")))
-        )
-        ev = (
-            ev.withColumn("value", F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(F.col("value")))
-            .withColumn("props", F.when(F.col("event_id") % 6 == 0, F.lit(None).cast("string")).otherwise(F.col("props")))
-        )
+    if mode == "combined":
+        # Every mutation class on ONE dataset (r12): the per-mode
+        # sweeps prove each dirt class alone, but contracts can
+        # interact — e.g. a degenerate empty text on a row whose lang
+        # is NULL, or a zero-norm vector whose label is also NULL.
+        # Order: degenerate first, then the NULL classes overwrite
+        # (NULL beats empty where both hit the same cell).
+        docs, emb, ev = _mutate_degenerate(spark, docs, emb, ev)
+        docs, emb, ev = _mutate_nulls(docs, emb, ev)
+        docs, emb, ev = _mutate_nullkeys(docs, emb, ev)
+    elif mode == "nulls":
+        docs, emb, ev = _mutate_nulls(docs, emb, ev)
     elif mode == "nullkeys":
-        ev = (
-            ev.withColumn("user_id", F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("long")).otherwise(F.col("user_id")))
-            .withColumn("event_type", F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("string")).otherwise(F.col("event_type")))
-            .withColumn("ts", F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts")))
-        )
+        docs, emb, ev = _mutate_nullkeys(docs, emb, ev)
     elif mode == "degenerate":
-        docs = docs.withColumn(
-            "text",
-            F.when(F.col("doc_id") % 4 == 0, F.lit(""))
-            .when(F.col("doc_id") % 4 == 1, F.lit("word"))
-            .when(F.col("doc_id") % 4 == 2, F.lit("  "))
-            .otherwise(F.col("text")),
-        )
-        dim = len(emb.select("embedding").first()[0])
-        emb = emb.withColumn(
-            "embedding",
-            F.when(F.col("vec_id") % 5 == 0, F.array(*[F.lit(0.0).cast("float")] * dim)).otherwise(F.col("embedding")),
-        )
+        docs, emb, ev = _mutate_degenerate(spark, docs, emb, ev)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (nulls|nullkeys|degenerate|urls)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (nulls|nullkeys|degenerate|combined|urls)"
+        )
     docs.write.mode("overwrite").parquet(f"{adv}/documents.parquet")
     emb.write.mode("overwrite").parquet(f"{adv}/embeddings.parquet")
     ev.write.mode("overwrite").parquet(f"{adv}/events.parquet")
