@@ -45,22 +45,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r11 gap: 33 entries edited after the rotation froze) fails the
 # suite instead of shipping silently.
 #
-# r12 window = 2 canaries + the 40 computed CHANGED entries (ordered
-# oldest-green-first) + the 8 oldest r6-vintage greens that still fit.
-# The CHANGED set grew from 35 to 40 mid-round because r12 itself
-# edited the embedding family (the interior-NULL contract wave, ADVICE
-# r11 medium — op+oracle symmetric, verified by the new parity_dirty
-# interior-NULL injection, no-op on clean data) — exactly the late-wave
-# scenario the enforcement test now catches. Notes vs VERDICT r11's
+# r12 window = 2 canaries + the 42 computed CHANGED entries (ordered
+# oldest-green-first) + the 6 oldest r6-vintage greens that still fit.
+# The CHANGED set grew from 35 to 40 mid-round when r12 edited the
+# embedding family (the interior-NULL contract wave, ADVICE r11 medium
+# — op+oracle symmetric, verified by the new parity_dirty interior-NULL
+# injection, no-op on clean data), then to 42 when the adaptive LSH
+# collapse dispatch and the sinks Hadoop-FS alignment landed — BOTH
+# growths were caught by tests/test_rotation.py failing mid-round,
+# exactly the late-wave scenario the enforcement test exists for. Notes vs VERDICT r11's
 # hand-derived 33-list: the tracer proves dedup_threshold_sweep and
 # cluster_top_terms did NOT change (the NULL-wave hunks git attributed
 # to their vicinity sit in the NEXT function's oracle — hunk-context
 # misattribution; their only changed deps are shared helpers
 # re-certified by r10/r11 consumer greens), and it FOUND three the hand
 # list missed: corpus_datacard, pe_mate_join and dedup_alignments were
-# edited in r8 on top of r7 greens. The 5 stale entries that no longer
-# fit (table_profile, pipeline_chip, pipeline_atac,
-# stream_minhash_dedup r6; dq_violations r7) lead the r13 tail.
+# edited in r8 on top of r7 greens. The 7 stale entries that no longer
+# fit (time_weighted_avg, trend_slope, table_profile, pipeline_chip,
+# pipeline_atac, stream_minhash_dedup r6; dq_violations r7) lead the
+# r13 tail.
 # Everything below the fold stays green in the local full-surface
 # mirror (tests/test_oracle_parity.py at sf0.001 every pytest run;
 # scripts/selfcheck.py at sf0.01, full-precision floats;
@@ -83,12 +86,12 @@ _PRIORITY = [
     "semdedup_prune", "knn_graph", "pq_ann_topk", "ivf_pq_topk",
     "embedding_covariance", "dedup_embedding_cosine",
     "dedup_embedding_clusters",                           # r9
+    "archive_move_sink", "dedup_minhash_lsh",             # r9 (late-r12)
     "peak_call_islands", "session_windows", "format_fixed6",  # r10
     "ann_ivf_pruned_topk",                                # r11 (r12 edit)
-    # staleness tail: the 8 oldest r6-vintage greens that fit
+    # staleness tail: the 6 oldest r6-vintage greens that fit
     "union_inputs", "text_quality_score", "scrub_pii",
     "repetition_metrics", "uniform_sample_k", "shuffle_shards",
-    "time_weighted_avg", "trend_slope",
 ]
 
 
