@@ -45,8 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r11 gap: 33 entries edited after the rotation froze) fails the
 # suite instead of shipping silently.
 #
-# r12 window = 2 canaries + the 42 computed CHANGED entries (ordered
-# oldest-green-first) + the 6 oldest r6-vintage greens that still fit.
+# r12 window = 2 canaries + the 43 computed CHANGED entries (ordered
+# oldest-green-first) + the 5 oldest r6-vintage greens that still fit.
+# The 43rd: multimodal_decode's oracle was WRONG for non-ASCII text
+# (it counted characters where the op histograms UTF-8 bytes) — found
+# by the new `unicode` adversarial mode as its single divergence of
+# 220, fixed via the hex-low-nibble byte model, and flagged here for
+# external re-green.
 # The CHANGED set grew from 35 to 40 mid-round when r12 edited the
 # embedding family (the interior-NULL contract wave, ADVICE r11 medium
 # — op+oracle symmetric, verified by the new parity_dirty interior-NULL
@@ -88,10 +93,10 @@ _PRIORITY = [
     "dedup_embedding_clusters",                           # r9
     "archive_move_sink", "dedup_minhash_lsh",             # r9 (late-r12)
     "peak_call_islands", "session_windows", "format_fixed6",  # r10
-    "ann_ivf_pruned_topk",                                # r11 (r12 edit)
-    # staleness tail: the 6 oldest r6-vintage greens that fit
+    "ann_ivf_pruned_topk", "multimodal_decode",           # r11 (r12 edit)
+    # staleness tail: the 5 oldest r6-vintage greens that fit
     "union_inputs", "text_quality_score", "scrub_pii",
-    "repetition_metrics", "uniform_sample_k", "shuffle_shards",
+    "repetition_metrics", "uniform_sample_k",
 ]
 
 

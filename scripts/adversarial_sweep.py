@@ -18,10 +18,15 @@ Modes (comma-separable):
   degenerate  empty/whitespace/sub-shingle texts, zero-norm vectors —
             the r8 ANSI DIVIDE_BY_ZERO class (see
             test_adversarial_corpus_no_ansi_crashes).
-  combined  ALL of the above on one dataset (r12): degenerate first,
-            then the NULL classes overwrite — catches contract
-            interactions (empty text + NULL lang, zero-norm vector +
-            NULL label) the per-mode sweeps cannot see.
+  combined  ALL of nulls/nullkeys/degenerate on one dataset (r12):
+            degenerate first, then the NULL classes overwrite —
+            catches contract interactions (empty text + NULL lang,
+            zero-norm vector + NULL label) the per-mode sweeps
+            cannot see.
+  unicode   crawl-shaped unicode text (r12): accents, astral-plane
+            emoji, combining marks, CJK, Turkish İ/ı, RTL, NBSP —
+            the special-casing / grapheme classes where Spark and
+            DuckDB genuinely differ (see _mutate_unicode).
   urls      URL-specific dirt run through url_normalize/url_domain in
             BOTH engines (Spark op vs the oracle SQL fragments) and
             compared row-by-row: userinfo@host, IDN/punycode hosts,
@@ -232,6 +237,29 @@ def _mutate_degenerate(spark, docs, emb, ev):
     return docs, emb, ev
 
 
+def _mutate_unicode(docs, emb, ev):
+    """Crawl-shaped unicode dirt in document text (r12): accented
+    latin, astral-plane emoji/music, combining marks, CJK, Turkish
+    dotted/dotless I, RTL scripts, NBSP-joined tokens. The engine
+    probe (this mode's origin) showed Spark and DuckDB AGREE on
+    length/substr/split/regexp/md5 over all of these but DIVERGE on
+    special-casing (upper('ß') -> 'SS' vs 'ẞ'; lower('İ') -> 'i'+
+    combining dot vs 'i') and on reverse over combining marks
+    (code-point vs grapheme reversal) — so any oracle that
+    upper/lower/reverses text is exposed on real crawl data."""
+    inject = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("café münchen straße "), F.col("text")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" \U0001D11E music \U0001F600 emoji")))
+        .when(F.col("doc_id") % 9 == 0, F.concat(F.lit("étude combining "), F.col("text")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.lit("日本語 中文 "), F.col("text")))
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.lit("İstanbul DİŞ ISIK "), F.col("text")))
+        .when(F.col("doc_id") % 17 == 0, F.concat(F.lit("العربية עברית rtl "), F.col("text")))
+        .when(F.col("doc_id") % 19 == 0, F.concat(F.lit("nb sp token "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return docs.withColumn("text", inject), emb, ev
+
+
 def _build(spark, mode: str) -> str:
     adv = f"/tmp/spark-graft-adv-{mode}"
     os.makedirs(adv, exist_ok=True)
@@ -261,6 +289,8 @@ def _build(spark, mode: str) -> str:
         docs, emb, ev = _mutate_nullkeys(docs, emb, ev)
     elif mode == "degenerate":
         docs, emb, ev = _mutate_degenerate(spark, docs, emb, ev)
+    elif mode == "unicode":
+        docs, emb, ev = _mutate_unicode(docs, emb, ev)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (nulls|nullkeys|degenerate|combined|urls)"

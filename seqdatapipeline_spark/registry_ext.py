@@ -692,19 +692,33 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "multimodal_decode",
     """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE text IS NOT NULL
+    )
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             round(len(list_filter(range(1, length(text) + 1), i -> ascii(substr(text, CAST(i AS INT), 1)) % 8 = 0))
-                   / length(text) * 1.0, 6) END AS f0
-    FROM documents WHERE text IS NOT NULL
+           CAST(nb AS BIGINT) AS n_bytes,
+           CASE WHEN nb = 0 THEN 0.0 ELSE
+             round(len(list_filter(range(1, nb + 1),
+                   i -> substr(hx, CAST(2*i AS INT), 1) IN ('0','8')))
+                   / nb * 1.0, 6) END AS f0
+    FROM b
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode path with the deterministic
     stand-in featurizer (real codecs stubbed — extensions.multimodal):
     the batch shape, output schema and partitioning are the real
-    machinery a decode step runs through."""
+    machinery a decode step runs through.
+
+    The featurizer histograms UTF-8 BYTES, so the oracle models bytes
+    too: byte % 8 == 0 iff its hex low nibble is '0' or '8', counted
+    over hex(encode(text)) with denominator octet_length. The previous
+    oracle counted CHARACTERS (ascii(c) % 8 over length(text)) — they
+    coincide on ASCII, which is why every clean/dirty sweep passed
+    until the r12 unicode mode put multi-byte code points in text
+    (the one divergence of 220 that mode found)."""
     d = _t(spark, sf_dir, "documents")
     media = mm.to_media(d, "doc_id", "text", kind="image")
     feats = mm.decode_media(media, fake=True)
