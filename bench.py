@@ -174,6 +174,47 @@ BEST_KNOWN_CURATED = {
 }
 
 
+# Pinned per-query driver-job counts (BASELINE.md r10 map, build+exec
+# totals) — the lambda-independent plan fingerprint. The artifact
+# stamps the measured count per query (`n_jobs`) and each regression
+# entry carries (jobs, pinned_jobs), so a flag self-adjudicates:
+# equal counts at inflated lambda = the documented weather class;
+# a moved count = a plan change worth bisecting. Update alongside the
+# BASELINE.md table when a plan legitimately changes shape.
+PINNED_JOBS = {
+    "feature_interval_join": 7,
+    "metrics_interval_join": 4,
+    "gene_read_count": 2,
+    "fragment_length_histogram": 3,
+    "coverage_bin_count": 2,
+    "dedup_alignments": 2,
+    "pe_mate_join": 2,
+    "group_route_jobs": 2,
+    "qc_read_stats": 2,
+    "peak_call": 2,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 11,
+    "ann_topk_cosine": 6,
+    "text_quality_score": 2,
+    "token_count": 2,
+    "vocab_top_terms": 3,
+    "pack_sequences": 4,
+    "corpus_prepare": 6,
+    "asof_latest_event": 2,
+    "dedup_clusters": 13,
+    "rollup_time_bucket": 3,
+    "pagerank_iter": 4,
+    "kmeans_assign": 4,
+    "dsir_importance_weights": 5,
+    "semdedup_prune": 11,
+    "incremental_ingest_dedup": 10,
+    "quality_percentile_by_source": 10,
+    "ivf_pq_topk": 11,
+    "setsim_prefix_join": 22,
+    "setsim_clusters": 24,
+}
+
+
 def _cpu_steal_total() -> tuple[int, int]:
     """(steal_jiffies, total_jiffies) from /proc/stat, or (0, 0) off
     Linux. The sandbox's external contention band inflates walls
@@ -249,6 +290,8 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     steal_pct: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
     for name in HEADLINE:
         if only and name not in only:
             continue
@@ -265,13 +308,24 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
         _drop_persisted(spark)
         warm = []
         best_steal = 100.0
-        for _ in range(5):  # min-of-5: r3 showed min-of-3 still lets
+        for i in range(5):  # min-of-5: r3 showed min-of-3 still lets
             # host-load noise move the total ~19% on identical code
             s0, j0 = _cpu_steal_total()
+            if i == 4:
+                jobs0 = len(tracker.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             w = time.perf_counter() - t0
+            if i == 4:
+                # Driver-job count on the final steady-state run: the
+                # lambda-INDEPENDENT plan fingerprint (BASELINE.md r10
+                # doctrine — counts are a code property; walls move
+                # with the environment). Stamped per artifact so a
+                # regression flag self-adjudicates without a manual
+                # probe session: count moved => plan fact worth
+                # bisecting; count equal at inflated lambda => weather.
+                n_jobs[name] = len(tracker.getJobIdsForGroup(None) or []) - jobs0
             s1, j1 = _cpu_steal_total()
             if not warm or w < min(warm):
                 best_steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
@@ -286,6 +340,7 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_jobs": n_jobs,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }
@@ -327,8 +382,16 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
                 steal_pct[name] = round(re_steal, 2)
         out["value"] = round(sum(timings.values()), 3)
         out["regressions"] = {
-            name: {"sec": t, "pinned": pins[name],
-                   "ratio": round(t / pins[name], 2)}
+            name: {
+                "sec": t, "pinned": pins[name],
+                "ratio": round(t / pins[name], 2),
+                # Self-adjudication (r12): pair every flag with the
+                # lambda-independent plan fingerprint. jobs ==
+                # pinned_jobs at inflated lambda is the documented
+                # weather class; a moved count is a plan fact.
+                "jobs": n_jobs.get(name),
+                "pinned_jobs": PINNED_JOBS.get(name),
+            }
             for name, t in timings.items()
             if name in pins and t > REGRESSION_FACTOR * pins[name]
         }
