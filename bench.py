@@ -215,6 +215,47 @@ PINNED_JOBS = {
 }
 
 
+# Curated-mode job counts, seeded from the r12 curated artifact
+# (first round the artifact stamps n_jobs). Differences from the
+# plain map are the curated design working: bucketed scans collapse
+# two-job shuffling plans to 1 (dedup_alignments, pe_mate_join,
+# dedup_exact), the LSH dispatch adds its stats job (12 vs 11),
+# ivf_pq_topk adds the probe-cell collect + bucket-pruned serve
+# (13 vs 11), setsim loses two derive jobs to the stored text tier.
+PINNED_JOBS_CURATED = {
+    "feature_interval_join": 7,
+    "metrics_interval_join": 4,
+    "gene_read_count": 2,
+    "fragment_length_histogram": 3,
+    "coverage_bin_count": 2,
+    "dedup_alignments": 1,
+    "pe_mate_join": 1,
+    "group_route_jobs": 2,
+    "qc_read_stats": 2,
+    "peak_call": 2,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 12,
+    "ann_topk_cosine": 6,
+    "text_quality_score": 2,
+    "token_count": 2,
+    "vocab_top_terms": 3,
+    "pack_sequences": 4,
+    "corpus_prepare": 6,
+    "asof_latest_event": 2,
+    "dedup_clusters": 13,
+    "rollup_time_bucket": 3,
+    "pagerank_iter": 4,
+    "kmeans_assign": 4,
+    "dsir_importance_weights": 5,
+    "semdedup_prune": 11,
+    "incremental_ingest_dedup": 10,
+    "quality_percentile_by_source": 10,
+    "ivf_pq_topk": 13,
+    "setsim_prefix_join": 20,
+    "setsim_clusters": 22,
+}
+
+
 def _cpu_steal_total() -> tuple[int, int]:
     """(steal_jiffies, total_jiffies) from /proc/stat, or (0, 0) off
     Linux. The sandbox's external contention band inflates walls
@@ -278,7 +319,8 @@ def _drop_persisted(spark) -> None:
         it.next().unpersist(True)
 
 
-def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) -> dict:
+def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict,
+                 job_pins: dict | None = None) -> dict:
     """One full headline pass. Per-query: one untimed warmup execution
     (whole-stage-codegen compilation costs ~1s per distinct plan and
     dwarfs sf0.1 runtimes 3-7x; at the target 100 TB scale that
@@ -312,7 +354,7 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
             # host-load noise move the total ~19% on identical code
             s0, j0 = _cpu_steal_total()
             if i == 4:
-                jobs0 = len(tracker.getJobIdsForGroup(None) or [])
+                jobs0 = max(tracker.getJobIdsForGroup(None) or [-1])
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -325,7 +367,12 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
                 # regression flag self-adjudicates without a manual
                 # probe session: count moved => plan fact worth
                 # bisecting; count equal at inflated lambda => weather.
-                n_jobs[name] = len(tracker.getJobIdsForGroup(None) or []) - jobs0
+                # Deltas use MAX job id, not len(ids): the tracker
+                # retains a bounded id window, and len() deltas go
+                # negative once a long session evicts old ids.
+                n_jobs[name] = (
+                    max(tracker.getJobIdsForGroup(None) or [-1]) - jobs0
+                )
             s1, j1 = _cpu_steal_total()
             if not warm or w < min(warm):
                 best_steal = 100.0 * (s1 - s0) / max(j1 - j0, 1)
@@ -390,7 +437,7 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict) 
                 # pinned_jobs at inflated lambda is the documented
                 # weather class; a moved count is a plan fact.
                 "jobs": n_jobs.get(name),
-                "pinned_jobs": PINNED_JOBS.get(name),
+                "pinned_jobs": (job_pins or {}).get(name),
             }
             for name, t in timings.items()
             if name in pins and t > REGRESSION_FACTOR * pins[name]
@@ -481,6 +528,7 @@ def main() -> None:
     out = run_headline(
         spark, queries, sf_dir, sf, only,
         BEST_KNOWN_CURATED if curated_only else BEST_KNOWN,
+        job_pins=PINNED_JOBS_CURATED if curated_only else PINNED_JOBS,
     )
     out["round"] = this_round
     if curated_only:
@@ -504,7 +552,10 @@ def main() -> None:
         # served from the curated tables.
         try:
             c_secs = _curate(spark, sf_dir)
-            cur = run_headline(spark, queries, sf_dir, sf, only, BEST_KNOWN_CURATED)
+            cur = run_headline(
+                spark, queries, sf_dir, sf, only, BEST_KNOWN_CURATED,
+                job_pins=PINNED_JOBS_CURATED,
+            )
             cur["curated"] = True
             cur["curate_secs"] = c_secs
             cur["round"] = this_round
