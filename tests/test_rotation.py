@@ -68,6 +68,35 @@ def test_changed_since_green_queries_lead_the_window():
     )
 
 
+def test_ast_spans_cover_decorated_function_bodies():
+    """The span resolver must cover the FULL registration: decorator
+    (with its multi-line oracle-SQL argument) through the last body
+    line. inspect.getsourcelines truncates exactly this idiom — its
+    block finder can stop inside the decorator's string argument —
+    which would silently exempt body edits from the recheck
+    computation (the bug found while building the r12 tracer)."""
+    import rotate_window as rw
+    import seqdatapipeline_spark.registry_ext as rx
+
+    fn = rx.QUERIES["dedup_embedding_cosine"] if hasattr(rx, "QUERIES") else None
+    if fn is None:
+        from seqdatapipeline_spark.registry import QUERIES
+
+        fn = QUERIES["dedup_embedding_cosine"]
+    rel, start, end = rw._span(fn)
+    with open(os.path.join(REPO, rel)) as f:
+        lines = f.readlines()
+    block = "".join(lines[start - 1:end])
+    # the decorator's oracle literal AND the body's return must both
+    # fall inside the span
+    assert '"dedup_embedding_cosine"' in block, "decorator/oracle outside span"
+    assert "embedding_near_dup_pairs" in block, (
+        "function body truncated out of the span (inspect fallback?)"
+    )
+    # and the next top-level registration must NOT be inside it
+    assert '"ann_topk_cosine"' not in block
+
+
 def test_never_checked_queries_lead_the_window():
     import __spark_entry__ as entrymod
     import rotate_window as rw
