@@ -27,6 +27,10 @@ Modes (comma-separable):
             emoji, combining marks, CJK, Turkish İ/ı, RTL, NBSP —
             the special-casing / grapheme classes where Spark and
             DuckDB genuinely differ (see _mutate_unicode).
+  nonfinite NaN/±Inf embedding components (r12) — excluded by the
+            vector finiteness contract, green 220/220.
+  nonfinite_metrics  NaN/±Inf event metric values — KNOWN RED, the
+            r13 contract head (see _mutate_nonfinite_metrics).
   urls      URL-specific dirt run through url_normalize/url_domain in
             BOTH engines (Spark op vs the oracle SQL fragments) and
             compared row-by-row: userinfo@host, IDN/punycode hosts,
@@ -237,6 +241,64 @@ def _mutate_degenerate(spark, docs, emb, ev):
     return docs, emb, ev
 
 
+def _mutate_nonfinite(docs, emb, ev):
+    """Non-finite float dirt, EMBEDDINGS tier (r12): NaN / +-Inf
+    inside embedding components — what diverged training runs actually
+    produce. Engine facts this mode exercises (probed r12): BOTH
+    engines rank NaN greater than everything (so a NaN cosine PASSES
+    any `>= threshold` confirm — the srp mega-bucket flood), numpy
+    comparisons treat NaN as false (so Arrow-path scorers silently
+    drop what JVM-path folds keep), and DuckDB RAISES on INT casts of
+    NaN. Contract since r12: vectors with non-finite components have
+    no geometry and cannot encode — excluded symmetrically
+    (similarity._has_direction / _finite_elements `sq < inf` term;
+    oracle `isfinite(list_sum(x*x))` clauses). Green across the full
+    220-query surface."""
+    emb = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 12 == 0,
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(vec_id % size(embedding) AS INT) "
+                "THEN CAST('NaN' AS FLOAT) ELSE x END)"
+            ),
+        )
+        .when(
+            F.col("vec_id") % 13 == 0,
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = CAST(vec_id % size(embedding) AS INT) "
+                "THEN CAST('Infinity' AS FLOAT) ELSE x END)"
+            ),
+        )
+        .otherwise(F.col("embedding")),
+    )
+    return docs, emb, ev
+
+
+def _mutate_nonfinite_metrics(docs, emb, ev):
+    """Non-finite float dirt, METRIC tier: NaN / +-Inf in
+    events.value — corrupt telemetry. KNOWN RED (r12 findings, the
+    r13 contract head): 12 queries diverge or error because Spark's
+    moment aggregates (stddev/var/corr) return NaN over +-Inf where
+    DuckDB RAISES Out of Range, DuckDB raises on INT casts of NaN
+    (histogram binning, sci-notation parsing) where Spark folds, and
+    percentiles over +-Inf rank differently. The r13 contract: a
+    non-finite metric value enters no moment/histogram/percentile
+    accumulation — symmetric isfinite filters, op and oracle, like
+    the r12 embedding contract. Deferred one round because those 12
+    entries would overflow the 50-slot external correctness window
+    already filled by the r12 changed set (see
+    __spark_entry__._PRIORITY)."""
+    ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 23 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 29 == 0, F.lit(float("inf")))
+        .when(F.col("event_id") % 31 == 0, F.lit(float("-inf")))
+        .otherwise(F.col("value")),
+    )
+    return docs, emb, ev
+
+
 def _mutate_unicode(docs, emb, ev):
     """Crawl-shaped unicode dirt in document text (r12): accented
     latin, astral-plane emoji/music, combining marks, CJK, Turkish
@@ -291,6 +353,10 @@ def _build(spark, mode: str) -> str:
         docs, emb, ev = _mutate_degenerate(spark, docs, emb, ev)
     elif mode == "unicode":
         docs, emb, ev = _mutate_unicode(docs, emb, ev)
+    elif mode == "nonfinite":
+        docs, emb, ev = _mutate_nonfinite(docs, emb, ev)
+    elif mode == "nonfinite_metrics":
+        docs, emb, ev = _mutate_nonfinite_metrics(docs, emb, ev)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (nulls|nullkeys|degenerate|combined|urls)"

@@ -1461,8 +1461,24 @@ def srp_near_dup_pairs(
     are cos 1.0, zero-norm groups excluded because 0/0 cosine is NaN
     and never qualifies, matching the uncollapsed arithmetic).
     NULL vectors have no geometry and are excluded (ANN-family NULL
-    contract; a NULL would also make every projection sign NULL)."""
-    base = emb.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), F.col(vec_col))
+    contract; a NULL would also make every projection sign NULL).
+    NaN/Inf-poisoned vectors too (r12 nonfinite contract): Spark SQL
+    ranks NaN GREATER than everything, so a NaN cosine would PASS the
+    `>= threshold` confirm — and every NaN vector shares one all-'1'
+    SRP signature (NaN >= 0 is true), so one poisoned batch floods the
+    pair set through a single mega-bucket (measured: 3,008 bogus
+    NaN-cos pairs vs 122 real on the nonfinite corpus). The Σx² fold
+    below excludes them: `sq < inf` is false for both NaN (NaN ranks
+    above inf) and Inf; NULL elements make sq NULL (also false);
+    zero-norm vectors stay, excluded downstream exactly as before."""
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    base = emb.filter(
+        F.col(vec_col).isNotNull() & (sq < F.lit(float("inf")))
+    ).select(F.col(id_col), F.col(vec_col))
     groups = (
         base.groupBy(vec_col)
         .agg(F.min(id_col).alias("__rep"))

@@ -43,22 +43,44 @@ def _has_direction(vec_col: str) -> "F.Column":
         F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * v.cast("double"),
     )
-    return F.col(vec_col).isNotNull() & (sq > 0)
+    # (sq > 0) excludes zero-norm and NULL-element vectors (the fold
+    # NULL-poisons and NULL > 0 is false). It does NOT exclude NaN:
+    # BOTH engines rank NaN greater than everything (Spark SQL NaN
+    # semantics == DuckDB), so NaN > 0 is TRUE — the `sq < inf` term
+    # is what drops NaN- and Inf-poisoned vectors (NaN ranks above
+    # inf, so NaN < inf is false). Oracles mirror with
+    # `isfinite(list_sum(..)) AND list_sum(..) > 0`. Found by the r12
+    # `nonfinite` mode: without the finite term, poisoned vectors
+    # sail through every cosine threshold (NaN >= t is true in SQL).
+    return F.col(vec_col).isNotNull() & (sq > 0) & (sq < F.lit(float("inf")))
 
 
-def _no_null_elements(vec_col: str) -> "F.Column":
+def _finite_elements(vec_col: str) -> "F.Column":
     """Vector-contract predicate for NON-cosine paths (PQ encode,
-    normalize, covariance): non-NULL and no NULL ELEMENTS, but zero-
-    norm vectors stay — they are valid data for L2 codebooks and
-    moment accumulation. Use _has_direction where cosine geometry is
-    required. Oracles mirror with `embedding IS NOT NULL AND
-    len(list_filter(embedding, x -> x IS NULL)) = 0` (DuckDB's list
-    aggregates SKIP interior NULLs while Spark's fold NULL-poisons —
-    without the symmetric exclusion the engines quantize/normalize
-    DIFFERENT populations; found by the r12 interior-NULL parity mode,
-    ADVICE r11)."""
-    return F.col(vec_col).isNotNull() & ~F.exists(
-        F.col(vec_col), lambda x: x.isNull()
+    normalize, quantize, covariance): non-NULL, no NULL ELEMENTS, and
+    every component FINITE — but zero-norm vectors stay (valid data
+    for L2 codebooks and moment accumulation). Use _has_direction
+    where cosine geometry is required. Oracles mirror with
+    `embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS
+    NULL)) = 0 AND isfinite(list_sum(list_transform(embedding,
+    x -> x * x)))`. Rationale: DuckDB's list aggregates SKIP interior
+    NULLs while Spark's fold NULL-poisons (interior-NULL parity mode,
+    ADVICE r11), and a NaN/Inf component poisons L2 distances into
+    engine-divergent codebooks — DuckDB even RAISES on some moment
+    aggregates over Inf (the r12 `nonfinite` mode's findings). The
+    finiteness check rides the same Σx² fold: `sq < inf` is false for
+    both Inf AND NaN (Spark SQL, like DuckDB, ranks NaN above inf —
+    NaN comparisons are NOT Java-false in SQL expressions)."""
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return (
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & (sq >= 0)
+        & (sq < F.lit(float("inf")))
     )
 
 
@@ -491,7 +513,7 @@ def pq_ivf_build(
     skips it, so keeping such vectors trains DIFFERENT models per
     engine (found by the interior-NULL parity mode)."""
     spark = corpus.sparkSession
-    v = corpus.filter(_no_null_elements(vec_col)).select(
+    v = corpus.filter(_finite_elements(vec_col)).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
@@ -627,7 +649,7 @@ def embedding_covariance(
     v = (
         fan_out(emb)
         .select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .filter(_no_null_elements("__v"))
+        .filter(_finite_elements("__v"))
     )
     means_rows = (
         v.select(F.posexplode("__v").alias("dim", "x"))

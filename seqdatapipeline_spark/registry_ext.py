@@ -314,7 +314,8 @@ def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))),
     x AS (
       SELECT vec_id, CAST(i - 1 AS INT) AS dim, e[CAST(i AS INT)] AS xi
       FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)
@@ -357,6 +358,7 @@ def q_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos
@@ -384,7 +386,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
       WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -392,7 +394,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
         AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -417,7 +419,7 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
       WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -425,7 +427,7 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM queries q CROSS JOIN embeddings c
       WHERE c.embedding IS NOT NULL
         AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -472,14 +474,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH queries AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
       FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     per_dim AS (
       SELECT label AS cell, t.i AS dim,
              round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mu
       FROM embeddings, generate_series(1, 64) t(i)
       WHERE embedding IS NOT NULL AND label IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
       GROUP BY 1, 2
     ),
     cents AS (SELECT cell, list(mu ORDER BY dim) AS centroid FROM per_dim GROUP BY 1),
@@ -497,7 +499,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM probe p JOIN embeddings c ON c.label = p.cell
       WHERE c.embedding IS NOT NULL
         AND len(list_filter(CAST(c.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) > 0
     )
     SELECT query_id, neighbor_id, cos,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -1966,6 +1968,7 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
     ),
     e AS (
       SELECT vec_id, unnest(range(0, len(unit_vec))) AS dim, unit_vec FROM s
@@ -1986,7 +1989,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_sum skips the element and normalizes by a PARTIAL
     norm — neither is a normalization of the data, so no row."""
     emb = _t(spark, sf_dir, "embeddings").filter(
-        sim._no_null_elements("embedding")
+        sim._finite_elements("embedding")
     )
     u = sim.l2_normalize(emb)
     return u.select("vec_id", F.posexplode("unit_vec").alias("dim", "unit_val"))
@@ -1999,6 +2002,8 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
       FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
     )
     SELECT vec_id, round(scale, 6) AS scale,
            array_to_string(CASE WHEN scale > 0
@@ -2014,11 +2019,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Contract output serializes the int8 codes to a CSV
     string (ints render identically in both engines) so the external
     hash-compare gets scalar cells; the array form stays available via
-    sim.quantize_int8 for in-pipeline use. NULL embeddings are
-    excluded in both engines (nothing to quantize; keeping them
-    diverged — Spark's concat_ws renders a NULL array as '' where
-    DuckDB's array_to_string yields NULL)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    sim.quantize_int8 for in-pipeline use. NULL / interior-NULL /
+    non-finite embeddings are excluded in both engines (r12 contract:
+    nothing meaningful to quantize; keeping them diverged — Spark's
+    concat_ws skips NULL cells where DuckDB's array_to_string yields
+    NULL, a NaN scale makes DuckDB's INT cast RAISE where Spark folds,
+    and an Inf component collapses the whole code vector to zeros)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        sim._finite_elements("embedding")
+    )
     qdf = sim.quantize_int8(emb)
     return qdf.select(
         "vec_id",
@@ -2034,6 +2043,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
     ),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb
@@ -3045,7 +3055,8 @@ def _srp_oracle(bits: int = 24, band_bits: int = 6, dims: int = 64, threshold: f
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))),
     sig AS (SELECT vec_id, {sig} AS srp FROM v),
     keyed AS (
       SELECT s.vec_id,
@@ -3197,7 +3208,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS centroid
       FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
       ORDER BY vec_id LIMIT 8
     ),
     scored AS (
@@ -3206,7 +3217,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e CROSS JOIN seeds s
       WHERE e.embedding IS NOT NULL
         AND len(list_filter(CAST(e.embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     best AS (
       SELECT vec_id, cell, cos,
@@ -3718,7 +3729,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
                WHERE embedding IS NOT NULL AND label IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
     q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
     dims AS (SELECT unnest(range(1, 65)) AS i),
     cd AS (SELECT label, i, avg(e[i]) AS mu FROM v CROSS JOIN dims GROUP BY 1, 2),
@@ -4175,7 +4186,7 @@ _CELL_ASSIGN_CTES = """embnn AS (
       -- be assigned a cell; the op side (_adaptive_cell_assign)
       -- filters identically, so adaptive k and seed numbering match
       SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0
-        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -5319,7 +5330,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5365,7 +5377,7 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds while DuckDB's list_sum skips it, training different
     codebooks per engine)."""
     e = _t(spark, sf_dir, "embeddings").filter(
-        sim._no_null_elements("embedding")
+        sim._finite_elements("embedding")
     )
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
@@ -5414,7 +5426,8 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))),
     cb0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent, emb
       FROM v ORDER BY vec_id LIMIT 16
@@ -5468,7 +5481,7 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     interior-NULL extension: they can neither seed the codebook nor
     encode nor query)."""
     e = _t(spark, sf_dir, "embeddings").filter(
-        sim._no_null_elements("embedding")
+        sim._finite_elements("embedding")
     )
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     w = Window.orderBy("vec_id")
@@ -5531,7 +5544,8 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
                WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))),
     coarse AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccell, emb AS ccent
       FROM v ORDER BY vec_id LIMIT 8
