@@ -18,8 +18,10 @@ full-precision gate only ever runs on clean data, where
 scripts/selfcheck.py remains the exact mirror.
 
 Usage: python scripts/parity_dirty.py [mode[,mode...]] [query ...]
-Modes: nulls (default) | nullkeys | degenerate. Exit 1 on any
-divergence or error.
+Modes: nulls (default) | nullkeys | degenerate | combined | unicode |
+nonfinite | nonfinite_metrics (the last is a KNOWN-RED probe — the
+r13 metric-value contract head; see adversarial_sweep). Exit 1 on
+any divergence or error.
 """
 
 from __future__ import annotations
