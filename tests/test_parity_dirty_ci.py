@@ -21,6 +21,46 @@ for p in (REPO, os.path.join(REPO, "scripts")):
         sys.path.insert(0, p)
 
 
+# The metric-tier non-finite contract is deliberately deferred to r13
+# (window-capacity, see adversarial_sweep._mutate_nonfinite_metrics) —
+# these 14 queries are the documented known-red set of that mode,
+# measured r12. The quarantine test below keeps the deferral honest:
+# the set may only SHRINK (contracts landing), never grow silently.
+NONFINITE_METRICS_KNOWN_RED = {
+    "abs_int_cast", "anomaly_zscore", "approx_quantile_bins",
+    "coverage_bin_count", "format_fixed6", "fragment_length_histogram",
+    "hist_tsv_sink", "mad_outliers", "peak_call_bh", "peak_call_islands",
+    "pipeline_chip", "sci_notation_num", "stream_quantile_sketch",
+    "value_percentiles",
+}
+
+
+def test_nonfinite_metrics_known_red_is_pinned(spark):
+    """Run the KNOWN-RED mode over its quarantine list plus a few
+    green sentinels: every failure must be IN the list (a new name
+    here is a fresh regression hiding behind 'that mode is red
+    anyway'), and the instrument must still detect at least one of
+    the documented divergences (a silently-green probe would mean the
+    injection rotted). Fixing entries early only shrinks the set —
+    that passes; update the list when the r13 contracts land."""
+    import parity_dirty as pd_mod
+
+    sentinels = ["weekly_active_users", "rolling_7d_avg", "token_count"]
+    names = sorted(NONFINITE_METRICS_KNOWN_RED) + sentinels
+    failures = pd_mod.run_parity(spark, "nonfinite_metrics", names)
+    failed_names = {f.split("] ", 1)[1].split(":", 1)[0] for f in failures}
+    unexpected = failed_names - NONFINITE_METRICS_KNOWN_RED
+    assert not unexpected, (
+        f"NEW nonfinite_metrics divergences outside the quarantine "
+        f"list: {sorted(unexpected)}\n" + "\n".join(failures)
+    )
+    assert failed_names, (
+        "nonfinite_metrics detected nothing — the injection or the "
+        "probe has rotted (or the r13 contracts landed: update the "
+        "quarantine list and the mode docs)"
+    )
+
+
 def test_window_head_parity_on_nulls(spark):
     import __spark_entry__ as entrymod
     import parity_dirty as pd_mod
