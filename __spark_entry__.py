@@ -45,8 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r11 gap: 33 entries edited after the rotation froze) fails the
 # suite instead of shipping silently.
 #
-# r12 window = 2 canaries + the 43 computed CHANGED entries (ordered
-# oldest-green-first) + the 5 oldest r6-vintage greens that still fit.
+# r12 window = 2 canaries + the 44 computed CHANGED entries (ordered
+# oldest-green-first) + the 4 oldest r6-vintage greens that still fit.
+# The 44th: approx_quantile_bins — a hypothesis-found subnormal-range
+# underflow ((max-min)/bins -> 0.0 while max > min, ANSI divide
+# mid-job) fixed by keying the degenerate-group branch on width > 0,
+# op and oracle symmetrically.
 # The 43rd: multimodal_decode's oracle was WRONG for non-ASCII text
 # (it counted characters where the op histograms UTF-8 bytes) — found
 # by the new `unicode` adversarial mode as its single divergence of
@@ -81,7 +85,8 @@ _PRIORITY = [
     "pe_mate_join", "feature_interval_join", "dedup_alignments",
     "gap_fill_daily", "event_transitions", "stream_quantile_sketch",
     "ann_recall_report", "dow_seasonality", "lang_id_ngram_model",
-    "corpus_datacard", "dedup_keep_priority",             # r7
+    "corpus_datacard", "dedup_keep_priority",
+    "approx_quantile_bins",                               # r7
     "dir_poll_stream", "embedding_quantize", "rolling_7d_avg",
     "value_change_points", "source_overlap_matrix",
     "embedding_pq_codes", "embedding_normalize",          # r8
@@ -94,9 +99,9 @@ _PRIORITY = [
     "archive_move_sink", "dedup_minhash_lsh",             # r9 (late-r12)
     "peak_call_islands", "session_windows", "format_fixed6",  # r10
     "ann_ivf_pruned_topk", "multimodal_decode",           # r11 (r12 edit)
-    # staleness tail: the 5 oldest r6-vintage greens that fit
+    # staleness tail: the 4 oldest r6-vintage greens that fit
     "union_inputs", "text_quality_score", "scrub_pii",
-    "repetition_metrics", "uniform_sample_k",
+    "repetition_metrics",
 ]
 
 

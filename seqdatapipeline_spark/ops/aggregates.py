@@ -340,7 +340,13 @@ def binned_quantiles(
 
     For target rank r = p·n: pick the first bin whose cumulative
     count reaches r, estimate lo + (r - cum_before)/c · width.
-    Degenerate groups (max == min) report the constant."""
+    Degenerate groups report the constant — keyed on ``width > 0``,
+    NOT ``max > min``: a subnormal range like [0.0, 5e-324] has
+    max > min while (max-min)/bins UNDERFLOWS to 0.0, and the ANSI
+    bin division then throws mid-job (hypothesis-found r12; the
+    r11 sequence() auto-step class one operator over). Collapsing
+    such a group to min is within the one-bin-width error bound,
+    which is itself the underflowed range."""
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col).cast("double")
     stats = df.groupBy(*g).agg(
@@ -360,7 +366,7 @@ def binned_quantiles(
             F.col("__mn"),
             F.col("__mx"),
             F.when(
-                F.col("__mx") > F.col("__mn"),
+                width > 0,
                 F.least(
                     F.lit(bins - 1),
                     F.floor((v - F.col("__mn")) / width).cast("int"),
@@ -385,7 +391,7 @@ def binned_quantiles(
     )
     pick = Window.partitionBy(*group_cols, "p").orderBy("__b")
     first = cand.withColumn("__rn", F.row_number().over(pick)).filter(F.col("__rn") == 1)
-    est = F.when(F.col("__mx") <= F.col("__mn"), F.col("__mn")).otherwise(
+    est = F.when(~(width > 0), F.col("__mn")).otherwise(
         F.col("__mn")
         + F.col("__b") * width
         + (F.col("p") * F.col("__n") - (F.col("__cum") - F.col("__c")))

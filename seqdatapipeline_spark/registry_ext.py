@@ -3264,7 +3264,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
       SELECT e.event_type,
-             CASE WHEN s.mx > s.mn
+             CASE WHEN (s.mx - s.mn) / 1000.0 > 0
                   THEN least(999, CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 1000.0)) AS INT))
                   ELSE 0 END AS b,
              count(*)::DOUBLE AS c
@@ -3282,7 +3282,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.cum >= p.p * s.n
     )
     SELECT event_type, p,
-           round(CASE WHEN mx <= mn THEN mn
+           round(CASE WHEN NOT ((mx - mn) / 1000.0 > 0) THEN mn
                  ELSE mn + b * ((mx - mn) / 1000.0)
                       + (p * n - (cum - c)) / c * ((mx - mn) / 1000.0) END, 6) AS q
     FROM cand WHERE rn = 1
