@@ -4,7 +4,7 @@ Example counts are small — every example runs Spark jobs."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -435,6 +435,11 @@ def test_setsim_prefix_join_equals_brute_force(spark, docs, threshold):
     ),
     p=st.sampled_from([0.1, 0.5, 0.9]),
 )
+# Pinned regression (hypothesis-found r12, .hypothesis db is
+# gitignored so fresh clones replay it too): the subnormal range
+# [0.0, 5e-324] underflows (max-min)/bins to 0.0 while max > min —
+# the ANSI bin division threw mid-job until the width>0 guard.
+@example(values=[0.0, 5e-324], p=0.1)
 @settings(**SETTINGS)
 def test_binned_quantiles_bounded_by_order_stat(spark, values, p):
     """The histogram estimate always lands within one bin width of
