@@ -45,12 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the r11 gap: 33 entries edited after the rotation froze) fails the
 # suite instead of shipping silently.
 #
-# r12 window = 2 canaries + the 44 computed CHANGED entries (ordered
-# oldest-green-first) + the 4 oldest r6-vintage greens that still fit.
-# The 44th: approx_quantile_bins — a hypothesis-found subnormal-range
+# r12 window = 2 canaries + the 46 computed CHANGED entries (ordered
+# oldest-green-first) + the 2 oldest r6-vintage greens that still fit.
+# 44-46: approx_quantile_bins — a hypothesis-found subnormal-range
 # underflow ((max-min)/bins -> 0.0 while max > min, ANSI divide
 # mid-job) fixed by keying the degenerate-group branch on width > 0,
-# op and oracle symmetrically.
+# op and oracle symmetrically — plus the same guard applied to its
+# two sibling histogram-rank sites, quality_percentile_by_source and
+# rfm_segments (whole-class closure).
 # The 43rd: multimodal_decode's oracle was WRONG for non-ASCII text
 # (it counted characters where the op histograms UTF-8 bytes) — found
 # by the new `unicode` adversarial mode as its single divergence of
@@ -89,7 +91,8 @@ _PRIORITY = [
     "approx_quantile_bins",                               # r7
     "dir_poll_stream", "embedding_quantize", "rolling_7d_avg",
     "value_change_points", "source_overlap_matrix",
-    "embedding_pq_codes", "embedding_normalize",          # r8
+    "embedding_pq_codes", "embedding_normalize",
+    "quality_percentile_by_source", "rfm_segments",       # r8
     "sqlite_log_sink", "ann_topk_cosine", "ann_ivf_topk",
     "top_event_paths", "srp_embedding_pairs", "kmeans_assign",
     "setsim_prefix_join", "setsim_clusters", "lsh_recall_metrics",
@@ -99,9 +102,8 @@ _PRIORITY = [
     "archive_move_sink", "dedup_minhash_lsh",             # r9 (late-r12)
     "peak_call_islands", "session_windows", "format_fixed6",  # r10
     "ann_ivf_pruned_topk", "multimodal_decode",           # r11 (r12 edit)
-    # staleness tail: the 4 oldest r6-vintage greens that fit
-    "union_inputs", "text_quality_score", "scrub_pii",
-    "repetition_metrics",
+    # staleness tail: the 2 oldest r6-vintage greens that fit
+    "union_inputs", "text_quality_score",
 ]
 
 

@@ -4767,7 +4767,7 @@ def q_stream_late_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT sc.doc_id, sc.source, sc.q_score, st.n,
-             CASE WHEN st.mx > st.mn
+             CASE WHEN (st.mx - st.mn) / 1000.0 > 0
                   THEN least(999, CAST(floor((sc.q_score - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT))
                   ELSE 0 END AS bin
       FROM sc JOIN st USING (source)
@@ -4807,7 +4807,10 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         "q_score",
         "n",
         F.when(
-            F.col("mx") > F.col("mn"),
+            # width > 0, not mx > mn: a subnormal range underflows
+            # (mx-mn)/1000 to 0.0 and the ANSI division throws
+            # (the r12 binned_quantiles class)
+            width > 0,
             F.least(
                 F.lit(999),
                 F.floor((F.col("q_score") - F.col("mn")) / width).cast("int"),
@@ -5749,7 +5752,7 @@ def _rfm_metric_sql(metric: str, score: str) -> str:
     st_{m} AS (SELECT min({m}) AS mn, max({m}) AS mx FROM per),
     b_{m} AS (
       SELECT user_id,
-             CASE WHEN st.mx > st.mn
+             CASE WHEN (st.mx - st.mn) / 1000.0 > 0
                   THEN least(999, CAST(floor(({m} - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT))
                   ELSE 0 END AS bin
       FROM per, st_{m} st
@@ -5816,7 +5819,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned = per.select("user_id", metric).crossJoin(F.broadcast(st)).select(
             "user_id",
             F.when(
-                F.col("mx") > F.col("mn"),
+                # width > 0, not mx > mn (r12 binned_quantiles class)
+                ((F.col("mx") - F.col("mn")) / 1000.0) > 0,
                 F.least(
                     F.lit(999),
                     F.floor((F.col(metric) - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 1000.0)).cast("int"),
