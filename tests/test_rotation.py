@@ -68,6 +68,86 @@ def test_changed_since_green_queries_lead_the_window():
     )
 
 
+def test_overlap_logic():
+    import rotate_window as rw
+
+    hunks = {"a.py": [(10, 12), (40, 40)]}
+    assert rw._overlaps(("a.py", 1, 10), hunks)      # touches start
+    assert rw._overlaps(("a.py", 12, 20), hunks)     # touches end
+    assert rw._overlaps(("a.py", 5, 50), hunks)      # spans
+    assert rw._overlaps(("a.py", 40, 40), hunks)     # single line
+    assert not rw._overlaps(("a.py", 13, 39), hunks)  # between hunks
+    assert not rw._overlaps(("b.py", 10, 12), hunks)  # other file
+
+
+def test_diff_hunk_parsing_coordinates(tmp_path):
+    """diff_hunks must return NEW-side (worktree) line ranges — the
+    coordinate system the AST spans live in — including the
+    pure-deletion shape (count 0) that still flags its anchor line."""
+    import subprocess
+
+    import rotate_window as rw
+
+    sub = tmp_path
+    subprocess.run(["git", "init", "-q", str(sub)], check=True)
+    pkg = sub / rw.PKG
+    pkg.mkdir()
+    f = pkg / "m.py"
+    f.write_text("\n".join(f"line{i}" for i in range(1, 21)) + "\n")
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+    import os as _os
+
+    env = {**_os.environ, **env}
+    subprocess.run(["git", "-C", str(sub), "add", "-A"], check=True, env=env)
+    subprocess.run(["git", "-C", str(sub), "commit", "-qm", "base"], check=True, env=env)
+    base = subprocess.run(
+        ["git", "-C", str(sub), "rev-parse", "HEAD"],
+        check=True, capture_output=True, text=True, env=env,
+    ).stdout.strip()
+    # edit line 5, insert 2 lines after line 10, delete line 18
+    lines = [f"line{i}" for i in range(1, 21)]
+    lines[4] = "line5-EDITED"
+    lines = lines[:10] + ["inserted-a", "inserted-b"] + lines[10:]
+    del lines[19]  # original line18 (shifted by the insert)
+    f.write_text("\n".join(lines) + "\n")
+
+    old_repo, old_pkg = rw.REPO, rw.PKG
+    try:
+        rw.REPO = str(sub)
+        hunks = rw.diff_hunks(base)
+    finally:
+        rw.REPO = old_repo
+        rw.PKG = old_pkg
+    ranges = hunks[f"{old_pkg}/m.py"]
+    assert (5, 5) in ranges                       # in-place edit
+    assert any(lo <= 11 <= hi for lo, hi in ranges)  # insertion, new coords
+    # deletion anchors near the shifted line in new coordinates
+    assert any(18 <= lo <= 20 for lo, hi in ranges)
+
+
+def test_last_green_rounds_ignores_failures(tmp_path, monkeypatch):
+    import json
+
+    import rotate_window as rw
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q_ok": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "q_bad": {"rows_match": True, "schema_match": True, "hash_match": False},
+        "q_err": {"rows_match": True, "err": "boom"},
+        "q_rows_only": {"rows_match": True, "schema_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "q_ok": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    monkeypatch.setattr(rw, "REPO", str(tmp_path))
+    lg = rw.last_green_rounds()
+    assert lg["q_ok"] == 5          # most recent green wins
+    assert "q_bad" not in lg        # false flag is not a green
+    assert "q_err" not in lg        # err is not a green
+    assert lg["q_rows_only"] == 3   # rows-only counts
+
+
 def test_ast_spans_cover_decorated_function_bodies():
     """The span resolver must cover the FULL registration: decorator
     (with its multi-line oracle-SQL argument) through the last body
