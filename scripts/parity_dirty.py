@@ -87,15 +87,23 @@ def _load_sweep():
     return sweep
 
 
-def run_parity(spark, mode: str, names: list[str]) -> list[str]:
+def run_parity(
+    spark, mode: str, names: list[str], data_dir: str | None = None
+) -> list[str]:
     """Run `names` (queries() entries with oracles) and their DuckDB
     oracles over the adversarial dataset for `mode`; return the
     failure lines (empty = parity). Importable so the CI suite can run
-    the window head each full pytest pass (VERDICT r11 item 4)."""
-    sweep = _load_sweep()
+    the window head each full pytest pass (VERDICT r11 item 4).
+
+    ``data_dir`` overrides the dataset: the queries and oracles run
+    over that directory's parquet tables instead of building the
+    ``mode`` mutation (used by parity_partitioning.py, which perturbs
+    the PHYSICAL layout rather than the values — the compare loop is
+    deliberately shared so both instruments agree on normalization
+    and tolerance)."""
     qs = entrymod.queries()
     orc = entrymod.oracle_sql()
-    adv = sweep._build(spark, mode)
+    adv = data_dir if data_dir is not None else _load_sweep()._build(spark, mode)
     con = duckdb.connect()
     failures: list[str] = []
     try:
