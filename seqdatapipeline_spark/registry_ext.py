@@ -5746,14 +5746,25 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rfm_metric_sql(metric: str, score: str) -> str:
     """CTE fragment scoring one RFM metric into quintiles via the
     1000-bin histogram rank (shared shape with
-    quality_percentile_by_source)."""
+    quality_percentile_by_source).
+
+    The bin is clamped on BOTH ends (greatest(0, least(999, ...))):
+    `mon` is a sum of doubles, so if the engine evaluates `per` more
+    than once (DuckDB inlines non-materialized CTEs) the minimum
+    user's metric from one evaluation can sit an ulp BELOW the `mn`
+    of another, floor() to -1, and silently fall out of the
+    JOIN USING (bin) — found by scripts/parity_partitioning.py on a
+    multi-file layout where parallel sum order varies per scan. The
+    rfm_segments oracle additionally materializes `per` so one
+    snapshot feeds every reference (the SQL mirror of the op's
+    localCheckpoint)."""
     m = metric
     return f"""
     st_{m} AS (SELECT min({m}) AS mn, max({m}) AS mx FROM per),
     b_{m} AS (
       SELECT user_id,
              CASE WHEN (st.mx - st.mn) / 1000.0 > 0
-                  THEN least(999, CAST(floor(({m} - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT))
+                  THEN greatest(0, least(999, CAST(floor(({m} - st.mn) / ((st.mx - st.mn) / 1000.0)) AS INT)))
                   ELSE 0 END AS bin
       FROM per, st_{m} st
     ),
@@ -5772,7 +5783,7 @@ def _rfm_metric_sql(metric: str, score: str) -> str:
 @q(
     "rfm_segments",
     f"""
-    WITH per AS (
+    WITH per AS MATERIALIZED (
       SELECT user_id, max(epoch(ts)) AS last_s,
              count(*)::DOUBLE AS freq, sum(value)::DOUBLE AS mon
       FROM events GROUP BY 1
