@@ -75,35 +75,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # fit (time_weighted_avg, trend_slope, table_profile, pipeline_chip,
 # pipeline_atac, stream_minhash_dedup r6; dq_violations r7) lead the
 # r13 tail.
+# Re-rotated once more by the r12 OPTIMIZATION pass: the mirror-aware
+# pagerank build (graph.pagerank_from_half / weighted_pagerank_from_half
+# / degree_stats_from_half — output-identical, tested vs the mirrored
+# form on all three tiers) and quality_percentile_by_source's
+# size-adaptive rescan persist grew the CHANGED set to 49; at the
+# 50-entry cap rotate_window now trims CANARIES before the changed
+# set (the changed entries are the external-green contract; the
+# canaries re-verify most rounds anyway), so the window is 1 canary
+# (gene_read_count) + all 49 CHANGED entries — form_scan (green r11)
+# sits out this round.
 # Everything below the fold stays green in the local full-surface
 # mirror (tests/test_oracle_parity.py at sf0.001 every pytest run;
 # scripts/selfcheck.py at sf0.01, full-precision floats;
 # scripts/parity_dirty.py on adversarial data).
 _PRIORITY = [
-    # family sentinels (every round)
-    "form_scan", "gene_read_count",
-    # CHANGED since own last external green (computed, oldest first)
-    "stream_windowed_counts", "stream_session_windows",   # r6
-    "pe_mate_join", "feature_interval_join", "dedup_alignments",
-    "gap_fill_daily", "event_transitions", "stream_quantile_sketch",
-    "ann_recall_report", "dow_seasonality", "lang_id_ngram_model",
-    "corpus_datacard", "dedup_keep_priority",
-    "approx_quantile_bins",                               # r7
-    "dir_poll_stream", "embedding_quantize", "rolling_7d_avg",
-    "value_change_points", "source_overlap_matrix",
-    "embedding_pq_codes", "embedding_normalize",
-    "quality_percentile_by_source", "rfm_segments",       # r8
-    "sqlite_log_sink", "ann_topk_cosine", "ann_ivf_topk",
-    "top_event_paths", "srp_embedding_pairs", "kmeans_assign",
-    "setsim_prefix_join", "setsim_clusters", "lsh_recall_metrics",
-    "semdedup_prune", "knn_graph", "pq_ann_topk", "ivf_pq_topk",
-    "embedding_covariance", "dedup_embedding_cosine",
-    "dedup_embedding_clusters",                           # r9
-    "archive_move_sink", "dedup_minhash_lsh",             # r9 (late-r12)
-    "peak_call_islands", "session_windows", "format_fixed6",  # r10
-    "ann_ivf_pruned_topk", "multimodal_decode",           # r11 (r12 edit)
-    # staleness tail: the 2 oldest r6-vintage greens that fit
-    "union_inputs", "text_quality_score",
+    "gene_read_count",  # canary, last green r11
+    "stream_windowed_counts",  # CHANGED since green, last green r6
+    "stream_session_windows",  # CHANGED since green, last green r6
+    "pe_mate_join",  # CHANGED since green, last green r7
+    "feature_interval_join",  # CHANGED since green, last green r7
+    "dedup_alignments",  # CHANGED since green, last green r7
+    "gap_fill_daily",  # CHANGED since green, last green r7
+    "event_transitions",  # CHANGED since green, last green r7
+    "stream_quantile_sketch",  # CHANGED since green, last green r7
+    "ann_recall_report",  # CHANGED since green, last green r7
+    "dow_seasonality",  # CHANGED since green, last green r7
+    "lang_id_ngram_model",  # CHANGED since green, last green r7
+    "corpus_datacard",  # CHANGED since green, last green r7
+    "dedup_keep_priority",  # CHANGED since green, last green r7
+    "approx_quantile_bins",  # CHANGED since green, last green r7
+    "dir_poll_stream",  # CHANGED since green, last green r8
+    "embedding_quantize",  # CHANGED since green, last green r8
+    "rolling_7d_avg",  # CHANGED since green, last green r8
+    "value_change_points",  # CHANGED since green, last green r8
+    "source_overlap_matrix",  # CHANGED since green, last green r8
+    "embedding_pq_codes",  # CHANGED since green, last green r8
+    "embedding_normalize",  # CHANGED since green, last green r8
+    "quality_percentile_by_source",  # CHANGED since green, last green r8
+    "rfm_segments",  # CHANGED since green, last green r8
+    "sqlite_log_sink",  # CHANGED since green, last green r9
+    "ann_topk_cosine",  # CHANGED since green, last green r9
+    "ann_ivf_topk",  # CHANGED since green, last green r9
+    "top_event_paths",  # CHANGED since green, last green r9
+    "srp_embedding_pairs",  # CHANGED since green, last green r9
+    "kmeans_assign",  # CHANGED since green, last green r9
+    "setsim_prefix_join",  # CHANGED since green, last green r9
+    "setsim_clusters",  # CHANGED since green, last green r9
+    "lsh_recall_metrics",  # CHANGED since green, last green r9
+    "semdedup_prune",  # CHANGED since green, last green r9
+    "knn_graph",  # CHANGED since green, last green r9
+    "pq_ann_topk",  # CHANGED since green, last green r9
+    "ivf_pq_topk",  # CHANGED since green, last green r9
+    "embedding_covariance",  # CHANGED since green, last green r9
+    "dedup_embedding_cosine",  # CHANGED since green, last green r9
+    "dedup_embedding_clusters",  # CHANGED since green, last green r9
+    "archive_move_sink",  # CHANGED since green, last green r9
+    "dedup_minhash_lsh",  # CHANGED since green, last green r9
+    "graph_degree_stats",  # CHANGED since green, last green r9
+    "peak_call_islands",  # CHANGED since green, last green r10
+    "session_windows",  # CHANGED since green, last green r10
+    "format_fixed6",  # CHANGED since green, last green r10
+    "pagerank_iter",  # CHANGED since green, last green r10
+    "pagerank_weighted",  # CHANGED since green, last green r10
+    "ann_ivf_pruned_topk",  # CHANGED since green, last green r11
+    "multimodal_decode",  # CHANGED since green, last green r11
 ]
 
 

