@@ -17,7 +17,7 @@ from .extensions import similarity as sim
 from .extensions import textstats as tx
 from .io import layout as lay
 from .registry import _t, _t_events_curated, q
-from .session import fan_out
+from .session import fan_out, persist_for_rescan
 
 # Shared CTE fragments for shingle-based oracles.
 _SHINGLES3 = """
@@ -4413,7 +4413,12 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     groups, members = _collapse_exact_vectors(e)
     reps = groups.select(F.col("__rep").alias("vec_id"), "embedding")
-    a = _adaptive_cell_assign(e, vectors=reps)
+    # The assignment subtree (a corpus-wide Arrow BLAS pass) feeds
+    # BOTH self-join sides plus the copy fan-out — three executions
+    # unless materialized. Above the size gate persist it once (the
+    # curated tier stores exactly this table); below, recompute is
+    # cheaper than the cache barriers and the plan stays unchanged.
+    a = persist_for_rescan(_adaptive_cell_assign(e, vectors=reps), gate=e)
     x, y = a.alias("x"), a.alias("y")
     pairs = (
         x.join(
@@ -4805,8 +4810,6 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     scanning + re-scoring the corpus four times — at bench scale the
     estimate stays under the gate and the plan is unchanged (r12)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    from .session import persist_for_rescan
-
     sc = persist_for_rescan(
         tx.quality_features(d).select("doc_id", "source", "q_score"), gate=d
     )
@@ -5135,8 +5138,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     on src_id over <= ~16 candidate rows."""
     e = _t(spark, sf_dir, "embeddings")
     groups, members = _collapse_exact_vectors(e)
+    # Same gated materialization as semdedup_prune: the Arrow
+    # assignment feeds both self-join sides, and the membership map
+    # feeds the candidate AND source fan-outs (two corpus scans each
+    # otherwise). Below the gate both plans are byte-unchanged.
+    members = persist_for_rescan(members, gate=e)
     reps = groups.select(F.col("__rep").alias("vec_id"), "embedding")
-    a = _adaptive_cell_assign(e, vectors=reps)
+    a = persist_for_rescan(_adaptive_cell_assign(e, vectors=reps), gate=e)
     x, y = a.alias("x"), a.alias("y")
     gp = x.join(y, F.col("x.cell") == F.col("y.cell")).select(
         F.col("x.vec_id").alias("src_rep"),

@@ -215,6 +215,27 @@ def test_quality_percentile_persist_dispatch_output_invariant(spark):
     assert forced == base
 
 
+def test_cell_assign_persist_dispatch_output_invariant(spark):
+    # r12: semdedup_prune / knn_graph persist the Arrow cell
+    # assignment (and knn_graph the membership map) above the rescan
+    # gate. Forcing the gate must not change a single output row.
+    from seqdatapipeline_spark.session import ring_clear
+
+    for name in ("semdedup_prune", "knn_graph"):
+        fn = _q(name)
+        base = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
+        ring_clear()
+        spark.conf.set("spark.seqdatapipeline.rescanPersistBytes", "0")
+        try:
+            forced = sorted(
+                map(tuple, fn(spark, "/root/testdata/sf0.01").collect())
+            )
+        finally:
+            spark.conf.unset("spark.seqdatapipeline.rescanPersistBytes")
+            ring_clear()
+        assert forced == base, name
+
+
 # -------------------------------------------------------- dedup_threshold_sweep
 
 def test_dedup_threshold_sweep_is_monotone(spark):
