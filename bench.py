@@ -95,7 +95,12 @@ BEST_KNOWN = {
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
     "pack_sequences": 0.311,           # r4
-    "pagerank_iter": 2.341,  # r9† ring-cleared re-pin: the 1.492 r8
+    "pagerank_iter": 2.195,  # r12: mirror-aware build
+    # (graph.pagerank_from_half) — deg/nodes derive from the persisted
+    # half set, the mirrored union is never cached, local finish
+    # collects half the rows; measured min-of-3 at ≤2% steal,
+    # λ 85-97ms (ratchet further on a quiet epoch). History: r9† 2.341
+    # ring-cleared re-pin — the 1.492 r8
     # pin predates ring_clear() in drop_persisted (f95d6eb vs
     # c0ce6b4), so its timed runs re-served co_occurrence_edges'
     # ring-persisted half-edge set from the CacheManager — the edge
@@ -162,7 +167,9 @@ BEST_KNOWN_CURATED = {
     "asof_latest_event": 0.233,
     "dedup_clusters": 0.728,
     "rollup_time_bucket": 0.170,
-    "pagerank_iter": 0.938,
+    "pagerank_iter": 0.883,  # r12 optimization: mirror-aware build
+    # (pagerank_from_half) on the stored half-edge table — measured in
+    # the r12 end-of-round curated run at λ 83/89ms
     "kmeans_assign": 0.506,
     "dsir_importance_weights": 0.698,
     "semdedup_prune": 1.386,
