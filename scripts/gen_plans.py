@@ -25,7 +25,7 @@ FLAGSHIPS = {
     "contact_lookup_join": "explicit broadcast of the dim side; the fact side never shuffles",
     "ann_topk_cosine": "broadcast query set, per-query ranking window; corpus scanned once (the nested-loop join IS the broadcast scoring pass - intentional, allow-listed in plan_audit)",
     "embedding_covariance": "Arrow-batched centered Gramian partials; shuffle volume dims^2 per batch, independent of row count",
-    "pagerank_iter": "3 Pregel rounds as equi-join + map-side-combinable groupBy; edge/node sides pre-partitioned on the node key so rounds reuse one exchange; no cartesian, no driver state beyond the node count",
+    "pagerank_iter": "3 Pregel rounds as equi-join + map-side-combinable groupBy; mirror-aware build (r12): degrees AND the node set derive from one endpoint-explode over the persisted half-edge set, the mirrored union is never cached, rounds reuse the groupBy exchange; no cartesian, no driver state beyond the node count",
     "kmeans_assign": "broadcast 8-row seed model; Catalyst cosine fold (zero Python); argmax via max(struct) aggregate, never a per-vector window",
     "approx_quantile_bins": "two-pass histogram quantile: min/max pass + bin pass; cumulative window runs over <=1000 BINNED rows per group, never facts; 3-row probs table broadcast-crossed O(1)",
     "triangle_count": "oriented wedge equi-join over localCheckpoint-ed edges; wedges computed from the degree table, never enumerated; 1-row census aggregates broadcast-crossed",
