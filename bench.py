@@ -95,12 +95,13 @@ BEST_KNOWN = {
     "kmeans_assign": 0.439,            # r4
     "metrics_interval_join": 0.469,    # r4
     "pack_sequences": 0.311,           # r4
-    "pagerank_iter": 2.195,  # r12: mirror-aware build
+    "pagerank_iter": 2.051,  # r12: mirror-aware build
     # (graph.pagerank_from_half) — deg/nodes derive from the persisted
     # half set, the mirrored union is never cached, local finish
-    # collects half the rows; measured min-of-3 at ≤2% steal,
-    # λ 85-97ms (ratchet further on a quiet epoch). History: r9† 2.341
-    # ring-cleared re-pin — the 1.492 r8
+    # collects half the rows. Best-known measured in the r12
+    # end-of-round bench at 0.37% steal — notably at λ 138/148ms, the
+    # session's WORST launch epoch: the 4-job plan is nearly
+    # λ-immune. History: r9† 2.341 ring-cleared re-pin — the 1.492 r8
     # pin predates ring_clear() in drop_persisted (f95d6eb vs
     # c0ce6b4), so its timed runs re-served co_occurrence_edges'
     # ring-persisted half-edge set from the CacheManager — the edge
