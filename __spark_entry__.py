@@ -90,56 +90,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/selfcheck.py at sf0.01, full-precision floats;
 # scripts/parity_dirty.py on adversarial data).
 _PRIORITY = [
-    "gene_read_count",  # canary, last green r11
-    "stream_windowed_counts",  # CHANGED since green, last green r6
-    "stream_session_windows",  # CHANGED since green, last green r6
-    "pe_mate_join",  # CHANGED since green, last green r7
-    "feature_interval_join",  # CHANGED since green, last green r7
-    "dedup_alignments",  # CHANGED since green, last green r7
-    "gap_fill_daily",  # CHANGED since green, last green r7
-    "event_transitions",  # CHANGED since green, last green r7
-    "stream_quantile_sketch",  # CHANGED since green, last green r7
-    "ann_recall_report",  # CHANGED since green, last green r7
-    "dow_seasonality",  # CHANGED since green, last green r7
-    "lang_id_ngram_model",  # CHANGED since green, last green r7
-    "corpus_datacard",  # CHANGED since green, last green r7
-    "dedup_keep_priority",  # CHANGED since green, last green r7
-    "approx_quantile_bins",  # CHANGED since green, last green r7
-    "dir_poll_stream",  # CHANGED since green, last green r8
-    "embedding_quantize",  # CHANGED since green, last green r8
-    "rolling_7d_avg",  # CHANGED since green, last green r8
-    "value_change_points",  # CHANGED since green, last green r8
-    "source_overlap_matrix",  # CHANGED since green, last green r8
-    "embedding_pq_codes",  # CHANGED since green, last green r8
-    "embedding_normalize",  # CHANGED since green, last green r8
-    "quality_percentile_by_source",  # CHANGED since green, last green r8
-    "rfm_segments",  # CHANGED since green, last green r8
-    "sqlite_log_sink",  # CHANGED since green, last green r9
-    "ann_topk_cosine",  # CHANGED since green, last green r9
-    "ann_ivf_topk",  # CHANGED since green, last green r9
-    "top_event_paths",  # CHANGED since green, last green r9
-    "srp_embedding_pairs",  # CHANGED since green, last green r9
-    "kmeans_assign",  # CHANGED since green, last green r9
-    "setsim_prefix_join",  # CHANGED since green, last green r9
-    "setsim_clusters",  # CHANGED since green, last green r9
-    "lsh_recall_metrics",  # CHANGED since green, last green r9
-    "semdedup_prune",  # CHANGED since green, last green r9
-    "knn_graph",  # CHANGED since green, last green r9
-    "pq_ann_topk",  # CHANGED since green, last green r9
-    "ivf_pq_topk",  # CHANGED since green, last green r9
-    "embedding_covariance",  # CHANGED since green, last green r9
-    "dedup_embedding_cosine",  # CHANGED since green, last green r9
-    "dedup_embedding_clusters",  # CHANGED since green, last green r9
-    "archive_move_sink",  # CHANGED since green, last green r9
-    "dedup_minhash_lsh",  # CHANGED since green, last green r9
-    "graph_degree_stats",  # CHANGED since green, last green r9
-    "peak_call_islands",  # CHANGED since green, last green r10
-    "session_windows",  # CHANGED since green, last green r10
-    "format_fixed6",  # CHANGED since green, last green r10
-    "pagerank_iter",  # CHANGED since green, last green r10
-    "pagerank_weighted",  # CHANGED since green, last green r10
-    "ann_ivf_pruned_topk",  # CHANGED since green, last green r11
-    "multimodal_decode",  # CHANGED since green, last green r11
+    "form_scan",  # canary, last green r11
+    "gene_read_count",  # canary, last green r12
+    "dedup_keep_best",  # CHANGED since green, last green r7
+    "dup_cluster_histogram",  # CHANGED since green, last green r7
+    "takedown_promote",  # CHANGED since green, last green r8
+    "license_audit",  # CHANGED since green, last green r8
+    "cluster_safe_split",  # CHANGED since green, last green r8
+    "split_leakage_report",  # CHANGED since green, last green r8
+    "dedup_minhash_clusters",  # CHANGED since green, last green r9
+    "minhash_jaccard_estimate",  # CHANGED since green, last green r9
+    "minhash_containment",  # CHANGED since green, last green r9
+    "dedup_clusters",  # CHANGED since green, last green r11
+    "dedup_keep_priority",  # CHANGED since green, last green r12
+    "setsim_prefix_join",  # CHANGED since green, last green r12
+    "setsim_clusters",  # CHANGED since green, last green r12
+    "lsh_recall_metrics",  # CHANGED since green, last green r12
+    "dedup_embedding_clusters",  # CHANGED since green, last green r12
+    "dedup_minhash_lsh",  # CHANGED since green, last green r12
+    "union_inputs",  # last green r6
+    "text_quality_score",  # last green r6
+    "scrub_pii",  # last green r6
+    "repetition_metrics",  # last green r6
+    "uniform_sample_k",  # last green r6
+    "shuffle_shards",  # last green r6
+    "time_weighted_avg",  # last green r6
+    "trend_slope",  # last green r6
+    "table_profile",  # last green r6
+    "pipeline_chip",  # last green r6
+    "pipeline_atac",  # last green r6
+    "stream_minhash_dedup",  # last green r6
+    "dq_violations",  # last green r7
+    "interarrival_stats",  # last green r7
+    "bloom_semi_reduce_join",  # last green r7
+    "chunk_documents",  # last green r7
+    "clean_text",  # last green r7
+    "bigram_counts",  # last green r7
+    "anomaly_zscore",  # last green r7
+    "equidepth_bins",  # last green r7
+    "dup_rate_by_source",  # last green r7
+    "lm_doc_score",  # last green r7
+    "bm25_topk",  # last green r7
+    "item_cf_topk",  # last green r7
+    "stream_vocab_topk",  # last green r7
+    "bpe_pair_merge",  # last green r7
+    "stream_late_monitor",  # last green r7
+    "dedup_threshold_sweep",  # last green r7
+    "cluster_top_terms",  # last green r7
+    "assoc_rules",  # last green r7
+    "filter_attrition_report",  # last green r7
+    "batch_list_scan",  # last green r8
 ]
 
 

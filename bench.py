@@ -209,7 +209,9 @@ PINNED_JOBS = {
     "pack_sequences": 4,
     "corpus_prepare": 6,
     "asof_latest_event": 2,
-    "dedup_clusters": 13,
+    "dedup_clusters": 12,  # r13: local-finish labels broadcast-hinted
+    # (the RDD-backed label frame had no stats, so the label join
+    # planned as SMJ and shuffled the membership side)
     "rollup_time_bucket": 3,
     "pagerank_iter": 4,
     "kmeans_assign": 4,
@@ -218,8 +220,12 @@ PINNED_JOBS = {
     "incremental_ingest_dedup": 10,
     "quality_percentile_by_source": 10,
     "ivf_pq_topk": 11,
-    "setsim_prefix_join": 22,
-    "setsim_clusters": 24,
+    "setsim_prefix_join": 18,  # r13: diag-fused member fan-out (4 -> 2
+    # member joins, no output union) + members localCheckpoint (one
+    # job instead of four per-use TableCacheQueryStage jobs)
+    "setsim_clusters": 20,  # r13: converged star edges join members
+    # directly (node-universe label join folded away) + local-finish
+    # labels broadcast-hinted (RDD-backed frame had no stats -> SMJ)
 }
 
 
@@ -250,7 +256,7 @@ PINNED_JOBS_CURATED = {
     "pack_sequences": 4,
     "corpus_prepare": 6,
     "asof_latest_event": 2,
-    "dedup_clusters": 13,
+    "dedup_clusters": 12,  # r13 (same fan-out/label-path changes)
     "rollup_time_bucket": 3,
     "pagerank_iter": 4,
     "kmeans_assign": 4,
@@ -259,8 +265,8 @@ PINNED_JOBS_CURATED = {
     "incremental_ingest_dedup": 10,
     "quality_percentile_by_source": 10,
     "ivf_pq_topk": 13,
-    "setsim_prefix_join": 20,
-    "setsim_clusters": 22,
+    "setsim_prefix_join": 16,  # r13: see PINNED_JOBS note
+    "setsim_clusters": 18,  # r13: see PINNED_JOBS note
 }
 
 

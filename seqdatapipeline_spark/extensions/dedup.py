@@ -935,6 +935,29 @@ def connected_components_edges(
     ``nodes`` is the full node universe (isolated nodes label
     themselves). Labels: every node → minimum node id of its
     component, exactly as `connected_components`."""
+    edges = contracted_star_edges(edges, max_iter, local_finish_edges)
+    # Converged state: disjoint stars, center = component min; each
+    # non-center node carries exactly one edge to its center.
+    return nodes.join(edges, nodes["node"] == edges["u"], "left").select(
+        nodes["node"].alias(node_col),
+        F.coalesce(edges["v"], nodes["node"]).alias("cluster_id"),
+    )
+
+
+def contracted_star_edges(
+    edges: DataFrame,
+    max_iter: int = 25,
+    local_finish_edges: int = 100_000,
+) -> DataFrame:
+    """The star-contraction loop of `connected_components_edges`,
+    returning the CONVERGED edge state instead of a label table:
+    disjoint stars, each non-center node u carrying exactly one
+    (u, v=component-min) edge; centers and isolated nodes carry no
+    u-row. Callers that fan labels out through their own membership
+    table join this directly (label(x) = coalesce(v, x) via a left
+    join on u) instead of paying an intermediate node-universe join
+    whose output is immediately re-joined — one equi-join less on the
+    label path at any scale (r13, setsim_clusters)."""
     n_edges = edges.count()
 
     def _local_finish(e: DataFrame) -> DataFrame:
@@ -959,7 +982,16 @@ def connected_components_edges(
                 lo, hi_ = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi_] = lo
         labels = [(n, find(n)) for n in parent]
-        return e.sparkSession.createDataFrame(labels, schema=e.schema)
+        # createDataFrame over a driver list is RDD-backed: Catalyst
+        # sees NO size statistics (default = huge) and plans the
+        # downstream label join as a sort-merge, shuffling the
+        # corpus-scale membership side against <= local_finish_edges
+        # rows (r13 job profile: two extra exchanges + their AQE
+        # stage jobs). The bound is known RIGHT HERE — the local
+        # finish collected at most local_finish_edges (u, v) pairs,
+        # ~1.6 MB at the 100k default — so hint the broadcast where
+        # the knowledge lives.
+        return F.broadcast(e.sparkSession.createDataFrame(labels, schema=e.schema))
 
     for _ in range(max_iter):
         if n_edges == 0:
@@ -998,12 +1030,7 @@ def connected_components_edges(
         edges, n_edges = small, n_small
         if converged:
             break
-    # Converged state: disjoint stars, center = component min; each
-    # non-center node carries exactly one edge to its center.
-    return nodes.join(edges, nodes["node"] == edges["u"], "left").select(
-        nodes["node"].alias(node_col),
-        F.coalesce(edges["v"], nodes["node"]).alias("cluster_id"),
-    )
+    return edges
 
 
 def fuzzy_match_pairs(
@@ -1832,6 +1859,7 @@ def collapse_exact_text(
     text_col: str = "text",
     shingle_n: int = 3,
     checkpoint: bool = True,
+    members_materialize: str = "persist",
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-duplicate pre-collapse for similarity operators whose
     metric is a pure function of the text (shingle Jaccard, minhash
@@ -1901,16 +1929,33 @@ def collapse_exact_text(
         groups = groups.localCheckpoint(eager=True)
     # members is built AFTER the checkpoint branch decides which
     # `groups` to use (building it first and rebuilding on the
-    # checkpointed frame was dead plan construction). It is referenced
-    # by EVERY fan-out branch (pair sides, within-group sides — up to
-    # 4 uses), and each use would otherwise re-scan the source and
-    # recompute md5 over the heavy text column — ring_persist shares
-    # one narrow (id, hash, rep, has_sh) materialization across them.
+    # checkpointed frame was dead plan construction). How it is
+    # materialized depends on the CALLER's fan-out shape
+    # (``members_materialize``), because Spark 4 AQE turns every USE
+    # of a persisted frame into its own TableCacheQueryStage
+    # materialization job (r13 job profile: setsim_prefix_join's four
+    # member fan-out sides = four extra one-task driver jobs ≈ 4λ of
+    # pure launch latency):
+    #
+    # - "persist" (default): ring_persist — right when members is
+    #   consumed a few times ACROSS actions; one shared narrow
+    #   (id, hash, rep, has_sh) cache, lazily filled.
+    # - "checkpoint": localCheckpoint(eager) — right when ONE action
+    #   references members from several plan branches: one
+    #   materialization job up front, every consumer is a leaf
+    #   ExistingRDD scan with zero per-use stage jobs.
+    # - "none": leave the lineage — right for a SINGLE consumer,
+    #   where any materialization is pure overhead (the one consumer
+    #   re-derives the join exactly once either way; at scale the
+    #   work is identical, one scan + one equi-join).
     members = base.select(F.col(id_col), "__k").join(
         groups.select("__k", "__rep", "__has_sh"), "__k"
     )
     if checkpoint:
-        members = ring_persist(members)
+        if members_materialize == "checkpoint":
+            members = members.localCheckpoint(eager=True)
+        elif members_materialize == "persist":
+            members = ring_persist(members)
     return groups, members
 
 
@@ -1940,37 +1985,49 @@ def setsim_prefix_join_collapsed(
     join shuffles ~m² candidate rows per distinct pair BEFORE
     verification — at 100x replication (m=100) that filled 75 GB of
     shuffle disk and died, while this form's pre-verify work is
-    proportional to distinct content and its output to true pairs."""
-    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    proportional to distinct content and its output to true pairs.
+
+    Fan-out shape (r13): within-group pairs are the member fan-out of
+    the DIAGONAL rep pair (rep, rep, J=1.0) — identical texts have
+    identical shingle sets, so every non-empty duplicate group is a
+    clique at Jaccard exactly 1.0. Appending the diagonal rows
+    (rep-level, one per multi-member group with a non-empty shingle
+    set) to the verified rep pairs lets ONE ma ⋈ mb fan-out serve
+    both branches; the row filter ``doc_a != doc_b OR __ida < __idb``
+    is a no-op on cross-group rows (members of different groups are
+    different docs) and is exactly the old within-branch's ordered
+    dedupe on diagonal rows. This halves the member-side joins (4 → 2
+    plan branches over members, which under AQE each cost a
+    materialization job) and drops the output union, with the same
+    output set by the argument above."""
+    groups, members = collapse_exact_text(
+        docs, id_col, text_col, shingle_n, members_materialize="checkpoint"
+    )
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
     rep_pairs = setsim_prefix_join(reps, id_col, text_col, threshold, shingle_n)
+    # Degenerate threshold > 1.0 admits nothing (Jaccard caps at 1.0
+    # for identical sets), matching the uncollapsed form: no diagonal.
+    if threshold <= 1.0:
+        diag = groups.filter(
+            F.col("__has_sh") & (F.col("__cnt") >= 2)
+        ).select(
+            F.col("__rep").alias("doc_a"),
+            F.col("__rep").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        rep_pairs = rep_pairs.unionByName(diag)
     ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
     mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
-    cross = (
+    return (
         rep_pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
+        .filter((F.col("doc_a") != F.col("doc_b")) | (F.col("__ida") < F.col("__idb")))
         .select(
             F.least("__ida", "__idb").alias("doc_a"),
             F.greatest("__ida", "__idb").alias("doc_b"),
             "jaccard",
         )
     )
-    # Degenerate threshold > 1.0 admits nothing (Jaccard caps at 1.0
-    # for identical sets), matching the uncollapsed form.
-    if threshold > 1.0:
-        return cross
-    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
-    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
-    within = (
-        wa.join(wb, "__rep")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .select(
-            F.col("__ida").alias("doc_a"),
-            F.col("__idb").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def setsim_clusters_collapsed(
@@ -2000,8 +2057,19 @@ def setsim_clusters_collapsed(
     texts → star-contraction CC over representatives → one equi-join
     fan-out. The O(m²) within-group pair emission of the naive plan
     (12.4× wall at 10× replicated data) disappears entirely.
+
+    Label-path shape (r13): the converged star edges join members
+    DIRECTLY (label(rep) = coalesce(v, rep) on a left join over u) —
+    the node-universe label table `connected_components_edges` builds
+    is members'-rep-domain-sized and was immediately re-joined, so
+    folding it away removes one corpus-scale equi-join from the
+    output path. `members` itself stays un-materialized: it has
+    exactly ONE consumer here, so a persist would only add a cache
+    barrier for a table that is derived once either way.
     """
-    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    groups, members = collapse_exact_text(
+        docs, id_col, text_col, shingle_n, members_materialize="none"
+    )
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
     # Materialize the qualified pair list ONCE: the incidence below
     # references it from BOTH union branches (doc_a and doc_b sides),
@@ -2024,11 +2092,16 @@ def setsim_clusters_collapsed(
     # which costs three pair-set-sized shuffles just to recover these
     # edges. Isolated reps label themselves via the node universe.
     edges = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    nodes = groups.select(F.col("__rep").alias("node"))
-    cc = connected_components_edges(edges, nodes)
-    return members.join(cc, members["__rep"] == cc["node"]).select(
+    conv = contracted_star_edges(edges)
+    # label(rep) = coalesce(center, rep): converged non-center reps
+    # carry exactly one (u=rep, v=component-min) edge; centers and
+    # isolated reps carry none and label themselves. Every member's
+    # __rep is in the rep universe, so the left join covers all rows —
+    # identical labels to the old nodes-join-then-members-join, one
+    # join shorter.
+    return members.join(conv, members["__rep"] == conv["u"], "left").select(
         members[id_col],
-        F.when(members["__has_sh"], cc["cluster_id"])
+        F.when(members["__has_sh"], F.coalesce(conv["v"], members["__rep"]))
         .otherwise(members[id_col])
         .alias("cluster_id"),
     )

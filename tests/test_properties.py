@@ -769,6 +769,21 @@ def test_connected_components_edges_matches_union_find(spark, edges, extra_nodes
         }
         assert got == want, (cutover, got, want)
 
+    # The converged-state contract the r13 fused label path
+    # (setsim_clusters: members ⋈ contracted edges, label =
+    # coalesce(v, node)) depends on: after contraction every
+    # NON-CENTER node carries exactly one (u, v=component-min) edge,
+    # and centers / isolated nodes carry no u-row at all — on both
+    # the local-finish and the distributed tier.
+    for cutover in (100_000, 0):
+        conv = dd.contracted_star_edges(edf, local_finish_edges=cutover).collect()
+        by_u: dict[int, list[int]] = {}
+        for r in conv:
+            by_u.setdefault(r.u, []).append(r.v)
+        assert all(len(vs) == 1 for vs in by_u.values()), (cutover, by_u)
+        got = {n: by_u.get(n, [n])[0] for n in nodes}
+        assert got == want, (cutover, got, want)
+
 
 @given(
     data=st.lists(
