@@ -101,6 +101,7 @@ _PRIORITY = [
     "dedup_minhash_clusters",  # CHANGED since green, last green r9
     "minhash_jaccard_estimate",  # CHANGED since green, last green r9
     "minhash_containment",  # CHANGED since green, last green r9
+    "dsir_importance_weights",  # CHANGED since green, last green r10
     "dedup_clusters",  # CHANGED since green, last green r11
     "dedup_keep_priority",  # CHANGED since green, last green r12
     "setsim_prefix_join",  # CHANGED since green, last green r12
@@ -108,6 +109,12 @@ _PRIORITY = [
     "lsh_recall_metrics",  # CHANGED since green, last green r12
     "dedup_embedding_clusters",  # CHANGED since green, last green r12
     "dedup_minhash_lsh",  # CHANGED since green, last green r12
+    "pagerank_iter",  # CHANGED since green, last green r12
+    "pagerank_weighted",  # CHANGED since green, last green r12
+    "semdedup_prune",  # CHANGED since green, last green r12
+    "quality_percentile_by_source",  # CHANGED since green, last green r12
+    "knn_graph",  # CHANGED since green, last green r12
+    "ivf_pq_topk",  # CHANGED since green, last green r12
     "union_inputs",  # last green r6
     "text_quality_score",  # last green r6
     "scrub_pii",  # last green r6
@@ -133,13 +140,6 @@ _PRIORITY = [
     "bm25_topk",  # last green r7
     "item_cf_topk",  # last green r7
     "stream_vocab_topk",  # last green r7
-    "bpe_pair_merge",  # last green r7
-    "stream_late_monitor",  # last green r7
-    "dedup_threshold_sweep",  # last green r7
-    "cluster_top_terms",  # last green r7
-    "assoc_rules",  # last green r7
-    "filter_attrition_report",  # last green r7
-    "batch_list_scan",  # last green r8
 ]
 
 

@@ -201,7 +201,8 @@ PINNED_JOBS = {
     "qc_read_stats": 2,
     "peak_call": 2,
     "dedup_exact": 2,
-    "dedup_minhash_lsh": 11,
+    "dedup_minhash_lsh": 7,  # r13: sgroups eager-checkpoint (4 per-use
+    # TableCacheQueryStage jobs -> 1; A/B in extensions/dedup.py)
     "ann_topk_cosine": 6,
     "text_quality_score": 2,
     "token_count": 2,
@@ -248,7 +249,7 @@ PINNED_JOBS_CURATED = {
     "qc_read_stats": 2,
     "peak_call": 2,
     "dedup_exact": 1,
-    "dedup_minhash_lsh": 12,
+    "dedup_minhash_lsh": 8,  # r13: sgroups checkpoint (see plain note)
     "ann_topk_cosine": 6,
     "text_quality_score": 2,
     "token_count": 2,
@@ -460,6 +461,22 @@ def run_headline(spark, queries, sf_dir: str, sf: float, only: set, pins: dict,
     # after the timed runs (see _job_latency_ms docstring — inflated
     # lambda at zero steal is the r10-adjudicated flag class).
     out["job_latency_ms"] = _job_latency_ms(spark)
+    # λ-NORMALIZED walls (r13, VERDICT r12 item 5; additions-only —
+    # pins, flags and the timed path are untouched): at sf0.1 every
+    # wall is ≈ real_exec + n_jobs×λ, and λ moves 2-3x between sandbox
+    # epochs at zero steal, so raw round-over-round comparisons chase
+    # weather (r12: 20 "regressions", all at byte-equal job counts).
+    # adj_sec subtracts the stamped launch cost so PERF/judge
+    # comparisons see the code term. Negative remainders clamp to 0
+    # (a 2-job scan IS pure λ at this scale). The per-query λ uses
+    # this run's own median stamp — the same number a reader would
+    # plug into the pin arithmetic by hand.
+    lam = out["job_latency_ms"]["median"] / 1000.0
+    out["adj_sec"] = {
+        name: round(max(t - n_jobs.get(name, 0) * lam, 0.0), 3)
+        for name, t in timings.items()
+    }
+    out["adj_total"] = round(sum(out["adj_sec"].values()), 3)
     # Stamped AFTER the confirm pass so every steal reading pairs with
     # the run that produced the published wall.
     noisy = {n: p for n, p in steal_pct.items() if p >= 0.2}
@@ -478,7 +495,20 @@ def _next_round() -> int:
     curated filename reuses that same resolution (r11 ADVICE) — if it
     were re-read at curated-write time, a driver that lands the plain
     BENCH_r{N}.json before the ~2x-longer curated pass finishes would
-    shift the curated artifact into the wrong round."""
+    shift the curated artifact into the wrong round.
+
+    `SPARK_GRAFT_ROUND` overrides the scan (r13, VERDICT r12 item 7):
+    once the driver's plain artifact for round N is on disk, the
+    scan-based rule resolves any LATER in-round run to N+1, so an
+    end-of-round curated re-measure landed as next round's artifact
+    (the stray BENCH_r13_curated.json the r12 verdict flagged). A
+    builder re-measuring after the driver passes the round explicitly;
+    the driver itself never sets the variable, so its artifacts are
+    unchanged — and filename == stamped round in both cases because
+    both derive from this one resolution."""
+    explicit = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if explicit.strip().isdigit():
+        return int(explicit)
     best = 0
     for f in os.listdir(_REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)

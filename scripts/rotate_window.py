@@ -380,6 +380,20 @@ def propose_window() -> dict:
         # of silently truncating the contract's tail (found when the
         # r12 optimization wave grew the changed set to 49).
         head = CANARIES[min(overflow, len(CANARIES)):] + recheck
+    if len(recheck) > WINDOW:
+        # Even with every canary trimmed the changed set cannot fit:
+        # the final [:WINDOW] slice below WILL truncate changed
+        # entries — the exact silent contract violation this function
+        # exists to avoid (ADVICE r12). Fail loudly at proposal time
+        # instead of letting tests/test_rotation.py discover it later;
+        # the fix is to split the change wave across rounds (or green
+        # part of it externally first), not to widen the window.
+        raise SystemExit(
+            f"rotate_window: {len(recheck)} changed-since-green queries "
+            f"exceed the {WINDOW}-slot window — the proposal would "
+            f"silently truncate the changed tail. Split the change "
+            f"wave or re-green part of it before rotating."
+        )
     fresh = [n for n in never if n not in head]
     stale = sorted(
         (n for n in registered if n in last_green and n not in head),

@@ -306,17 +306,22 @@ def lsh_candidate_pairs(
     at that point the output itself is 10^13 pairs and the CLUSTER
     form, lsh_band_incidence + connected_components, is the tool)."""
     mh_cols = [F.col(f"mh{j}") for j in range(num_hashes)]
-    # persist(), not localCheckpoint(eager=False): both make the
-    # (md5-per-shingle) signature pipeline compute once for the four
-    # consumers below, but a lazy localCheckpoint still runs analysis
-    # + toRdd on the DRIVER at build time — measured 0.7-2.9s of the
-    # query's wall before any job started. persist registers lazily in
-    # the cache manager (plan-identical repeat calls also reuse it).
+    # localCheckpoint(eager), re-decided r13 (it was ring_persist since
+    # r7): under Spark 4 AQE every one of the FOUR single-action
+    # consumers below materializes the persisted frame through its own
+    # TableCacheQueryStage driver job (measured: 4 extra one-task jobs
+    # per run, 11 -> 7 with the checkpoint), while the checkpoint costs
+    # one job and its consumers are leaf scans. The r7 objection —
+    # driver-side analysis+toRdd at build time — was measured against
+    # a LAZY checkpoint of the full signature pipeline (0.7-2.9 s);
+    # for this post-aggregate plan the eager checkpoint's driver cost
+    # is ~0.3 s and the same-session alternating A/B at matched λ
+    # still favors it (1.627 vs 1.751 s min, ≤1% steal, λ122).
     sgroups = (
         sig.select(F.col(id_col), F.concat_ws("|", *mh_cols).alias("__sk"))
         .groupBy("__sk")
         .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
-        .transform(ring_persist)
+        .localCheckpoint(eager=True)
     )
     if max_bucket is not None:
         # Multiplicity pre-cut: an m-copy group with m > max_bucket

@@ -346,7 +346,20 @@ def pagerank_from_half(
 
     Contract: ``half`` holds unique (src < dst) rows and should be
     persist/checkpoint-backed by the caller (it is counted, exploded
-    for degrees, and mirrored into the round joins)."""
+    for degrees, and mirrored into the round joins).
+
+    Why there is deliberately NO fan_out(h) here (ADVICE r12): h is
+    scanned narrowly by SEVERAL consumers (the count, the degree
+    explode, and each round's mirror join) straight off the caller's
+    persisted/stored table. An un-cached repartition would re-execute
+    its exchange once PER consumer (3 rounds = 3 extra shuffles of
+    the half set), and caching the repartitioned copy would
+    reintroduce exactly the second edge-mass materialization this
+    build exists to avoid. The single-input-split pin the fan-out
+    would fix only occurs when the whole edge table fits one parquet
+    split (~sub-128 MB) — at that size the explode is trivial; at any
+    scale where parallelism matters the stored table already has many
+    splits."""
     spark = half.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     h = half.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -456,7 +469,9 @@ def weighted_pagerank_from_half(
     applied to the weighted variant: weights are symmetric by
     construction, so Σ_out w per node is one endpoint-explode over the
     half rows and the mirrored union is never cached or shuffled.
-    Tier cutovers unchanged (directed count = 2·|half|)."""
+    Tier cutovers unchanged (directed count = 2·|half|). No fan_out
+    on h for the same reason as pagerank_from_half (see its note):
+    multiple narrow consumers over the caller's persisted table."""
     spark = half.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     h = half.select(

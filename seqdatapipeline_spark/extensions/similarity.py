@@ -512,16 +512,29 @@ def pq_ivf_build(
     poisons Spark's distance folds to NULL while DuckDB's list_sum
     skips it, so keeping such vectors trains DIFFERENT models per
     engine (found by the interior-NULL parity mode)."""
+    from ..session import persist_for_rescan
+
     spark = corpus.sparkSession
     v = corpus.filter(_finite_elements(vec_col)).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
     w = Window.orderBy("vec_id")
-    coarse = (
+    # The model tables (n_coarse and n_cents×n_subs rows) are each
+    # REFERENCED from two plan branches (coarse: probe scoring +
+    # corpus assignment; cb: distance tables + corpus encoding), and
+    # Spark shares no subtrees across branches — every reference
+    # re-derives the model with its own TakeOrdered pass over the
+    # corpus (r13 plan audit: 16 parquet scans in the plain-path
+    # plan, ~6 of them model derivations). Above the rescan gate each
+    # model materializes once; below it (MB-scale inputs) the plan is
+    # byte-unchanged — a TakeOrdered over a few MB costs less than a
+    # cache barrier (guide §2.4 / §5, the r12 gate doctrine).
+    coarse = persist_for_rescan(
         v.orderBy("vec_id")
         .limit(n_coarse)
-        .select((F.row_number().over(w) - 1).alias("ccell"), F.col("emb").alias("ccent"))
+        .select((F.row_number().over(w) - 1).alias("ccell"), F.col("emb").alias("ccent")),
+        gate=corpus,
     )
     cscore = v.join(F.broadcast(coarse)).withColumn(
         "__cos", cosine(F.col("emb"), F.col("ccent"))
@@ -537,8 +550,11 @@ def pq_ivf_build(
         .select((F.row_number().over(w) - 1).alias("cent"), "emb")
     )
     subs = spark.range(n_subs).select(F.col("id").cast("int").alias("sub"))
-    cb = cb0.crossJoin(F.broadcast(subs)).select(
-        "sub", "cent", F.expr(f"slice(emb, sub * {sub_dim} + 1, {sub_dim})").alias("cvec")
+    cb = persist_for_rescan(
+        cb0.crossJoin(F.broadcast(subs)).select(
+            "sub", "cent", F.expr(f"slice(emb, sub * {sub_dim} + 1, {sub_dim})").alias("cvec")
+        ),
+        gate=corpus,
     )
     vs = v.crossJoin(F.broadcast(subs)).select(
         "vec_id", "sub", F.expr(f"slice(emb, sub * {sub_dim} + 1, {sub_dim})").alias("svec")

@@ -17,7 +17,7 @@ from .extensions import similarity as sim
 from .extensions import textstats as tx
 from .io import layout as lay
 from .registry import _t, _t_events_curated, q
-from .session import fan_out, persist_for_rescan
+from .session import fan_out, persist_for_rescan, rescan_gate_fires, ring_persist
 
 # Shared CTE fragments for shingle-based oracles.
 _SHINGLES3 = """
@@ -4143,10 +4143,25 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution build is one map-side-combinable groupBy(bucket)
     over the exploded corpus, the per-bucket log-ratio table
     broadcast-joins back, and per-doc weights are a second
-    map-side-combinable sum. Two corpus scans, zero windows, no
-    driver-side state — the exact plan DSIR sharding runs at 100 TB
-    (the reference's density_over_total is the same two-pass shape,
-    mainScript.py:604-615)."""
+    map-side-combinable sum — the exact plan DSIR sharding runs at
+    100 TB (the reference's density_over_total is the same two-pass
+    shape, mainScript.py:604-615).
+
+    Single-pass fuse PROBED AND REJECTED (r13, guide §1.2 "the first
+    ideal-plan attempt is usually slower — measure"): aggregating one
+    (doc_id, lang, bucket, count) table in a single tokenize+hash
+    pass and deriving both the distribution and the per-doc sums from
+    it (Σ_tokens w_b ≡ Σ_buckets c_b·w_b; forced-form output equality
+    verified on sf0.01 before the A/B) measured 17.4 → 28.1 s
+    (0.62×) at the 1000× documents fixture, steal ≤ 1%: at ~200
+    tokens/doc the doc×bucket table holds ~0.9 rows per TOKEN, so the
+    "compact" intermediate costs a corpus-mass groupBy shuffle + a
+    cache write + two cache reads to save one md5 pass — while this
+    two-pass form shuffles almost nothing (the distribution partial-
+    aggregates to 256 rows map-side; the per-doc sum partial-
+    aggregates to one row per doc inside the scan). The fuse only
+    pays when tokens/doc ≫ 256 buckets; that corpus shape is not in
+    evidence here, so the two-pass plan stays."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")

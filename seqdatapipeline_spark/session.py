@@ -176,6 +176,7 @@ def persist_for_rescan(
     df: DataFrame,
     gate: "DataFrame | None" = None,
     min_bytes: int | None = None,
+    storage_level=None,
 ) -> DataFrame:
     """Size-adaptive persist for a derived projection that downstream
     plan branches re-evaluate several times (Spark shares no common
@@ -196,8 +197,33 @@ def persist_for_rescan(
     saves a full scan+compute pass of the gated subtree, which at
     100 TB dominates any cache cost — the same size-tiered reasoning
     as Catalyst's broadcast threshold, parameterized so a deployment
-    sizes it to its storage bandwidth."""
-    spark = df.sparkSession
+    sizes it to its storage bandwidth.
+
+    GATE SEMANTICS (ADVICE r12): ``min_bytes`` is compared against the
+    estimate of the RE-SCANNED INPUT (``gate``), not of the persisted
+    projection ``df`` — the dispatch asks "is re-deriving this worth
+    avoiding", and the cost of re-deriving is a pass over the gate
+    subtree. A wide gate feeding a narrow derived table therefore
+    fires conservatively-early (the cache is cheaper than the estimate
+    suggests), never late. ``storage_level`` controls the persist of
+    corpus-cardinality projections (default: Spark's MEMORY_AND_DESER
+    via plain persist()); pass e.g. ``StorageLevel.MEMORY_AND_DISK``
+    when the cached projection itself is too wide to sit in executor
+    memory at deployment scale."""
+    if not rescan_gate_fires(gate if gate is not None else df, min_bytes):
+        return df
+    return ring_persist(df, storage_level=storage_level)
+
+
+def rescan_gate_fires(gate: DataFrame, min_bytes: int | None = None) -> bool:
+    """The persist_for_rescan dispatch predicate, exposed for callers
+    that switch PLAN FORMS on the same size gate (r13 dsir: below the
+    gate the two-pass token-level plan must stay byte-unchanged, so
+    the caller needs the decision BEFORE building the compact-table
+    form). Driver-side Catalyst file-statistics estimate, zero jobs;
+    False when the estimate is unavailable (keep the untouched
+    plan — same conservative default as persist_for_rescan)."""
+    spark = gate.sparkSession
     if min_bytes is None:
         try:
             min_bytes = int(
@@ -209,15 +235,12 @@ def persist_for_rescan(
         except Exception:
             min_bytes = 256 * 1024 * 1024
     try:
-        src = gate if gate is not None else df
         est = int(
-            str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            str(gate._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
-        return df  # estimate unavailable: keep the untouched plan
-    if est < min_bytes:
-        return df
-    return ring_persist(df)
+        return False  # estimate unavailable: keep the untouched plan
+    return est >= min_bytes
 
 
 @contextmanager

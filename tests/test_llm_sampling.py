@@ -203,12 +203,18 @@ def test_quality_percentile_persist_dispatch_output_invariant(spark):
         map(tuple, fn(spark, "/root/testdata/sf0.01").collect())
     )
     ring_clear()
+    # Snapshot BEFORE the forced build (ADVICE r12): the shared pytest
+    # session may hold persisted RDDs ring_clear() does not drain
+    # (_RANK_MEMO rank tables, _ADAPTIVE_STATS), so a bare `size() > 0`
+    # can pass without persist_for_rescan having persisted anything —
+    # only an INCREASE proves the dispatch fired.
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     spark.conf.set("spark.seqdatapipeline.rescanPersistBytes", "0")
     try:
         forced_df = fn(spark, "/root/testdata/sf0.01")
         forced = sorted(map(tuple, forced_df.collect()))
         jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
-        assert jmap.size() > 0  # the dispatch really persisted
+        assert jmap.size() > n_before  # the dispatch really persisted
     finally:
         spark.conf.unset("spark.seqdatapipeline.rescanPersistBytes")
         ring_clear()
@@ -222,6 +228,29 @@ def test_cell_assign_persist_dispatch_output_invariant(spark):
     from seqdatapipeline_spark.session import ring_clear
 
     for name in ("semdedup_prune", "knn_graph"):
+        fn = _q(name)
+        base = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
+        ring_clear()
+        spark.conf.set("spark.seqdatapipeline.rescanPersistBytes", "0")
+        try:
+            forced = sorted(
+                map(tuple, fn(spark, "/root/testdata/sf0.01").collect())
+            )
+        finally:
+            spark.conf.unset("spark.seqdatapipeline.rescanPersistBytes")
+            ring_clear()
+        assert forced == base, name
+
+
+def test_pq_model_persist_dispatch_output_invariant(spark):
+    # r13: pq_ivf_build gate-persists the coarse/codebook model tables
+    # (each referenced from two plan branches; every reference
+    # re-derived the model with its own TakeOrdered corpus pass).
+    # Forcing the gate must not change a single output row of either
+    # consumer query.
+    from seqdatapipeline_spark.session import ring_clear
+
+    for name in ("ivf_pq_topk", "pq_ann_topk"):
         fn = _q(name)
         base = sorted(map(tuple, fn(spark, "/root/testdata/sf0.01").collect()))
         ring_clear()
