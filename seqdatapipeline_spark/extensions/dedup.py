@@ -507,40 +507,43 @@ def minhash_dedup_pairs(
     if "content_hash" in docs.columns and (
         _duplication_factor(docs, "content_hash") >= collapse_threshold
     ):
-        groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+        groups, members = collapse_exact_text(
+            docs, id_col, text_col, shingle_n, members_materialize="checkpoint"
+        )
         reps = groups.select(F.col("__rep").alias(id_col), text_col)
         sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n)
         rep_pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+        # Within-group pairs ride DIAGONAL (rep, rep) rows appended to
+        # the rep-level candidates — the r13 setsim fan-out shape: one
+        # ma ⋈ mb join pair serves both branches, and the filter
+        # `doc_a != doc_b OR __ida < __idb` is a no-op on cross rows
+        # and the ordered within-group dedupe on diagonal rows.
+        # Disjointness (cross spans two rep groups, within shares one)
+        # is unchanged, so there is still no distinct over the result.
+        diag = groups.filter(
+            F.col("__has_sh") & (F.col("__cnt") >= 2)
+        ).select(
+            F.col("__rep").alias("doc_a"), F.col("__rep").alias("doc_b")
+        )
+        rep_pairs = rep_pairs.unionByName(diag)
         ma = members.select(
             F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida")
         )
         mb = members.select(
             F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb")
         )
-        cross = (
+        return (
             rep_pairs.join(ma, "doc_a")
             .join(mb, "doc_b")
+            .filter(
+                (F.col("doc_a") != F.col("doc_b"))
+                | (F.col("__ida") < F.col("__idb"))
+            )
             .select(
                 F.least("__ida", "__idb").alias("doc_a"),
                 F.greatest("__ida", "__idb").alias("doc_b"),
             )
         )
-        wa = members.filter("__has_sh").select(
-            "__rep", F.col(id_col).alias("__ida")
-        )
-        wb = members.filter("__has_sh").select(
-            "__rep", F.col(id_col).alias("__idb")
-        )
-        within = (
-            wa.join(wb, "__rep")
-            .filter(F.col("__ida") < F.col("__idb"))
-            .select(
-                F.col("__ida").alias("doc_a"), F.col("__idb").alias("doc_b")
-            )
-        )
-        # Disjoint by construction: cross pairs span two rep groups,
-        # within pairs share one — no distinct needed over the union.
-        return cross.unionByName(within)
     sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
     return lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
 
@@ -1231,7 +1234,9 @@ def minhash_estimate_pairs(
     Without this, 1000x mass duplication pushes the doc-level scoring
     joins to ~10^9 rows per side (the r6 SCALING note's known gap);
     the contract OUTPUT is still every candidate pair."""
-    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    groups, members = collapse_exact_text(
+        docs, id_col, text_col, shingle_n, members_materialize="checkpoint"
+    )
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
     sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).transform(ring_persist)
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
@@ -1289,14 +1294,32 @@ def minhash_estimate_pairs(
     rep_scored = est.join(truth, ["doc_a", "doc_b"]).withColumn(
         "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
     )
-    # Fan back out to the doc level: cross-group pairs inherit the rep
-    # pair's scores; within-group pairs of identical texts score
-    # est=1.0 / truth=__has_sh.
+    # Fan back out to the doc level in ONE ma ⋈ mb pass (the r13
+    # setsim shape): cross-group pairs inherit the rep pair's scores;
+    # within-group pairs of identical texts ride DIAGONAL (rep, rep)
+    # rows scoring est = truth = 1.0 / abs_err = 0.0 exactly. Only
+    # groups with a non-empty shingle set pair within themselves:
+    # shingle-less docs never get a signature (minhash_signature drops
+    # them, like the SQL mirror's explode), so identical short texts
+    # are NOT candidates in the pair form either. The row filter
+    # `doc_a != doc_b OR __ida < __idb` is a no-op on cross rows and
+    # the ordered within-group dedupe on diagonal rows.
+    diag = groups.filter(F.col("__has_sh") & (F.col("__cnt") >= 2)).select(
+        F.col("__rep").alias("doc_a"),
+        F.col("__rep").alias("doc_b"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(1.0).alias("true_jaccard"),
+        F.lit(0.0).alias("abs_err"),
+    )
+    rep_scored = rep_scored.unionByName(diag)
     ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
     mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
-    cross = (
+    return (
         rep_scored.join(ma, "doc_a")
         .join(mb, "doc_b")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b")) | (F.col("__ida") < F.col("__idb"))
+        )
         .select(
             F.least("__ida", "__idb").alias("doc_a"),
             F.greatest("__ida", "__idb").alias("doc_b"),
@@ -1305,25 +1328,6 @@ def minhash_estimate_pairs(
             "abs_err",
         )
     )
-    # Only groups with a non-empty shingle set pair within themselves:
-    # shingle-less docs never get a signature (minhash_signature drops
-    # them, like the SQL mirror's explode), so identical short texts
-    # are NOT candidates in the pair form either. For the emitted
-    # pairs est = truth = 1.0 exactly.
-    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
-    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
-    within = (
-        wa.join(wb, "__rep")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .select(
-            F.col("__ida").alias("doc_a"),
-            F.col("__idb").alias("doc_b"),
-            F.lit(1.0).alias("est_jaccard"),
-            F.lit(1.0).alias("true_jaccard"),
-            F.lit(0.0).alias("abs_err"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def simhash_hamming_pairs(
@@ -1612,7 +1616,9 @@ def minhash_containment_pairs(
     orientation relative to its rep pair, and within-group pairs of
     identical texts emit 1.0 across the board (A = B makes both
     directions exact and the estimate saturates)."""
-    groups, members = collapse_exact_text(docs, id_col, text_col, shingle_n)
+    groups, members = collapse_exact_text(
+        docs, id_col, text_col, shingle_n, members_materialize="checkpoint"
+    )
     reps = groups.select(F.col("__rep").alias(id_col), text_col)
     sig = minhash_signature(reps, id_col, text_col, num_hashes, shingle_n).transform(ring_persist)
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
@@ -1663,13 +1669,32 @@ def minhash_containment_pairs(
             F.round(shared / zb, 6).alias("true_cont_b_in_a"),
         )
     )
+    # Doc-level fan-out in ONE ma ⋈ mb pass (r13 setsim shape):
+    # within-group pairs ride DIAGONAL (rep, rep) rows whose five
+    # scores are all exactly 1.0 — the directional swap is the
+    # identity on them (fwd = rev), and the row filter
+    # `doc_a != doc_b OR __ida < __idb` is a no-op on cross rows and
+    # the ordered within-group dedupe on diagonal rows.
+    diag = groups.filter(F.col("__has_sh") & (F.col("__cnt") >= 2)).select(
+        F.col("__rep").alias("doc_a"),
+        F.col("__rep").alias("doc_b"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(1.0).alias("est_cont_a_in_b"),
+        F.lit(1.0).alias("est_cont_b_in_a"),
+        F.lit(1.0).alias("true_cont_a_in_b"),
+        F.lit(1.0).alias("true_cont_b_in_a"),
+    )
+    rep_scored = rep_scored.unionByName(diag)
     ma = members.select(F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida"))
     mb = members.select(F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb"))
     keep = F.col("__ida") < F.col("__idb")  # does least/greatest keep rep order?
     swap = lambda fwd, rev: F.when(keep, F.col(fwd)).otherwise(F.col(rev))
-    cross = (
+    out = (
         rep_scored.join(ma, "doc_a")
         .join(mb, "doc_b")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b")) | (F.col("__ida") < F.col("__idb"))
+        )
         .select(
             F.least("__ida", "__idb").alias("doc_a"),
             F.greatest("__ida", "__idb").alias("doc_b"),
@@ -1680,22 +1705,7 @@ def minhash_containment_pairs(
             swap("true_cont_b_in_a", "true_cont_a_in_b").alias("true_cont_b_in_a"),
         )
     )
-    wa = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__ida"))
-    wb = members.filter("__has_sh").select("__rep", F.col(id_col).alias("__idb"))
-    within = (
-        wa.join(wb, "__rep")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .select(
-            F.col("__ida").alias("doc_a"),
-            F.col("__idb").alias("doc_b"),
-            F.lit(1.0).alias("est_jaccard"),
-            F.lit(1.0).alias("est_cont_a_in_b"),
-            F.lit(1.0).alias("est_cont_b_in_a"),
-            F.lit(1.0).alias("true_cont_a_in_b"),
-            F.lit(1.0).alias("true_cont_b_in_a"),
-        )
-    )
-    return cross.unionByName(within)
+    return out
 
 
 def setsim_prefix_join(
